@@ -1,0 +1,37 @@
+"""Host-side buffer coercion helpers (bytes <-> NumPy views)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["as_u8", "as_u16", "as_u32"]
+
+
+def as_u8(data) -> np.ndarray:
+    """bytes-like / array -> contiguous uint8 array (zero-copy for bytes)."""
+    if isinstance(data, np.ndarray):
+        if data.dtype == np.uint8:
+            return np.ascontiguousarray(data)
+        return np.ascontiguousarray(data).view(np.uint8)
+    return np.frombuffer(memoryview(data), dtype=np.uint8)
+
+
+def as_u16(data) -> np.ndarray:
+    """bytes-like / array -> uint16 code-unit array (raw storage order).
+    Byte-length inputs must be even, mirroring the reference's char16_t* +
+    length-in-units contract."""
+    if isinstance(data, np.ndarray) and data.dtype == np.uint16:
+        return np.ascontiguousarray(data)
+    b = as_u8(data)
+    if b.shape[0] % 2 != 0:
+        raise ValueError("UTF-16 input must contain an even number of bytes")
+    return b.view(np.uint16)
+
+
+def as_u32(data) -> np.ndarray:
+    if isinstance(data, np.ndarray) and data.dtype == np.uint32:
+        return np.ascontiguousarray(data)
+    b = as_u8(data)
+    if b.shape[0] % 4 != 0:
+        raise ValueError("UTF-32 input must contain a multiple of 4 bytes")
+    return b.view(np.uint32)

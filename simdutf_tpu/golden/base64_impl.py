@@ -1,0 +1,258 @@
+"""Vectorized NumPy WHATWG forgiving-base64.
+
+Reference behavior: generic/base64.h:43-246 (prologue strip + bulk decode +
+padding epilogue) and scalar/base64.h:33-216 (tail modes). The bulk becomes
+table-gather classification + boolean compaction + 4->3 bit repack; only the
+final (<4 char) chunk needs branchy logic.
+
+Options / last_chunk constants mirror implementation.h:2782-2811.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..errors import FullResult, error_code as ec
+
+# base64_options (implementation.h:2782-2800)
+BASE64_DEFAULT = 0
+BASE64_URL = 1
+BASE64_REVERSE_PADDING = 2
+BASE64_DEFAULT_NO_PADDING = 2
+BASE64_URL_WITH_PADDING = 3
+BASE64_DEFAULT_ACCEPT_GARBAGE = 4
+BASE64_URL_ACCEPT_GARBAGE = 5
+BASE64_DEFAULT_OR_URL = 8
+BASE64_DEFAULT_OR_URL_ACCEPT_GARBAGE = 12
+
+# last_chunk_handling_options (implementation.h:2805-2811)
+LOOSE = 0
+STRICT = 1
+STOP_BEFORE_PARTIAL = 2
+
+_STD = b"ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/"
+_URL = b"ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-_"
+_SPACES = b" \t\n\r\x0c"
+
+
+def _make_table(options: int) -> np.ndarray:
+    tab = np.full(256, 255, dtype=np.uint8)
+    if options & BASE64_DEFAULT_OR_URL:
+        alphas = (_STD, _URL)
+    elif options & BASE64_URL:
+        alphas = (_URL,)
+    else:
+        alphas = (_STD,)
+    for alpha in alphas:
+        tab[np.frombuffer(alpha, dtype=np.uint8)] = np.arange(64, dtype=np.uint8)
+    tab[np.frombuffer(_SPACES, dtype=np.uint8)] = 64
+    return tab
+
+
+_TABLES = {opt: _make_table(opt) for opt in (0, 1, 4, 5, 8, 12)}
+_ENC_STD = np.frombuffer(_STD, dtype=np.uint8)
+_ENC_URL = np.frombuffer(_URL, dtype=np.uint8)
+
+
+def value_table(options: int) -> np.ndarray:
+    key = options
+    if key in (2, 3):  # reverse-padding modifiers share the base alphabet
+        key = options & BASE64_URL
+    return _TABLES.get(key, _TABLES[options & (BASE64_URL | BASE64_DEFAULT_OR_URL)])
+
+
+def ignore_garbage(options: int) -> bool:
+    return options in (
+        BASE64_DEFAULT_ACCEPT_GARBAGE,
+        BASE64_URL_ACCEPT_GARBAGE,
+        BASE64_DEFAULT_OR_URL_ACCEPT_GARBAGE,
+    )
+
+
+def use_padding(options: int) -> bool:
+    return ((options & BASE64_URL) == 0) ^ (
+        (options & BASE64_REVERSE_PADDING) == BASE64_REVERSE_PADDING
+    )
+
+
+def maximal_binary_length(src: np.ndarray) -> int:
+    # scalar/base64.h:493-513
+    length = int(src.shape[0])
+    padding = 0
+    eq = ord("=")
+    if length > 0 and int(src[length - 1]) == eq:
+        padding += 1
+        if length > 1 and int(src[length - 2]) == eq:
+            padding += 1
+    actual = length - padding
+    if actual % 4 <= 1:
+        return actual // 4 * 3
+    return actual // 4 * 3 + (actual % 4) - 1
+
+
+def base64_length_from_binary(length: int, options: int = BASE64_DEFAULT) -> int:
+    # scalar/base64.h:515-533
+    if not use_padding(options):
+        return length // 3 * 4 + ((length % 3) + 1 if length % 3 else 0)
+    return (length + 2) // 3 * 4
+
+
+def encode(src: np.ndarray, options: int = BASE64_DEFAULT) -> np.ndarray:
+    """binary -> base64 chars; fixed 3->4 expansion, fully vectorized
+    (scalar/base64.h:435-491)."""
+    alpha = _ENC_URL if (options & BASE64_URL) else _ENC_STD
+    n = int(src.shape[0])
+    nfull = n // 3
+    rem = n - nfull * 3
+    body = src[: nfull * 3].astype(np.uint32).reshape(-1, 3)
+    t = (body[:, 0] << 16) | (body[:, 1] << 8) | body[:, 2]
+    quads = np.stack(
+        [(t >> 18) & 63, (t >> 12) & 63, (t >> 6) & 63, t & 63], axis=1
+    ).reshape(-1)
+    out = alpha[quads]
+    pad = use_padding(options)
+    if rem == 1:
+        t1 = int(src[n - 1])
+        tail = [alpha[t1 >> 2], alpha[(t1 & 0x03) << 4]]
+        if pad:
+            tail += [ord("="), ord("=")]
+        out = np.concatenate([out, np.array(tail, dtype=np.uint8)])
+    elif rem == 2:
+        t1, t2 = int(src[n - 2]), int(src[n - 1])
+        tail = [
+            alpha[t1 >> 2],
+            alpha[((t1 & 0x03) << 4) | (t2 >> 4)],
+            alpha[(t2 & 0x0F) << 2],
+        ]
+        if pad:
+            tail.append(ord("="))
+        out = np.concatenate([out, np.array(tail, dtype=np.uint8)])
+    return out
+
+
+def _codes(src: np.ndarray, tab: np.ndarray) -> np.ndarray:
+    """Char codes; char16 inputs beyond 0xFF classify as invalid (255),
+    mirroring is_eight_byte (scalar/base64.h:24-29)."""
+    if src.dtype == np.uint8:
+        return tab[src]
+    codes = tab[(src & 0xFF).astype(np.uint8)]
+    return np.where(src.astype(np.int64) > 0xFF, np.uint8(255), codes)
+
+
+def decode(
+    src: np.ndarray,
+    options: int = BASE64_DEFAULT,
+    last_chunk: int = LOOSE,
+) -> tuple[FullResult, np.ndarray]:
+    """Forgiving-base64 decode of uint8 (or uint16 for char16 input) chars.
+
+    Returns (FullResult, uint8 output). FullResult counts follow
+    generic/base64.h:43-246.
+    """
+    tab = value_table(options)
+    garbage = ignore_garbage(options)
+    eq = ord("=")
+    empty = np.zeros(0, dtype=np.uint8)
+
+    codes_all = _codes(src, tab)
+    srclen = int(src.shape[0])
+    equallocation = srclen
+    equalsigns = 0
+    if not garbage:
+        # prologue strip (generic/base64.h:50-73)
+        while srclen > 0 and codes_all[srclen - 1] == 64:
+            srclen -= 1
+        if srclen > 0 and int(src[srclen - 1]) == eq:
+            equallocation = srclen - 1
+            srclen -= 1
+            equalsigns = 1
+            while srclen > 0 and codes_all[srclen - 1] == 64:
+                srclen -= 1
+            if srclen > 0 and int(src[srclen - 1]) == eq:
+                equallocation = srclen - 1
+                srclen -= 1
+                equalsigns = 2
+    if srclen == 0:
+        if not garbage and equalsigns > 0:
+            if last_chunk == STRICT:
+                return FullResult(ec.BASE64_INPUT_REMAINDER, 0, 0), empty
+            if last_chunk == STOP_BEFORE_PARTIAL:
+                return FullResult(ec.SUCCESS, 0, 0), empty
+            return FullResult(ec.INVALID_BASE64_CHARACTER, equallocation, 0), empty
+        return FullResult(ec.SUCCESS, 0, 0), empty
+
+    codes = codes_all[:srclen]
+    is_valid = codes <= 63
+    if not garbage:
+        bad = codes > 64
+        if bad.any():
+            badpos = int(np.argmax(bad))
+            nvalid_before = int(np.count_nonzero(is_valid[:badpos]))
+            outlen = nvalid_before // 4 * 3  # whole chunks decoded before error
+            vals = codes[:badpos][is_valid[:badpos]][: nvalid_before // 4 * 4]
+            return (
+                FullResult(ec.INVALID_BASE64_CHARACTER, badpos, outlen),
+                _repack(vals),
+            )
+
+    vals = codes[is_valid]
+    nvalid = int(vals.shape[0])
+    nfull = nvalid // 4 * 4
+    out = _repack(vals[:nfull])
+    idx = nvalid - nfull
+    tail_vals = vals[nfull:]
+
+    if idx != 0 or (not garbage and equalsigns > 0):
+        if (
+            not garbage
+            and last_chunk == STRICT
+            and idx != 1
+            and ((idx + equalsigns) & 3) != 0
+        ):
+            return FullResult(ec.BASE64_INPUT_REMAINDER, srclen, len(out)), out
+        if (
+            not garbage
+            and last_chunk == STOP_BEFORE_PARTIAL
+            and ((idx + equalsigns) & 3) != 0
+        ):
+            if idx > 0:
+                start = int(np.flatnonzero(is_valid)[nfull])
+            else:
+                start = srclen
+            return FullResult(ec.SUCCESS, start, len(out)), out
+        if idx == 2:
+            t = int(tail_vals[0]) << 18 | int(tail_vals[1]) << 12
+            if not garbage and last_chunk == STRICT and (t & 0xFFFF):
+                return FullResult(ec.BASE64_EXTRA_BITS, srclen, len(out)), out
+            out = np.concatenate([out, np.array([(t >> 16) & 0xFF], dtype=np.uint8)])
+        elif idx == 3:
+            t = (
+                int(tail_vals[0]) << 18
+                | int(tail_vals[1]) << 12
+                | int(tail_vals[2]) << 6
+            )
+            if not garbage and last_chunk == STRICT and (t & 0xFF):
+                return FullResult(ec.BASE64_EXTRA_BITS, srclen, len(out)), out
+            out = np.concatenate(
+                [out, np.array([(t >> 16) & 0xFF, (t >> 8) & 0xFF], dtype=np.uint8)]
+            )
+        elif not garbage and idx == 1 and last_chunk != STOP_BEFORE_PARTIAL:
+            return FullResult(ec.BASE64_INPUT_REMAINDER, srclen, len(out)), out
+
+    if not garbage and last_chunk != STOP_BEFORE_PARTIAL and equalsigns > 0:
+        if (len(out) % 3 == 0) or ((len(out) % 3) + 1 + equalsigns != 4):
+            return (
+                FullResult(ec.INVALID_BASE64_CHARACTER, equallocation, len(out)),
+                out,
+            )
+    return FullResult(ec.SUCCESS, srclen, len(out)), out
+
+
+def _repack(vals: np.ndarray) -> np.ndarray:
+    """4 sextets -> 3 bytes, vectorized. len(vals) % 4 == 0."""
+    if vals.shape[0] == 0:
+        return np.zeros(0, dtype=np.uint8)
+    q = vals.astype(np.uint32).reshape(-1, 4)
+    t = (q[:, 0] << 18) | (q[:, 1] << 12) | (q[:, 2] << 6) | q[:, 3]
+    out = np.stack([(t >> 16) & 0xFF, (t >> 8) & 0xFF, t & 0xFF], axis=1)
+    return out.reshape(-1).astype(np.uint8)
