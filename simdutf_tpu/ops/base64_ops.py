@@ -1,0 +1,97 @@
+"""Base64 ops, XLA tier.
+
+Decode bulk = 256-entry table gather (the to_base64 classification of
+src/tables/base64_tables.h) + whitespace/garbage compaction by exclusive
+prefix scan + 4->3 bit repack. The branchy tail (< 4 chars + padding
+consistency, scalar/base64.h:133-216) stays on the host: it touches O(1)
+data and the full options matrix.
+
+Device outputs per call:
+  first_bad   i32  — index of first invalid char (BIG when none)
+  nvalid      i32  — number of alphabet chars
+  nvalid_at_bad i32 — alphabet chars strictly before first_bad
+  packed      u8[3*cap/4] — decoded bytes of whole 4-char groups
+  tail_vals   u8[4]  — the last (nvalid % 4) sextets
+  tail_start  i32  — source index of the first char of the partial chunk
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..golden import base64_impl as gb
+from .common import BIG, positions
+
+
+def _tables():
+    return {opt: jnp.asarray(gb.value_table(opt)) for opt in (0, 1, 8)}
+
+
+_TABLE_CACHE = None
+
+
+def table_for(options: int) -> jnp.ndarray:
+    global _TABLE_CACHE
+    if _TABLE_CACHE is None:
+        _TABLE_CACHE = _tables()
+    if options & gb.BASE64_DEFAULT_OR_URL:
+        return _TABLE_CACHE[8]
+    return _TABLE_CACHE[options & gb.BASE64_URL]
+
+
+def decode_bulk(chars: jnp.ndarray, length, table: jnp.ndarray):
+    """chars: padded uint8[N] (N % 4 == 0) or uint16 for char16 input."""
+    n = chars.shape[0]
+    idx = positions(n)
+    in_r = idx < length
+    if chars.dtype == jnp.uint16:
+        c = chars.astype(jnp.int32)
+        codes = jnp.where(c > 0xFF, 255, table[c & 0xFF].astype(jnp.int32))
+    else:
+        codes = table[chars].astype(jnp.int32)
+
+    valid = (codes <= 63) & in_r
+    invalid = (codes > 64) & in_r
+    bad_positions = jnp.where(invalid, idx, BIG)
+    first_bad = jnp.min(bad_positions)
+
+    vmask = valid.astype(jnp.int32)
+    rank_inc = jnp.cumsum(vmask)
+    rank = rank_inc - vmask  # exclusive: rank of each valid char
+    nvalid = rank_inc[n - 1]
+    clamped_bad = jnp.minimum(first_bad, n - 1)
+    nvalid_at_bad = jnp.where(first_bad == 0, 0, rank[clamped_bad])
+
+    vals = jnp.zeros(n, dtype=jnp.int32).at[jnp.where(valid, rank, n)].set(
+        codes, mode="drop"
+    )
+    srcpos = jnp.zeros(n, dtype=jnp.int32).at[jnp.where(valid, rank, n)].set(
+        idx, mode="drop"
+    )
+
+    q = vals.reshape(n // 4, 4)
+    t = (q[:, 0] << 18) | (q[:, 1] << 12) | (q[:, 2] << 6) | q[:, 3]
+    packed = jnp.stack([(t >> 16) & 0xFF, (t >> 8) & 0xFF, t & 0xFF], axis=1)
+    packed = packed.reshape(-1).astype(jnp.uint8)
+
+    nfull = (nvalid // 4) * 4
+    tail_vals = jnp.stack(
+        [vals[jnp.minimum(nfull + i, n - 1)] for i in range(4)]
+    ).astype(jnp.uint8)
+    tail_start = jnp.where(
+        nvalid > nfull, srcpos[jnp.minimum(nfull, n - 1)], length
+    )
+    return first_bad, nvalid, nvalid_at_bad, packed, tail_vals, tail_start
+
+
+def encode_bulk(data: jnp.ndarray, length, alpha: jnp.ndarray):
+    """data: padded uint8[N] with N % 3 == 0. Encodes whole 3-byte groups;
+    host appends the <=2-byte tail + padding. Returns u8[4N/3]."""
+    n = data.shape[0]
+    d = data.astype(jnp.int32).reshape(n // 3, 3)
+    t = (d[:, 0] << 16) | (d[:, 1] << 8) | d[:, 2]
+    quads = jnp.stack(
+        [(t >> 18) & 63, (t >> 12) & 63, (t >> 6) & 63, t & 63], axis=1
+    ).reshape(-1)
+    return alpha[quads]

@@ -1,0 +1,368 @@
+"""XLAImplementation: host glue around the jnp ops.
+
+Inputs are padded to power-of-two buckets (>= 1 KiB, +8 slack bytes) so
+jax.jit's shape-keyed cache stays small while shapes remain static — the
+fixed-shape discipline XLA wants. The actual length travels as a dynamic
+scalar, so one compiled program serves every input in a bucket.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..errors import FullResult, Result, error_code as ec
+from ..golden import base64_impl as gb
+from ..implementation import Implementation
+from . import base64_ops, latin1 as ol1, utf8 as o8, utf16 as o16, utf32 as o32
+
+_MIN_BUCKET = 1024
+
+
+def _bucket(n: int, multiple: int = 4) -> int:
+    need = max(n + 8, _MIN_BUCKET)
+    cap = 1 << (need - 1).bit_length()
+    if cap % multiple:
+        cap += multiple - cap % multiple
+    return cap
+
+
+def _pad(arr: np.ndarray, multiple: int = 4):
+    n = int(arr.shape[0])
+    cap = _bucket(n, multiple)
+    out = np.zeros(cap, dtype=arr.dtype)
+    out[:n] = arr
+    return out, np.int32(n)
+
+
+# --- jitted entry points (module level so the jit cache is shared) ----------
+
+_j_validate_utf8 = jax.jit(o8.validate_with_errors)
+_j_validate_ascii = jax.jit(o8.validate_ascii_with_errors)
+_j_count_utf8 = jax.jit(o8.count_code_points)
+_j_utf16_len_from_utf8 = jax.jit(o8.utf16_length)
+_j_u8_to_u16le = jax.jit(lambda b, n: o8.to_utf16(b, n, False))
+_j_u8_to_u16be = jax.jit(lambda b, n: o8.to_utf16(b, n, True))
+_j_u8_to_u32 = jax.jit(o8.to_utf32)
+_j_u8_to_l1 = jax.jit(o8.to_latin1)
+
+_j_validate_u16le = jax.jit(lambda w, n: o16.validate_with_errors(w, n, False))
+_j_validate_u16be = jax.jit(lambda w, n: o16.validate_with_errors(w, n, True))
+_j_count_u16le = jax.jit(lambda w, n: o16.count_code_points(w, n, False))
+_j_count_u16be = jax.jit(lambda w, n: o16.count_code_points(w, n, True))
+_j_u8len_u16le = jax.jit(lambda w, n: o16.utf8_length(w, n, False))
+_j_u8len_u16be = jax.jit(lambda w, n: o16.utf8_length(w, n, True))
+_j_u16le_to_u8 = jax.jit(lambda w, n: o16.to_utf8(w, n, False))
+_j_u16be_to_u8 = jax.jit(lambda w, n: o16.to_utf8(w, n, True))
+_j_u16le_to_u32 = jax.jit(lambda w, n: o16.to_utf32(w, n, False))
+_j_u16be_to_u32 = jax.jit(lambda w, n: o16.to_utf32(w, n, True))
+_j_u16le_to_l1 = jax.jit(lambda w, n: o16.to_latin1(w, n, False))
+_j_u16be_to_l1 = jax.jit(lambda w, n: o16.to_latin1(w, n, True))
+_j_swap16 = jax.jit(o16.change_endianness)
+_j_wf_u16le = jax.jit(lambda w, n: o16.to_well_formed(w, n, False))
+_j_wf_u16be = jax.jit(lambda w, n: o16.to_well_formed(w, n, True))
+
+_j_validate_u32 = jax.jit(o32.validate_with_errors)
+_j_u8len_u32 = jax.jit(o32.utf8_length)
+_j_u16len_u32 = jax.jit(o32.utf16_length)
+_j_u32_to_u8 = jax.jit(o32.to_utf8)
+_j_u32_to_u16le = jax.jit(lambda w, n: o32.to_utf16(w, n, False))
+_j_u32_to_u16be = jax.jit(lambda w, n: o32.to_utf16(w, n, True))
+_j_u32_to_l1 = jax.jit(o32.to_latin1)
+
+_j_u8len_l1 = jax.jit(ol1.utf8_length)
+_j_l1_to_u8 = jax.jit(ol1.to_utf8)
+_j_l1_to_u16le = jax.jit(lambda b, n: ol1.to_utf16(b, n, False))
+_j_l1_to_u16be = jax.jit(lambda b, n: ol1.to_utf16(b, n, True))
+_j_l1_to_u32 = jax.jit(ol1.to_utf32)
+
+_j_b64_decode = jax.jit(base64_ops.decode_bulk)
+_j_b64_encode = jax.jit(base64_ops.encode_bulk)
+
+
+def _res(code, pos) -> Result:
+    return Result(ec(int(code)), int(pos))
+
+
+def _cut(arr, out_len) -> np.ndarray:
+    return np.asarray(arr)[: int(out_len)]
+
+
+class XLAImplementation(Implementation):
+    name = "xla"
+    description = "jax.numpy ops lowered by XLA (TPU/CPU/GPU)"
+
+    def supported_by_runtime_system(self) -> bool:
+        try:
+            return len(jax.devices()) > 0
+        except Exception:
+            return False
+
+    # -- validation ----------------------------------------------------------
+    def validate_ascii(self, b):
+        return self.validate_ascii_with_errors(b).is_ok
+
+    def validate_ascii_with_errors(self, b):
+        return _res(*_j_validate_ascii(*_pad(b)))
+
+    def validate_utf8(self, b):
+        return self.validate_utf8_with_errors(b).is_ok
+
+    def validate_utf8_with_errors(self, b):
+        return _res(*_j_validate_utf8(*_pad(b)))
+
+    def validate_utf16le(self, w):
+        return self.validate_utf16le_with_errors(w).is_ok
+
+    def validate_utf16be(self, w):
+        return self.validate_utf16be_with_errors(w).is_ok
+
+    def validate_utf16le_with_errors(self, w):
+        return _res(*_j_validate_u16le(*_pad(w)))
+
+    def validate_utf16be_with_errors(self, w):
+        return _res(*_j_validate_u16be(*_pad(w)))
+
+    def validate_utf32(self, w):
+        return self.validate_utf32_with_errors(w).is_ok
+
+    def validate_utf32_with_errors(self, w):
+        return _res(*_j_validate_u32(*_pad(w)))
+
+    # -- counts / lengths ----------------------------------------------------
+    def count_utf8(self, b):
+        return int(_j_count_utf8(*_pad(b)))
+
+    def count_utf16le(self, w):
+        return int(_j_count_u16le(*_pad(w)))
+
+    def count_utf16be(self, w):
+        return int(_j_count_u16be(*_pad(w)))
+
+    def utf16_length_from_utf8(self, b):
+        return int(_j_utf16_len_from_utf8(*_pad(b)))
+
+    def utf32_length_from_utf8(self, b):
+        return self.count_utf8(b)
+
+    def latin1_length_from_utf8(self, b):
+        return self.count_utf8(b)
+
+    def utf8_length_from_utf16le(self, w):
+        return int(_j_u8len_u16le(*_pad(w)))
+
+    def utf8_length_from_utf16be(self, w):
+        return int(_j_u8len_u16be(*_pad(w)))
+
+    def utf32_length_from_utf16le(self, w):
+        return self.count_utf16le(w)
+
+    def utf32_length_from_utf16be(self, w):
+        return self.count_utf16be(w)
+
+    def utf8_length_from_utf32(self, w):
+        return int(_j_u8len_u32(*_pad(w)))
+
+    def utf16_length_from_utf32(self, w):
+        return int(_j_u16len_u32(*_pad(w)))
+
+    def utf8_length_from_latin1(self, b):
+        return int(_j_u8len_l1(*_pad(b)))
+
+    # -- conversions ---------------------------------------------------------
+    def _convert(self, jfn, data):
+        code, pos, out, out_len = jfn(*_pad(data))
+        code, out_len = int(code), int(out_len)
+        if code == 0:
+            # success count = code units written (error.h:36-38)
+            return Result(ec.SUCCESS, out_len), _cut(out, out_len)
+        return Result(ec(code), int(pos)), _cut(out, out_len)
+
+    def convert_utf8_to_utf16le_with_errors(self, b):
+        return self._convert(_j_u8_to_u16le, b)
+
+    def convert_utf8_to_utf16be_with_errors(self, b):
+        return self._convert(_j_u8_to_u16be, b)
+
+    def convert_utf8_to_utf32_with_errors(self, b):
+        return self._convert(_j_u8_to_u32, b)
+
+    def convert_utf8_to_latin1_with_errors(self, b):
+        return self._convert(_j_u8_to_l1, b)
+
+    def convert_utf16le_to_utf8_with_errors(self, w):
+        return self._convert(_j_u16le_to_u8, w)
+
+    def convert_utf16be_to_utf8_with_errors(self, w):
+        return self._convert(_j_u16be_to_u8, w)
+
+    def convert_utf16le_to_utf32_with_errors(self, w):
+        return self._convert(_j_u16le_to_u32, w)
+
+    def convert_utf16be_to_utf32_with_errors(self, w):
+        return self._convert(_j_u16be_to_u32, w)
+
+    def convert_utf16le_to_latin1_with_errors(self, w):
+        return self._convert(_j_u16le_to_l1, w)
+
+    def convert_utf16be_to_latin1_with_errors(self, w):
+        return self._convert(_j_u16be_to_l1, w)
+
+    def convert_utf32_to_utf8_with_errors(self, w):
+        return self._convert(_j_u32_to_u8, w)
+
+    def convert_utf32_to_utf16le_with_errors(self, w):
+        return self._convert(_j_u32_to_u16le, w)
+
+    def convert_utf32_to_utf16be_with_errors(self, w):
+        return self._convert(_j_u32_to_u16be, w)
+
+    def convert_utf32_to_latin1_with_errors(self, w):
+        return self._convert(_j_u32_to_l1, w)
+
+    def convert_latin1_to_utf8(self, b):
+        out, out_len = _j_l1_to_u8(*_pad(b))
+        return _cut(out, out_len)
+
+    def convert_latin1_to_utf16le(self, b):
+        p, n = _pad(b)
+        return _cut(_j_l1_to_u16le(p, n), n)
+
+    def convert_latin1_to_utf16be(self, b):
+        p, n = _pad(b)
+        return _cut(_j_l1_to_u16be(p, n), n)
+
+    def convert_latin1_to_utf32(self, b):
+        p, n = _pad(b)
+        return _cut(_j_l1_to_u32(p, n), n)
+
+    # -- UTF-16 utilities ----------------------------------------------------
+    def change_endianness_utf16(self, w):
+        p, n = _pad(w)
+        return _cut(_j_swap16(p), n)
+
+    def to_well_formed_utf16le(self, w):
+        p, n = _pad(w)
+        return _cut(_j_wf_u16le(p, n), n)
+
+    def to_well_formed_utf16be(self, w):
+        p, n = _pad(w)
+        return _cut(_j_wf_u16be(p, n), n)
+
+    # -- base64 --------------------------------------------------------------
+    def base64_to_binary_details(self, src, options=0, last_chunk=gb.LOOSE):
+        garbage = gb.ignore_garbage(options)
+        tab_np = gb.value_table(options)
+        codes_np = gb._codes(src, tab_np)
+        eq = ord("=")
+        empty = np.zeros(0, dtype=np.uint8)
+
+        srclen = int(src.shape[0])
+        equallocation = srclen
+        equalsigns = 0
+        if not garbage:
+            # prologue strip (generic/base64.h:50-73), vectorized: ``sig``
+            # holds indices of non-space chars; '=' stripping walks it
+            # backward at most twice.
+            sig = np.flatnonzero(codes_np != 64)
+            k = int(sig.shape[0])
+            srclen = int(sig[k - 1]) + 1 if k else 0
+            for _ in range(2):
+                if srclen > 0 and int(src[srclen - 1]) == eq:
+                    equallocation = srclen - 1
+                    equalsigns += 1
+                    k -= 1
+                    srclen = int(sig[k - 1]) + 1 if k else 0
+                else:
+                    break
+        if srclen == 0:
+            if not garbage and equalsigns > 0:
+                if last_chunk == gb.STRICT:
+                    return FullResult(ec.BASE64_INPUT_REMAINDER, 0, 0), empty
+                if last_chunk == gb.STOP_BEFORE_PARTIAL:
+                    return FullResult(ec.SUCCESS, 0, 0), empty
+                return (
+                    FullResult(ec.INVALID_BASE64_CHARACTER, equallocation, 0),
+                    empty,
+                )
+            return FullResult(ec.SUCCESS, 0, 0), empty
+
+        p, _ = _pad(src[:srclen])
+        table = base64_ops.table_for(options)
+        first_bad, nvalid, nvalid_at_bad, packed, tail_vals, tail_start = (
+            _j_b64_decode(p, np.int32(srclen), table)
+        )
+        first_bad = int(first_bad)
+        nvalid = int(nvalid)
+
+        if not garbage and first_bad < srclen:
+            nb = int(nvalid_at_bad)
+            outlen = nb // 4 * 3
+            return (
+                FullResult(ec.INVALID_BASE64_CHARACTER, first_bad, outlen),
+                np.asarray(packed)[:outlen],
+            )
+
+        nfull = nvalid // 4 * 4
+        out = np.asarray(packed)[: nfull // 4 * 3]
+        idx = nvalid - nfull
+        tail = np.asarray(tail_vals)[:idx].astype(np.int64)
+
+        if idx != 0 or (not garbage and equalsigns > 0):
+            if (
+                not garbage
+                and last_chunk == gb.STRICT
+                and idx != 1
+                and ((idx + equalsigns) & 3) != 0
+            ):
+                return FullResult(ec.BASE64_INPUT_REMAINDER, srclen, len(out)), out
+            if (
+                not garbage
+                and last_chunk == gb.STOP_BEFORE_PARTIAL
+                and ((idx + equalsigns) & 3) != 0
+            ):
+                start = int(tail_start) if idx > 0 else srclen
+                return FullResult(ec.SUCCESS, start, len(out)), out
+            if idx == 2:
+                t = int(tail[0]) << 18 | int(tail[1]) << 12
+                if not garbage and last_chunk == gb.STRICT and (t & 0xFFFF):
+                    return FullResult(ec.BASE64_EXTRA_BITS, srclen, len(out)), out
+                out = np.concatenate(
+                    [out, np.array([(t >> 16) & 0xFF], dtype=np.uint8)]
+                )
+            elif idx == 3:
+                t = int(tail[0]) << 18 | int(tail[1]) << 12 | int(tail[2]) << 6
+                if not garbage and last_chunk == gb.STRICT and (t & 0xFF):
+                    return FullResult(ec.BASE64_EXTRA_BITS, srclen, len(out)), out
+                out = np.concatenate(
+                    [
+                        out,
+                        np.array([(t >> 16) & 0xFF, (t >> 8) & 0xFF], dtype=np.uint8),
+                    ]
+                )
+            elif not garbage and idx == 1 and last_chunk != gb.STOP_BEFORE_PARTIAL:
+                return FullResult(ec.BASE64_INPUT_REMAINDER, srclen, len(out)), out
+
+        if not garbage and last_chunk != gb.STOP_BEFORE_PARTIAL and equalsigns > 0:
+            if (len(out) % 3 == 0) or ((len(out) % 3) + 1 + equalsigns != 4):
+                return (
+                    FullResult(
+                        ec.INVALID_BASE64_CHARACTER, equallocation, len(out)
+                    ),
+                    out,
+                )
+        return FullResult(ec.SUCCESS, srclen, len(out)), out
+
+    def binary_to_base64(self, src, options=0):
+        n = int(src.shape[0])
+        nfull = n // 3 * 3
+        alpha = jnp.asarray(
+            np.frombuffer(
+                gb._URL if (options & gb.BASE64_URL) else gb._STD, dtype=np.uint8
+            )
+        )
+        p, _ = _pad(src[:nfull], multiple=3)
+        body = np.asarray(_j_b64_encode(p, np.int32(nfull), alpha))[: nfull // 3 * 4]
+        tail = gb.encode(src[nfull:], options)
+        return np.concatenate([body, tail])

@@ -1,0 +1,44 @@
+"""Latin1 ops, XLA tier — pure widen/expand, no error paths.
+Refs: src/scalar/latin1_to_utf8/latin1_to_utf8.h, latin1_to_utf16/32."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .common import positions, zero_tail
+
+
+def utf8_length(b: jnp.ndarray, length):
+    idx = positions(b.shape[0])
+    in_r = idx < length
+    return jnp.sum(in_r) + jnp.sum((b >= 0x80) & in_r)
+
+
+def to_utf8(b: jnp.ndarray, length):
+    """Returns (out u8[2N], out_len)."""
+    n = b.shape[0]
+    w = zero_tail(b.astype(jnp.int32), length)
+    idx = positions(n)
+    in_r = idx < length
+    hi = (w >= 0x80) & in_r
+    width = jnp.where(in_r, 1, 0) + hi.astype(jnp.int32)
+    off_inc = jnp.cumsum(width)
+    off = off_inc - width
+    total = off_inc[n - 1]
+    cap = 2 * n
+    b0 = jnp.where(hi, (w >> 6) | 0xC0, w)
+    out = jnp.zeros(cap, dtype=jnp.int32)
+    out = out.at[jnp.where(in_r, off, cap)].set(b0, mode="drop")
+    out = out.at[jnp.where(hi, off + 1, cap)].set((w & 0x3F) | 0x80, mode="drop")
+    return out.astype(jnp.uint8), total
+
+
+def to_utf16(b: jnp.ndarray, length, big_endian: bool):
+    w = b.astype(jnp.int32)
+    if big_endian:
+        w = (w << 8) & 0xFFFF
+    return w.astype(jnp.uint16)
+
+
+def to_utf32(b: jnp.ndarray, length):
+    return b.astype(jnp.uint32)

@@ -1,0 +1,190 @@
+"""UTF-16 ops, XLA tier.
+
+Surrogate mask algebra per generic/validate_utf16.h:48-126; exact first
+error by event minimum (see golden/utf16.py). ``words`` is a padded uint16
+buffer (raw storage order) + dynamic ``length`` in code units.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..errors import error_code as ec
+from .common import BIG, positions, shift_left, zero_tail
+
+_SURROGATE = int(ec.SURROGATE)
+_TOO_LARGE = int(ec.TOO_LARGE)
+
+
+def native(words: jnp.ndarray, length, big_endian: bool) -> jnp.ndarray:
+    w = words.astype(jnp.int32)
+    if big_endian:
+        w = ((w << 8) | (w >> 8)) & 0xFFFF
+    return zero_tail(w, length)
+
+
+def first_error(w: jnp.ndarray, length):
+    """(err_pos, code); BIG when valid. w: native int32, tail zeroed."""
+    n = w.shape[0]
+    idx = positions(n)
+    in_r = idx < length
+    is_high = ((w & 0xFC00) == 0xD800) & in_r
+    is_low = ((w & 0xFC00) == 0xDC00) & in_r
+    next_low = shift_left(is_low.astype(jnp.int32), 1).astype(bool)
+    prev_high = jnp.pad(is_high[:-1], (1, 0))
+    bad = (is_high & ~next_low) | (is_low & ~prev_high)
+    pos = jnp.min(jnp.where(bad, idx, BIG))
+    return pos, _SURROGATE
+
+
+def validate_with_errors(words: jnp.ndarray, length, big_endian: bool):
+    w = native(words, length, big_endian)
+    pos, code = first_error(w, length)
+    ok = pos == BIG
+    return jnp.where(ok, 0, code), jnp.where(ok, length, pos)
+
+
+def count_code_points(words: jnp.ndarray, length, big_endian: bool):
+    w = native(words, length, big_endian)
+    idx = positions(w.shape[0])
+    return jnp.sum(((w & 0xFC00) != 0xDC00) & (idx < length))
+
+
+def utf8_length(words: jnp.ndarray, length, big_endian: bool):
+    # scalar/utf16.h:80-94
+    w = native(words, length, big_endian)
+    idx = positions(w.shape[0])
+    in_r = idx < length
+    n = jnp.sum(in_r)
+    n += jnp.sum((w > 0x7F) & in_r)
+    n += jnp.sum((((w > 0x7FF) & (w <= 0xD7FF)) | (w >= 0xE000)) & in_r)
+    return n
+
+
+def change_endianness(words: jnp.ndarray):
+    w = words.astype(jnp.int32)
+    return (((w << 8) | (w >> 8)) & 0xFFFF).astype(jnp.uint16)
+
+
+def to_well_formed(words: jnp.ndarray, length, big_endian: bool):
+    """U+FFFD substitution (scalar/utf16.h:141-166), elementwise with a
+    one-unit lookback — the reference's utf16fix (arXiv:2601.06349)."""
+    w = native(words, length, big_endian)
+    idx = positions(w.shape[0])
+    in_r = idx < length
+    is_high = ((w & 0xFC00) == 0xD800) & in_r
+    is_low = ((w & 0xFC00) == 0xDC00) & in_r
+    next_low = shift_left(is_low.astype(jnp.int32), 1).astype(bool)
+    prev_high = jnp.pad(is_high[:-1], (1, 0))
+    bad = (is_high & ~next_low) | (is_low & ~prev_high)
+    out = jnp.where(bad & in_r, 0xFFFD, w)
+    if big_endian:
+        out = ((out << 8) | (out >> 8)) & 0xFFFF
+    # restore original (unswapped) payload outside range for cleanliness
+    out = jnp.where(in_r, out, words.astype(jnp.int32))
+    return out.astype(jnp.uint16)
+
+
+def _codepoints(w: jnp.ndarray, length):
+    """Per-unit codepoints: highs carry the astral codepoint, lows width 0.
+    Only meaningful on the valid prefix."""
+    idx = positions(w.shape[0])
+    in_r = idx < length
+    is_high = ((w & 0xFC00) == 0xD800) & in_r
+    is_low = ((w & 0xFC00) == 0xDC00) & in_r
+    nxt = shift_left(w, 1)
+    cp = jnp.where(is_high, ((w - 0xD800) << 10) + (nxt - 0xDC00) + 0x10000, w)
+    start = ~is_low & in_r
+    return cp, start
+
+
+def to_utf8(words: jnp.ndarray, length, big_endian: bool):
+    """Returns (err_code, err_pos, out u8[3N], out_len)."""
+    n = words.shape[0]
+    w = native(words, length, big_endian)
+    err_pos, err_code = first_error(w, length)
+    ok = err_pos == BIG
+
+    cp, start = _codepoints(w, length)
+    width = jnp.where(start, 1, 0)
+    width += jnp.where(start & (cp > 0x7F), 1, 0)
+    width += jnp.where(start & (cp > 0x7FF), 1, 0)
+    width += jnp.where(start & (cp > 0xFFFF), 1, 0)
+    off_inc = jnp.cumsum(width)
+    off = off_inc - width
+    total = off_inc[n - 1]
+
+    cap = 3 * n
+    w1 = width == 1
+    w2 = width == 2
+    w3 = width == 3
+    w4 = width == 4
+    b0 = jnp.where(w1, cp, 0)
+    b0 = jnp.where(w2, (cp >> 6) | 0xC0, b0)
+    b0 = jnp.where(w3, (cp >> 12) | 0xE0, b0)
+    b0 = jnp.where(w4, (cp >> 18) | 0xF0, b0)
+    b1 = jnp.where(w2, (cp & 0x3F) | 0x80, 0)
+    b1 = jnp.where(w3, ((cp >> 6) & 0x3F) | 0x80, b1)
+    b1 = jnp.where(w4, ((cp >> 12) & 0x3F) | 0x80, b1)
+    b2 = jnp.where(w3, (cp & 0x3F) | 0x80, 0)
+    b2 = jnp.where(w4, ((cp >> 6) & 0x3F) | 0x80, b2)
+    b3 = (cp & 0x3F) | 0x80
+
+    out = jnp.zeros(cap, dtype=jnp.int32)
+    out = out.at[jnp.where(start, off, cap)].set(b0, mode="drop")
+    out = out.at[jnp.where(start & (width >= 2), off + 1, cap)].set(b1, mode="drop")
+    out = out.at[jnp.where(start & (width >= 3), off + 2, cap)].set(b2, mode="drop")
+    out = out.at[jnp.where(start & (width >= 4), off + 3, cap)].set(b3, mode="drop")
+
+    clamped = jnp.minimum(err_pos, n - 1)
+    out_len = jnp.where(ok, total, jnp.where(err_pos == 0, 0, off[clamped]))
+    return (
+        jnp.where(ok, 0, err_code),
+        jnp.where(ok, length, err_pos),
+        out.astype(jnp.uint8),
+        out_len,
+    )
+
+
+def to_utf32(words: jnp.ndarray, length, big_endian: bool):
+    """Returns (err_code, err_pos, out u32[N], out_len)."""
+    n = words.shape[0]
+    w = native(words, length, big_endian)
+    err_pos, err_code = first_error(w, length)
+    ok = err_pos == BIG
+    cp, start = _codepoints(w, length)
+    width = start.astype(jnp.int32)
+    off_inc = jnp.cumsum(width)
+    off = off_inc - width
+    total = off_inc[n - 1]
+    out = jnp.zeros(n, dtype=jnp.int32).at[jnp.where(start, off, n)].set(
+        cp, mode="drop"
+    )
+    clamped = jnp.minimum(err_pos, n - 1)
+    out_len = jnp.where(ok, total, jnp.where(err_pos == 0, 0, off[clamped]))
+    return (
+        jnp.where(ok, 0, err_code),
+        jnp.where(ok, length, err_pos),
+        out.astype(jnp.uint32),
+        out_len,
+    )
+
+
+def to_latin1(words: jnp.ndarray, length, big_endian: bool):
+    """Returns (err_code, err_pos, out u8[N], out_len).
+    scalar/utf16_to_latin1/utf16_to_latin1.h:35-91: first word > 0xFF is
+    TOO_LARGE; surrogates are irrelevant."""
+    n = words.shape[0]
+    w = native(words, length, big_endian)
+    idx = positions(n)
+    bad = (w > 0xFF) & (idx < length)
+    err_pos = jnp.min(jnp.where(bad, idx, BIG))
+    ok = err_pos == BIG
+    out = (w & 0xFF).astype(jnp.uint8)
+    out_len = jnp.where(ok, length, err_pos)
+    return (
+        jnp.where(ok, 0, _TOO_LARGE),
+        jnp.where(ok, length, err_pos),
+        out,
+        out_len,
+    )

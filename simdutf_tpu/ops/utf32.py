@@ -1,0 +1,150 @@
+"""UTF-32 ops, XLA tier (elementwise checks; scatter expansions).
+Refs: src/scalar/utf32.h, utf32_to_utf8/utf16/latin1 scalar kernels."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..errors import error_code as ec
+from .common import BIG, positions, zero_tail
+
+_SURROGATE = int(ec.SURROGATE)
+_TOO_LARGE = int(ec.TOO_LARGE)
+
+
+def _native(words: jnp.ndarray, length):
+    # stay in uint32: unsigned compares are exact for values >= 2^31
+    # (int64 would silently truncate to int32 without jax_enable_x64)
+    return zero_tail(words.astype(jnp.uint32), length)
+
+
+def first_error(w, length):
+    idx = positions(w.shape[0])
+    in_r = idx < length
+    too_large = (w > 0x10FFFF) & in_r
+    surrogate = (w >= 0xD800) & (w <= 0xDFFF) & in_r
+    bad = too_large | surrogate
+    pos = jnp.min(jnp.where(bad, idx, BIG))
+    k = jnp.argmin(jnp.where(bad, idx, BIG))
+    code = jnp.where(too_large[k], _TOO_LARGE, _SURROGATE)
+    return pos, code
+
+
+def validate_with_errors(words: jnp.ndarray, length):
+    w = _native(words, length)
+    pos, code = first_error(w, length)
+    ok = pos == BIG
+    return jnp.where(ok, 0, code), jnp.where(ok, length, pos)
+
+
+def utf8_length(words: jnp.ndarray, length):
+    w = _native(words, length)
+    idx = positions(w.shape[0])
+    in_r = idx < length
+    n = jnp.sum(in_r)
+    n += jnp.sum((w > 0x7F) & in_r)
+    n += jnp.sum((w > 0x7FF) & in_r)
+    n += jnp.sum((w > 0xFFFF) & in_r)
+    return n
+
+
+def utf16_length(words: jnp.ndarray, length):
+    w = _native(words, length)
+    idx = positions(w.shape[0])
+    in_r = idx < length
+    return jnp.sum(in_r) + jnp.sum((w > 0xFFFF) & in_r)
+
+
+def to_utf8(words: jnp.ndarray, length):
+    """Returns (err_code, err_pos, out u8[4N], out_len)."""
+    n = words.shape[0]
+    w64 = _native(words, length)
+    err_pos, err_code = first_error(w64, length)
+    ok = err_pos == BIG
+    idx = positions(n)
+    in_r = idx < length
+    # clamp garbage (>0x10FFFF) so bit ops stay sane; truncated away anyway
+    cp = jnp.where(w64 > 0x10FFFF, 0, w64).astype(jnp.int32)
+    width = jnp.where(in_r, 1, 0)
+    width += jnp.where(in_r & (cp > 0x7F), 1, 0)
+    width += jnp.where(in_r & (cp > 0x7FF), 1, 0)
+    width += jnp.where(in_r & (cp > 0xFFFF), 1, 0)
+    off_inc = jnp.cumsum(width)
+    off = off_inc - width
+    total = off_inc[n - 1]
+    cap = 4 * n
+    w1, w2, w3, w4 = width == 1, width == 2, width == 3, width == 4
+    b0 = jnp.where(w1, cp, 0)
+    b0 = jnp.where(w2, (cp >> 6) | 0xC0, b0)
+    b0 = jnp.where(w3, (cp >> 12) | 0xE0, b0)
+    b0 = jnp.where(w4, (cp >> 18) | 0xF0, b0)
+    b1 = jnp.where(w2, (cp & 0x3F) | 0x80, 0)
+    b1 = jnp.where(w3, ((cp >> 6) & 0x3F) | 0x80, b1)
+    b1 = jnp.where(w4, ((cp >> 12) & 0x3F) | 0x80, b1)
+    b2 = jnp.where(w3, (cp & 0x3F) | 0x80, 0)
+    b2 = jnp.where(w4, ((cp >> 6) & 0x3F) | 0x80, b2)
+    b3 = (cp & 0x3F) | 0x80
+    out = jnp.zeros(cap, dtype=jnp.int32)
+    out = out.at[jnp.where(in_r, off, cap)].set(b0, mode="drop")
+    out = out.at[jnp.where(in_r & (width >= 2), off + 1, cap)].set(b1, mode="drop")
+    out = out.at[jnp.where(in_r & (width >= 3), off + 2, cap)].set(b2, mode="drop")
+    out = out.at[jnp.where(in_r & (width >= 4), off + 3, cap)].set(b3, mode="drop")
+    clamped = jnp.minimum(err_pos, n - 1)
+    out_len = jnp.where(ok, total, jnp.where(err_pos == 0, 0, off[clamped]))
+    return (
+        jnp.where(ok, 0, err_code),
+        jnp.where(ok, length, err_pos),
+        out.astype(jnp.uint8),
+        out_len,
+    )
+
+
+def to_utf16(words: jnp.ndarray, length, big_endian: bool):
+    """Returns (err_code, err_pos, out u16[2N], out_len)."""
+    n = words.shape[0]
+    w64 = _native(words, length)
+    err_pos, err_code = first_error(w64, length)
+    ok = err_pos == BIG
+    idx = positions(n)
+    in_r = idx < length
+    cp = jnp.where(w64 > 0x10FFFF, 0, w64).astype(jnp.int32)
+    is4 = (cp > 0xFFFF) & in_r
+    width = jnp.where(in_r, 1, 0) + is4.astype(jnp.int32)
+    off_inc = jnp.cumsum(width)
+    off = off_inc - width
+    total = off_inc[n - 1]
+    cap = 2 * n
+    cpx = cp - 0x10000
+    unit0 = jnp.where(is4, 0xD800 + (cpx >> 10), cp)
+    unit1 = 0xDC00 + (cpx & 0x3FF)
+    if big_endian:
+        unit0 = ((unit0 << 8) | (unit0 >> 8)) & 0xFFFF
+        unit1 = ((unit1 << 8) | (unit1 >> 8)) & 0xFFFF
+    out = jnp.zeros(cap, dtype=jnp.int32)
+    out = out.at[jnp.where(in_r, off, cap)].set(unit0, mode="drop")
+    out = out.at[jnp.where(is4, off + 1, cap)].set(unit1, mode="drop")
+    clamped = jnp.minimum(err_pos, n - 1)
+    out_len = jnp.where(ok, total, jnp.where(err_pos == 0, 0, off[clamped]))
+    return (
+        jnp.where(ok, 0, err_code),
+        jnp.where(ok, length, err_pos),
+        out.astype(jnp.uint16),
+        out_len,
+    )
+
+
+def to_latin1(words: jnp.ndarray, length):
+    n = words.shape[0]
+    w = _native(words, length)
+    idx = positions(n)
+    bad = (w > 0xFF) & (idx < length)
+    err_pos = jnp.min(jnp.where(bad, idx, BIG))
+    ok = err_pos == BIG
+    out = (w & 0xFF).astype(jnp.uint8)
+    out_len = jnp.where(ok, length, err_pos)
+    return (
+        jnp.where(ok, 0, _TOO_LARGE),
+        jnp.where(ok, length, err_pos),
+        out,
+        out_len,
+    )

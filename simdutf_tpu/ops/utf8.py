@@ -1,0 +1,287 @@
+"""UTF-8 ops, XLA tier.
+
+Validation uses the event-minimum formulation (see golden/utf8.py for the
+derivation): fully vectorized, no sequential scan, exact first-error parity
+with the reference scalar machine (src/scalar/utf8.h:102-199). Transcoding
+is classify -> exclusive prefix scan -> scatter, replacing the reference's
+209-entry shuffle tables (src/tables/utf8_to_utf16_tables.h).
+
+All functions take a padded uint8 buffer plus a dynamic scalar ``length``;
+bytes at/after ``length`` are ignored (they are zeroed on entry, which is
+semantically safe: generic/utf8_validation/utf8_validator.h:18-22).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..errors import error_code as ec
+from .common import BIG, positions, shift_left, zero_tail
+
+# plain ints (not jnp scalars): device constants at import time would pin
+# the default backend and slow every lowering
+_TOO_SHORT = int(ec.TOO_SHORT)
+_TOO_LONG = int(ec.TOO_LONG)
+_OVERLONG = int(ec.OVERLONG)
+_TOO_LARGE = int(ec.TOO_LARGE)
+_SURROGATE = int(ec.SURROGATE)
+_HEADER_BITS = int(ec.HEADER_BITS)
+
+
+def classify(b_u8: jnp.ndarray, length):
+    """Structural classification of a UTF-8 buffer.
+
+    Returns dict of per-byte arrays:
+      lead     bool  — non-continuation byte (sequence start in a valid parse)
+      seqlen   i32   — declared sequence length at leads (1..4)
+      cp       i32   — decoded codepoint at leads
+      err      i32   — per-lead error code (0 = valid sequence)
+      is_cont  bool
+      c1..c3   bool  — is_cont at i+1..i+3 (zero-fill: False past the end)
+    """
+    b = zero_tail(b_u8.astype(jnp.int32), length)
+    b1, b2, b3 = shift_left(b, 1), shift_left(b, 2), shift_left(b, 3)
+
+    is_cont = (b & 0xC0) == 0x80
+    c1 = (b1 & 0xC0) == 0x80
+    c2 = (b2 & 0xC0) == 0x80
+    c3 = (b3 & 0xC0) == 0x80
+
+    ascii_ = b < 0x80
+    lead2 = (b & 0xE0) == 0xC0
+    lead3 = (b & 0xF0) == 0xE0
+    lead4 = (b & 0xF8) == 0xF0
+    badlead = b >= 0xF8
+
+    cp2 = ((b & 0x1F) << 6) | (b1 & 0x3F)
+    cp3 = ((b & 0x0F) << 12) | ((b1 & 0x3F) << 6) | (b2 & 0x3F)
+    cp4 = ((b & 0x07) << 18) | ((b1 & 0x3F) << 12) | ((b2 & 0x3F) << 6) | (b3 & 0x3F)
+
+    zero = jnp.zeros_like(b)
+    err = zero
+    err = jnp.where(lead2 & ~c1, _TOO_SHORT, err)
+    err = jnp.where(lead2 & c1 & (cp2 < 0x80), _OVERLONG, err)
+    ok3 = c1 & c2
+    err = jnp.where(lead3 & ~ok3, _TOO_SHORT, err)
+    err = jnp.where(lead3 & ok3 & (cp3 < 0x800), _OVERLONG, err)
+    err = jnp.where(lead3 & ok3 & (cp3 >= 0xD800) & (cp3 <= 0xDFFF), _SURROGATE, err)
+    ok4 = c1 & c2 & c3
+    err = jnp.where(lead4 & ~ok4, _TOO_SHORT, err)
+    err = jnp.where(lead4 & ok4 & (cp4 <= 0xFFFF), _OVERLONG, err)
+    err = jnp.where(lead4 & ok4 & (cp4 > 0x10FFFF), _TOO_LARGE, err)
+    err = jnp.where(badlead, _HEADER_BITS, err)
+
+    seqlen = jnp.where(ascii_, 1, 0)
+    seqlen = jnp.where(lead2, 2, seqlen)
+    seqlen = jnp.where(lead3, 3, seqlen)
+    seqlen = jnp.where(lead4, 4, seqlen)
+
+    cp = jnp.where(ascii_, b, 0)
+    cp = jnp.where(lead2, cp2, cp)
+    cp = jnp.where(lead3, cp3, cp)
+    cp = jnp.where(lead4, cp4, cp)
+
+    return dict(
+        b=b,
+        lead=~is_cont,
+        is_cont=is_cont,
+        c1=c1,
+        c2=c2,
+        c3=c3,
+        seqlen=seqlen,
+        cp=cp,
+        err=err,
+        badlead=badlead,
+        lead4=lead4,
+    )
+
+
+def _first_error_from(cls, length):
+    """(err_pos, err_code); err_pos == BIG when valid."""
+    n = cls["b"].shape[0]
+    idx = positions(n)
+    in_range = idx < length
+    lead = cls["lead"] & in_range
+    err = cls["err"]
+
+    # (1) invalid lead sequences
+    bad_lead = lead & (err != 0)
+    pos1 = jnp.min(jnp.where(bad_lead, idx, BIG))
+    k1 = jnp.argmin(jnp.where(bad_lead, idx, BIG))
+    code1 = err[k1]
+    # (2) unconsumed continuation after a valid sequence: is_cont at i+seqlen.
+    # c1/c2/c3 are is_cont at i+1..3; c4 needed for 4-byte leads.
+    seqlen = cls["seqlen"]
+    gap = (
+        ((seqlen == 1) & cls["c1"])
+        | ((seqlen == 2) & cls["c2"])
+        | ((seqlen == 3) & cls["c3"])
+        | ((seqlen == 4) & shift_left(cls["is_cont"].astype(jnp.int32), 4).astype(bool))
+    )
+    good_lead = lead & (err == 0)
+    pos2 = jnp.min(jnp.where(good_lead & gap, idx + seqlen, BIG))
+    # (zero-tail makes bytes past length non-continuations, so pos2 < length
+    # automatically)
+    # (3) buffer starts with a continuation byte
+    pos3 = jnp.where(cls["is_cont"][0] & (length > 0), 0, BIG)
+
+    err_pos = jnp.minimum(jnp.minimum(pos1, pos2), pos3)
+    err_code = jnp.where(
+        err_pos == pos1, code1, _TOO_LONG
+    )  # pos2/pos3 are both TOO_LONG
+    err_code = jnp.where(err_pos == BIG, 0, err_code)
+    return err_pos, err_code
+
+
+def validate_with_errors(b: jnp.ndarray, length):
+    """-> (err_code i32, err_pos i32); (0, length) on success."""
+    cls = classify(b, length)
+    pos, code = _first_error_from(cls, length)
+    ok = pos == BIG
+    return jnp.where(ok, 0, code), jnp.where(ok, length, pos)
+
+
+def validate(b: jnp.ndarray, length):
+    code, _ = validate_with_errors(b, length)
+    return code == 0
+
+
+def validate_ascii_with_errors(b: jnp.ndarray, length):
+    idx = positions(b.shape[0])
+    bad = (b >= 0x80) & (idx < length)
+    pos = jnp.min(jnp.where(bad, idx, BIG))
+    ok = pos == BIG
+    return (
+        jnp.where(ok, 0, _TOO_LARGE),
+        jnp.where(ok, length, pos),
+    )
+
+
+def count_code_points(b: jnp.ndarray, length):
+    idx = positions(b.shape[0])
+    return jnp.sum(((b & 0xC0) != 0x80) & (idx < length))
+
+
+def utf16_length(b: jnp.ndarray, length):
+    idx = positions(b.shape[0])
+    in_r = idx < length
+    return jnp.sum(((b & 0xC0) != 0x80) & in_r) + jnp.sum((b >= 0xF0) & in_r)
+
+
+def to_utf16(b: jnp.ndarray, length, big_endian: bool):
+    """Validating transcode, classify -> scan -> scatter.
+
+    Returns (err_code, err_pos, out u16[N], out_len). On error out_len is the
+    number of units for the valid prefix (scalar-machine partial output).
+    Output capacity N is exact worst case (1 unit/byte for ASCII).
+    """
+    n = b.shape[0]
+    idx = positions(n)
+    cls = classify(b, length)
+    err_pos, err_code = _first_error_from(cls, length)
+    ok = err_pos == BIG
+
+    lead = cls["lead"] & (idx < length)
+    cp = cls["cp"]
+    width = jnp.where(lead, jnp.where(cls["lead4"], 2, 1), 0)
+    off_inc = jnp.cumsum(width)
+    off = off_inc - width  # exclusive
+    total = off_inc[n - 1]
+
+    cpx = cp - 0x10000
+    unit0 = jnp.where(cp > 0xFFFF, 0xD800 + (cpx >> 10), cp)
+    unit1 = 0xDC00 + (cpx & 0x3FF)
+    if big_endian:
+        unit0 = ((unit0 << 8) | (unit0 >> 8)) & 0xFFFF
+        unit1 = ((unit1 << 8) | (unit1 >> 8)) & 0xFFFF
+
+    tgt0 = jnp.where(lead, off, n)
+    tgt1 = jnp.where(lead & cls["lead4"], off + 1, n)
+    out = jnp.zeros(n, dtype=jnp.int32)
+    out = out.at[tgt0].set(unit0, mode="drop")
+    out = out.at[tgt1].set(unit1, mode="drop")
+    out = out.astype(jnp.uint16)
+
+    # on error, units written = offset at the error position
+    clamped = jnp.minimum(err_pos, n - 1)
+    out_len = jnp.where(ok, total, jnp.where(err_pos == 0, 0, off[clamped]))
+    return jnp.where(ok, 0, err_code), jnp.where(ok, length, err_pos), out, out_len
+
+
+def to_utf32(b: jnp.ndarray, length):
+    """Returns (err_code, err_pos, out u32[N], out_len)."""
+    n = b.shape[0]
+    idx = positions(n)
+    cls = classify(b, length)
+    err_pos, err_code = _first_error_from(cls, length)
+    ok = err_pos == BIG
+
+    lead = cls["lead"] & (idx < length)
+    width = lead.astype(jnp.int32)
+    off_inc = jnp.cumsum(width)
+    off = off_inc - width
+    total = off_inc[n - 1]
+    tgt = jnp.where(lead, off, n)
+    out = jnp.zeros(n, dtype=jnp.int32).at[tgt].set(cls["cp"], mode="drop")
+    clamped = jnp.minimum(err_pos, n - 1)
+    out_len = jnp.where(ok, total, jnp.where(err_pos == 0, 0, off[clamped]))
+    return (
+        jnp.where(ok, 0, err_code),
+        jnp.where(ok, length, err_pos),
+        out.astype(jnp.uint32),
+        out_len,
+    )
+
+
+def to_latin1(b: jnp.ndarray, length):
+    """utf8 -> latin1 with its own error lattice
+    (scalar/utf8_to_latin1/utf8_to_latin1.h:174-252)."""
+    n = b.shape[0]
+    idx = positions(n)
+    bb = zero_tail(b.astype(jnp.int32), length)
+    b1 = shift_left(bb, 1)
+    is_cont = (bb & 0xC0) == 0x80
+    ascii_ = bb < 0x80
+    lead2 = (bb & 0xE0) == 0xC0
+    lead34 = ((bb & 0xF0) == 0xE0) | ((bb & 0xF8) == 0xF0)
+    badlead = bb >= 0xF8
+    c1 = (b1 & 0xC0) == 0x80
+    cp2 = ((bb & 0x1F) << 6) | (b1 & 0x3F)
+
+    err = jnp.zeros(n, dtype=jnp.int32)
+    err = jnp.where(lead2 & ~c1, _TOO_SHORT, err)
+    err = jnp.where(lead2 & c1 & (cp2 < 0x80), _OVERLONG, err)
+    err = jnp.where(lead2 & c1 & (cp2 > 0xFF), _TOO_LARGE, err)
+    err = jnp.where(lead34, _TOO_LARGE, err)
+    err = jnp.where(badlead, _HEADER_BITS, err)
+
+    in_r = idx < length
+    lead = ~is_cont & in_r
+    bad_lead = lead & (err != 0)
+    pos1 = jnp.min(jnp.where(bad_lead, idx, BIG))
+    code1 = err[jnp.argmin(jnp.where(bad_lead, idx, BIG))]
+    seqlen = jnp.where(ascii_, 1, 2)
+    c2 = (shift_left(bb, 2) & 0xC0) == 0x80
+    gap = ((seqlen == 1) & c1) | ((seqlen == 2) & c2)
+    good_lead = lead & (err == 0)
+    pos2 = jnp.min(jnp.where(good_lead & gap, idx + seqlen, BIG))
+    pos3 = jnp.where(is_cont[0] & (length > 0), 0, BIG)
+    err_pos = jnp.minimum(jnp.minimum(pos1, pos2), pos3)
+    err_code = jnp.where(err_pos == pos1, code1, _TOO_LONG)
+    ok = err_pos == BIG
+
+    width = lead.astype(jnp.int32)
+    off_inc = jnp.cumsum(width)
+    off = off_inc - width
+    total = off_inc[n - 1]
+    vals = jnp.where(ascii_, bb, cp2)
+    tgt = jnp.where(lead, off, n)
+    out = jnp.zeros(n, dtype=jnp.int32).at[tgt].set(vals, mode="drop")
+    clamped = jnp.minimum(err_pos, n - 1)
+    out_len = jnp.where(ok, total, jnp.where(err_pos == 0, 0, off[clamped]))
+    return (
+        jnp.where(ok, 0, err_code),
+        jnp.where(ok, length, err_pos),
+        out.astype(jnp.uint8),
+        out_len,
+    )
