@@ -37,6 +37,10 @@ class Implementation:
     def supported_by_runtime_system(self) -> bool:
         return True
 
+    def preferred_by_runtime(self) -> bool:
+        """Whether best-pick auto-selection may choose this tier."""
+        return True
+
     # -- ASCII ---------------------------------------------------------------
     def validate_ascii(self, b: np.ndarray) -> bool:
         return not bool((b & 0x80).any())

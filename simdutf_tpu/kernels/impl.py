@@ -1,0 +1,87 @@
+"""PallasImplementation: TPU-kernel tier.
+
+Subclasses the XLA tier and overrides the hot entry points with Pallas
+kernels; everything else inherits — the same structure as reference
+backends overriding ~70 virtuals while sharing generic algorithms
+(src/haswell/implementation.cpp).
+
+Registered only when the runtime can execute the kernels (TPU backend, or
+any backend via the Pallas interpreter for CI).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+from ..errors import Result, error_code as ec
+from ..ops.impl import XLAImplementation, _MIN_BUCKET
+from ..runtime import staging_buffer
+from . import validate as kv
+
+
+def _pad2d(arr: np.ndarray):
+    """uint8 -> ((R+BR, W) zero-padded buffer, length). R is a multiple of
+    BR; BR extra zero rows feed the one-tile lookahead input."""
+    n = int(arr.shape[0])
+    tile = kv.W * kv.BR
+    need = max(n + 8, _MIN_BUCKET)
+    cap = 1 << (need - 1).bit_length()
+    if cap % tile:
+        cap += tile - cap % tile
+    rows = cap // kv.W
+    out = staging_buffer((rows + kv.BR, kv.W), np.uint8, fill_len=n)
+    out.reshape(-1)[:n] = arr
+    return out, np.int32(n)
+
+
+class PallasImplementation(XLAImplementation):
+    name = "pallas"
+    description = "Hand-tuned Pallas TPU kernels (+XLA for the rest)"
+
+    def supported_by_runtime_system(self) -> bool:
+        # Always runnable: real Mosaic kernels on TPU, the Pallas
+        # interpreter elsewhere (differential CI, like the reference
+        # fuzzing every backend on one host).
+        return True
+
+    def preferred_by_runtime(self) -> bool:
+        # Only the best-pick default on real TPU hardware; interpreted
+        # kernels should never win the auto-selection on CPU/GPU.
+        try:
+            return jax.default_backend() == "tpu"
+        except Exception:  # pragma: no cover
+            return False
+
+    # -- validation ----------------------------------------------------------
+    def validate_utf8_with_errors(self, b):
+        x2d, n = _pad2d(b)
+        pos, code = kv.utf8_first_event(x2d)
+        pos, code = int(pos), int(code)
+        if pos == kv.BIG:
+            return Result(ec.SUCCESS, int(n))
+        return Result(ec(code), pos)
+
+    def validate_utf8(self, b):
+        return self.validate_utf8_with_errors(b).is_ok
+
+    def validate_ascii_with_errors(self, b):
+        x2d, n = _pad2d(b)
+        pos = int(kv.ascii_first_bad(x2d))
+        if pos >= int(n):  # padding is zero, so any hit past n is impossible,
+            return Result(ec.SUCCESS, int(n))  # but keep the guard symmetric
+        return Result(ec.TOO_LARGE, pos)
+
+    def validate_ascii(self, b):
+        return self.validate_ascii_with_errors(b).is_ok
+
+    # -- counting ------------------------------------------------------------
+    def count_utf8(self, b):
+        x2d, n = _pad2d(b)
+        return int(kv.utf8_count(x2d, n))
+
+    def utf16_length_from_utf8(self, b):
+        x2d, n = _pad2d(b)
+        return int(kv.utf8_utf16_length(x2d, n))
+
+

@@ -15,6 +15,7 @@ import numpy as np
 from ..errors import FullResult, Result, error_code as ec
 from ..golden import base64_impl as gb
 from ..implementation import Implementation
+from ..runtime import staging_buffer, tune_host_allocator
 from . import base64_ops, latin1 as ol1, utf8 as o8, utf16 as o16, utf32 as o32
 
 _MIN_BUCKET = 1024
@@ -31,7 +32,7 @@ def _bucket(n: int, multiple: int = 4) -> int:
 def _pad(arr: np.ndarray, multiple: int = 4):
     n = int(arr.shape[0])
     cap = _bucket(n, multiple)
-    out = np.zeros(cap, dtype=arr.dtype)
+    out = staging_buffer((cap,), arr.dtype, fill_len=n)
     out[:n] = arr
     return out, np.int32(n)
 
@@ -92,6 +93,9 @@ def _cut(arr, out_len) -> np.ndarray:
 class XLAImplementation(Implementation):
     name = "xla"
     description = "jax.numpy ops lowered by XLA (TPU/CPU/GPU)"
+
+    def __init__(self):
+        tune_host_allocator()
 
     def supported_by_runtime_system(self) -> bool:
         try:

@@ -50,9 +50,7 @@ def _ensure_builtin_registered() -> None:
         try:
             from .kernels.impl import PallasImplementation
 
-            impl = PallasImplementation()
-            if impl.supported_by_runtime_system():
-                register(impl)
+            register(PallasImplementation())
         except Exception:  # pragma: no cover
             pass
 
@@ -73,7 +71,11 @@ def _detect_best() -> Implementation:
         # is unknown (implementation.cpp:1294-1305 keeps the detected one).
     for name in _priority:
         impl = _implementations.get(name)
-        if impl is not None and impl.supported_by_runtime_system():
+        if (
+            impl is not None
+            and impl.supported_by_runtime_system()
+            and impl.preferred_by_runtime()
+        ):
             return impl
     raise RuntimeError("no usable simdutf_tpu implementation registered")
 
