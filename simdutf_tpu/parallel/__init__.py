@@ -1,0 +1,18 @@
+"""Multi-chip / multi-host layer.
+
+The reference is single-threaded by design (README.md:2343-2347) and scales
+by letting users shard inputs across threads (benchmarks/threaded.cpp).
+Here sharding is first-class: a shard planner splits byte corpora on
+codepoint boundaries (trim_partial semantics, implementation.h:2690-2716),
+shards run data-parallel under shard_map over a jax Mesh, and result
+structs reduce with psum / min collectives so the global Result matches a
+single-device run bit-for-bit (first-error = min over shard-local error
+positions offset by shard starts).
+"""
+
+from .planner import plan_shards, ShardPlan  # noqa: F401
+from .distributed import (  # noqa: F401
+    make_mesh,
+    validate_utf8_sharded,
+    transcode_utf8_to_utf16_sharded,
+)

@@ -1,0 +1,92 @@
+"""Shard planner: split a byte corpus into per-device blocks.
+
+Boundaries are pulled back (<= 3 bytes for UTF-8, 1 unit for UTF-16) so no
+codepoint straddles a shard — the trim_partial contract
+(implementation.h:2690-2716, scalar/utf8.h:257-288) applied at shard
+joints. Offsets are kept so shard-local error positions / counts recombine
+into exactly the single-buffer result.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+
+class ShardPlan(NamedTuple):
+    #: (n_shards, shard_cap) zero-padded payloads
+    shards: np.ndarray
+    #: (n_shards,) logical byte length of each shard
+    lengths: np.ndarray
+    #: (n_shards,) global offset of each shard's first byte
+    offsets: np.ndarray
+    #: total logical bytes (== lengths.sum())
+    total: int
+
+
+def plan_shards(
+    data, n_shards: int, unit: int = 1, align: int = 512
+) -> ShardPlan:
+    """Split ``data`` (uint8 array / bytes) into ``n_shards`` blocks.
+
+    ``unit``: 1 for UTF-8/Latin1 (trim at codepoint boundary), 2 for UTF-16
+    (trim at surrogate-pair boundary), 4 for UTF-32 (no trimming needed).
+    ``align``: shard capacity is padded to this multiple.
+    """
+    if not isinstance(data, np.ndarray):
+        data = np.frombuffer(bytes(data), dtype=np.uint8)
+    n = int(data.shape[0])
+    base = n // n_shards
+    cuts = [0]
+    for s in range(1, n_shards):
+        tgt = s * base
+        # snap to a unit boundary first
+        tgt -= tgt % unit
+        if unit == 1:
+            tgt = _cut_utf8(data, tgt)
+        elif unit == 2:
+            tgt = _cut_utf16(data, tgt)
+        cuts.append(max(tgt, cuts[-1]))
+    cuts.append(n)
+    lengths = np.array([cuts[i + 1] - cuts[i] for i in range(n_shards)], np.int64)
+    offsets = np.array(cuts[:-1], dtype=np.int64)
+    cap = int(lengths.max(initial=1))
+    cap = (cap + align - 1) // align * align
+    shards = np.zeros((n_shards, cap), dtype=np.uint8)
+    for i in range(n_shards):
+        shards[i, : lengths[i]] = data[cuts[i] : cuts[i + 1]]
+    return ShardPlan(shards, lengths.astype(np.int32), offsets, n)
+
+
+def _cut_utf8(data: np.ndarray, tgt: int) -> int:
+    """Move ``tgt`` back so data[:tgt] ends on a codepoint boundary."""
+    n = data.shape[0]
+    if tgt <= 0 or tgt >= n:
+        return max(0, min(tgt, n))
+    t = tgt
+    # skip back over continuations to the lead of the sequence containing
+    # byte tgt-? — at most 3 steps in valid UTF-8
+    back = 0
+    while t > 0 and back < 4 and (int(data[t]) & 0xC0) == 0x80:
+        t -= 1
+        back += 1
+    # t now points at a lead (or we give up and keep tgt for invalid data)
+    if (int(data[t]) & 0xC0) == 0x80:
+        return tgt
+    b = int(data[t])
+    seq = 1 if b < 0x80 else (2 if b < 0xE0 else (3 if b < 0xF0 else 4))
+    if b < 0xC0 and t != tgt:
+        return tgt  # stray continuation run: invalid anyway, keep cut
+    return t if t + seq > tgt else tgt
+
+
+def _cut_utf16(data: np.ndarray, tgt: int) -> int:
+    """UTF-16LE: don't cut between a high and low surrogate
+    (scalar/utf16.h:114-124)."""
+    if tgt < 2 or tgt >= data.shape[0]:
+        return tgt
+    last = int(data[tgt - 2]) | (int(data[tgt - 1]) << 8)
+    if (last & 0xFC00) == 0xD800:
+        return tgt - 2
+    return tgt
