@@ -569,3 +569,47 @@ def base64_to_binary_details(
 
 def binary_to_base64(data, options: int = base64_default) -> bytes:
     return _out_bytes(_impl().binary_to_base64(as_u8(data), options))
+
+
+def base64_to_binary_safe(
+    data,
+    capacity: int,
+    options: int = base64_default,
+    last_chunk_handling: int = loose,
+    decode_up_to_bad_char: bool = False,
+):
+    """Capacity-limited decode honoring ``capacity`` output bytes
+    (implementation.h:3090-3208): returns (Result, bytes). On
+    OUTPUT_BUFFER_TOO_SMALL, ``Result.count`` is the number of input
+    characters processed, so callers can resume (streaming decode)."""
+    res, out = _impl().base64_to_binary_safe(
+        _b64_src(data), capacity, options, last_chunk_handling,
+        decode_up_to_bad_char,
+    )
+    return res, _out_bytes(out)
+
+
+def atomic_base64_to_binary_safe(
+    data,
+    capacity: int,
+    options: int = base64_default,
+    last_chunk_handling: int = loose,
+    decode_up_to_bad_char: bool = False,
+):
+    """API-parity alias of :func:`base64_to_binary_safe`.
+
+    The reference's ``atomic_`` variants (implementation.h:3208-3251) exist
+    to tolerate cross-thread data races on the caller's raw buffers via
+    std::atomic_ref copies. Here buffers are owned by the runtime (XLA) or
+    freshly materialized Python bytes, so there is no racy-buffer hazard to
+    mitigate; the semantics are otherwise identical.
+    """
+    return base64_to_binary_safe(
+        data, capacity, options, last_chunk_handling, decode_up_to_bad_char
+    )
+
+
+def atomic_binary_to_base64(data, options: int = base64_default) -> bytes:
+    """API-parity alias of :func:`binary_to_base64` (see
+    :func:`atomic_base64_to_binary_safe` for why atomicity is N/A here)."""
+    return binary_to_base64(data, options)

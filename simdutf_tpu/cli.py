@@ -1,0 +1,168 @@
+"""sutf — iconv-compatible file transcoder (reference: tools/sutf.cpp).
+
+Usage:
+    python -m simdutf_tpu.cli -f UTF-8 -t UTF-16LE -o out.bin in.txt
+    sutf --from-code=UTF-8 --to-code=UTF-16 file1 file2 -o out
+
+Accepted charset names (case-insensitive, iconv spellings): UTF-8, UTF-16,
+UTF-16LE, UTF-16BE, UTF-32, UTF-32LE (LE assumed for bare UTF-16/32, like
+the reference on little-endian hosts), LATIN1 / ISO-8859-1, ASCII.
+Unicode pairs transcode through this library; anything else falls back to
+Python's codec machinery (the reference falls back to iconv, tools/sutf.h:36).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from . import api
+from .errors import error_code
+
+
+_CANON = {
+    "utf8": "utf8",
+    "utf-8": "utf8",
+    "utf16": "utf16le",
+    "utf-16": "utf16le",
+    "utf16le": "utf16le",
+    "utf-16le": "utf16le",
+    "utf16be": "utf16be",
+    "utf-16be": "utf16be",
+    "utf32": "utf32",
+    "utf-32": "utf32",
+    "utf32le": "utf32",
+    "utf-32le": "utf32",
+    "latin1": "latin1",
+    "iso-8859-1": "latin1",
+    "iso8859-1": "latin1",
+    "ascii": "ascii",
+    "us-ascii": "ascii",
+}
+
+_CONVERters = {}
+
+
+def _canon(name: str) -> str | None:
+    return _CANON.get(name.lower().strip())
+
+
+def _convert(data: bytes, src: str, dst: str) -> bytes:
+    if src == "ascii":
+        res = api.validate_ascii_with_errors(data)
+        if res.is_err:
+            raise ValueError(
+                f"invalid ASCII input at byte {res.count}"
+            )
+        src = "utf8"
+    if dst == "ascii":
+        # encode as UTF-8 then require ASCII
+        out = _convert(data, src, "utf8")
+        res = api.validate_ascii_with_errors(out)
+        if res.is_err:
+            raise ValueError("input not representable in ASCII")
+        return out
+    if src == dst:
+        # validate input, pass through
+        _validate(data, src)
+        return data
+
+    key = (src, dst)
+    fn = {
+        ("utf8", "utf16le"): api.convert_utf8_to_utf16le_with_errors,
+        ("utf8", "utf16be"): api.convert_utf8_to_utf16be_with_errors,
+        ("utf8", "utf32"): api.convert_utf8_to_utf32_with_errors,
+        ("utf8", "latin1"): api.convert_utf8_to_latin1_with_errors,
+        ("utf16le", "utf8"): api.convert_utf16le_to_utf8_with_errors,
+        ("utf16be", "utf8"): api.convert_utf16be_to_utf8_with_errors,
+        ("utf16le", "utf32"): api.convert_utf16le_to_utf32_with_errors,
+        ("utf16be", "utf32"): api.convert_utf16be_to_utf32_with_errors,
+        ("utf16le", "latin1"): api.convert_utf16le_to_latin1_with_errors,
+        ("utf16be", "latin1"): api.convert_utf16be_to_latin1_with_errors,
+        ("utf32", "utf8"): api.convert_utf32_to_utf8_with_errors,
+        ("utf32", "utf16le"): api.convert_utf32_to_utf16le_with_errors,
+        ("utf32", "utf16be"): api.convert_utf32_to_utf16be_with_errors,
+        ("utf32", "latin1"): api.convert_utf32_to_latin1_with_errors,
+        ("utf16le", "utf16be"): lambda d: (None, api.change_endianness_utf16(d)),
+        ("utf16be", "utf16le"): lambda d: (None, api.change_endianness_utf16(d)),
+    }.get(key)
+    if fn is None and src == "latin1":
+        plain = {
+            "utf8": api.convert_latin1_to_utf8,
+            "utf16le": api.convert_latin1_to_utf16le,
+            "utf16be": api.convert_latin1_to_utf16be,
+            "utf32": api.convert_latin1_to_utf32,
+        }[dst]
+        return plain(data)
+    if fn is None:
+        raise ValueError(f"unsupported conversion {src} -> {dst}")
+    res, out = fn(data)
+    if res is not None and res.is_err:
+        raise ValueError(
+            f"invalid {src} input: {error_code(res.error).name} at "
+            f"position {res.count}"
+        )
+    return out
+
+
+def _validate(data: bytes, enc: str) -> None:
+    res = {
+        "utf8": api.validate_utf8_with_errors,
+        "utf16le": api.validate_utf16le_with_errors,
+        "utf16be": api.validate_utf16be_with_errors,
+        "utf32": api.validate_utf32_with_errors,
+        "latin1": lambda d: api.Result(error_code.SUCCESS, len(d)),
+        "ascii": api.validate_ascii_with_errors,
+    }[enc](data)
+    if res.is_err:
+        raise ValueError(
+            f"invalid {enc} input: {error_code(res.error).name} at "
+            f"position {res.count}"
+        )
+
+
+def _codec_fallback(data: bytes, src: str, dst: str) -> bytes:
+    """Non-Unicode charsets via Python codecs (reference: iconv fallback,
+    tools/sutf.h:30-38)."""
+    return data.decode(src).encode(dst)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="sutf", description="Unicode transcoder (simdutf_tpu)"
+    )
+    ap.add_argument("-f", "--from-code", dest="src", default="UTF-8")
+    ap.add_argument("-t", "--to-code", dest="dst", default="UTF-8")
+    ap.add_argument("-o", "--output", dest="output")
+    ap.add_argument("files", nargs="*")
+    args = ap.parse_args(argv)
+
+    chunks = []
+    if args.files:
+        for path in args.files:
+            with open(path, "rb") as f:
+                chunks.append(f.read())
+    else:
+        chunks.append(sys.stdin.buffer.read())
+    data = b"".join(chunks)
+
+    src, dst = _canon(args.src), _canon(args.dst)
+    try:
+        if src is None or dst is None:
+            out = _codec_fallback(data, args.src, args.dst)
+        else:
+            out = _convert(data, src, dst)
+    except (ValueError, LookupError, UnicodeError) as e:
+        print(f"sutf: {e}", file=sys.stderr)
+        return 1
+
+    if args.output:
+        with open(args.output, "wb") as f:
+            f.write(out)
+    else:
+        sys.stdout.buffer.write(out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -256,3 +256,223 @@ def _repack(vals: np.ndarray) -> np.ndarray:
     t = (q[:, 0] << 18) | (q[:, 1] << 12) | (q[:, 2] << 6) | q[:, 3]
     out = np.stack([(t >> 16) & 0xFF, (t >> 8) & 0xFF, t & 0xFF], axis=1)
     return out.reshape(-1).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# capacity-limited ("safe") decode — reference: base64_to_binary_safe_impl
+# (src/implementation.cpp:2157-2330) + base64_tail_decode_safe
+# (src/scalar/base64.h:223-431).
+
+
+def tail_decode_safe(
+    out: bytearray,
+    capacity: int,
+    src,
+    start: int,
+    length: int,
+    padded: int,
+    options: int,
+    last_chunk: int,
+):
+    """Emulates scalar base64_tail_decode_safe over src[start:start+length].
+
+    Returns (error_code, src_index, bytes_written_list_extended_in_place).
+    ``capacity`` limits how many bytes may be appended to ``out``.
+    """
+    tab = value_table(options)
+    garbage = ignore_garbage(options)
+
+    def code(c):
+        c = int(c)
+        if c != (c & 0xFF):
+            return 255
+        return int(tab[c & 0xFF])
+
+    written0 = len(out)
+    buffer = []
+    i = start
+    end = start + length
+    chunk_start = start
+    while True:
+        # refill a 4-value chunk
+        chunk_start = i
+        while len(buffer) < 4 and i < end:
+            v = code(src[i])
+            if v <= 63:
+                buffer.append(v)
+            elif not garbage and v > 64:
+                return ec.INVALID_BASE64_CHARACTER, i
+            i += 1
+        if len(buffer) != 4:
+            idx = len(buffer)
+            if (
+                not garbage
+                and last_chunk == STRICT
+                and idx != 1
+                and ((idx + padded) & 3) != 0
+            ):
+                return ec.BASE64_INPUT_REMAINDER, i
+            if (
+                not garbage
+                and last_chunk == STOP_BEFORE_PARTIAL
+                and ((idx + padded) & 3) != 0
+            ):
+                # rewind to the partial chunk start, skipping ignorables
+                j = chunk_start
+                while j < end and code(src[j]) > 63:
+                    j += 1
+                return ec.SUCCESS, j
+            if idx == 0:
+                return ec.SUCCESS, i
+            if not garbage and idx == 1 and last_chunk != STOP_BEFORE_PARTIAL:
+                return ec.BASE64_INPUT_REMAINDER, i
+            if idx in (2, 3):
+                need = idx - 1
+                if capacity - (len(out) - written0) < need:
+                    return ec.OUTPUT_BUFFER_TOO_SMALL, chunk_start
+                t = 0
+                for k, v in enumerate(buffer):
+                    t |= v << (18 - 6 * k)
+                if idx == 2:
+                    if not garbage and last_chunk == STRICT and (t & 0xFFFF):
+                        return ec.BASE64_EXTRA_BITS, i
+                    out.append((t >> 16) & 0xFF)
+                else:
+                    if not garbage and last_chunk == STRICT and (t & 0xFF):
+                        return ec.BASE64_EXTRA_BITS, i
+                    out.append((t >> 16) & 0xFF)
+                    out.append((t >> 8) & 0xFF)
+                return ec.SUCCESS, i
+            return ec.SUCCESS, i
+        if capacity - (len(out) - written0) < 3:
+            return ec.OUTPUT_BUFFER_TOO_SMALL, chunk_start
+        t = (
+            (buffer[0] << 18)
+            | (buffer[1] << 12)
+            | (buffer[2] << 6)
+            | buffer[3]
+        )
+        out += bytes([(t >> 16) & 0xFF, (t >> 8) & 0xFF, t & 0xFF])
+        buffer.clear()
+
+
+def decode_safe(
+    src,
+    capacity: int,
+    options: int = BASE64_DEFAULT,
+    last_chunk: int = LOOSE,
+    decode_up_to_bad_char: bool = False,
+    details_fn=None,
+):
+    """Capacity-limited decode. Returns (Result-shaped (error, count), out).
+
+    ``details_fn(src, options, last_chunk)`` provides the bulk decoder for
+    the enough-capacity fast path (each tier passes its own); defaults to
+    the golden ``decode``.
+    """
+    from ..errors import Result
+
+    if details_fn is None:
+        def details_fn(s, o, lc):
+            return decode(s, o, lc)
+
+    garbage = ignore_garbage(options)
+    length = int(src.shape[0]) if hasattr(src, "shape") else len(src)
+    max_length = maximal_binary_length(
+        src if isinstance(src, np.ndarray) else np.frombuffer(bytes(src), np.uint8)
+    )
+    if capacity >= max_length:
+        full, out = details_fn(src, options, last_chunk)
+        if decode_up_to_bad_char and full.error == ec.INVALID_BASE64_CHARACTER:
+            return _decode_safe_slow(src, capacity, options, last_chunk)
+        if full.error not in (
+            ec.INVALID_BASE64_CHARACTER,
+            ec.BASE64_EXTRA_BITS,
+        ):
+            if last_chunk == STOP_BEFORE_PARTIAL:
+                input_count = full.input_count
+                if full.output_count % 3 != 0:
+                    trail = src[full.input_count :]
+                    tab = value_table(options)
+                    empty = True
+                    for c in trail:
+                        c = int(c)
+                        v = 255 if c != (c & 0xFF) else int(tab[c & 0xFF])
+                        if v <= 63 or v == 64 or c == ord("="):
+                            if v <= 63:
+                                empty = False
+                                break
+                        else:
+                            empty = False
+                            break
+                    if empty:
+                        input_count = length
+                return Result(full.error, input_count), _np_out(out)
+            return Result(full.error, length), _np_out(out)
+        return full.to_result(), _np_out(out)
+    return _decode_safe_slow(src, capacity, options, last_chunk)
+
+
+def _np_out(out) -> np.ndarray:
+    return out if isinstance(out, np.ndarray) else np.frombuffer(bytes(out), np.uint8)
+
+
+def _decode_safe_slow(src, capacity, options, last_chunk):
+    """slow_base64_to_binary_safe_impl (implementation.cpp:2091-2155)."""
+    from ..errors import Result
+
+    garbage = ignore_garbage(options)
+    tab = value_table(options)
+
+    def code(c):
+        c = int(c)
+        if c != (c & 0xFF):
+            return 255
+        return int(tab[c & 0xFF])
+
+    length = int(src.shape[0]) if hasattr(src, "shape") else len(src)
+    eq = ord("=")
+    # prologue strip (spaces only, then '=' twice)
+    while length > 0 and code(src[length - 1]) == 64:
+        length -= 1
+    equallocation = length
+    equalsigns = 0
+    if length > 0 and int(src[length - 1]) == eq:
+        equallocation = length - 1
+        length -= 1
+        equalsigns += 1
+        while length > 0 and code(src[length - 1]) == 64:
+            length -= 1
+        if length > 0 and int(src[length - 1]) == eq:
+            equallocation = length - 1
+            length -= 1
+            equalsigns += 1
+    empty_np = np.zeros(0, np.uint8)
+    if length == 0:
+        if not garbage and equalsigns > 0:
+            if last_chunk == STRICT:
+                return Result(ec.BASE64_INPUT_REMAINDER, 0), empty_np
+            if last_chunk == STOP_BEFORE_PARTIAL:
+                return Result(ec.SUCCESS, 0), empty_np
+            return Result(ec.INVALID_BASE64_CHARACTER, equallocation), empty_np
+        return Result(ec.SUCCESS, 0), empty_np
+
+    out = bytearray()
+    err, src_idx = tail_decode_safe(
+        out, capacity, src, 0, length, equalsigns, options, last_chunk
+    )
+    outlen = len(out)
+    if (
+        last_chunk != STOP_BEFORE_PARTIAL
+        and err == ec.SUCCESS
+        and equalsigns > 0
+    ):
+        if (outlen % 3 == 0) or ((outlen % 3) + 1 + equalsigns != 4):
+            return Result(ec.INVALID_BASE64_CHARACTER, src_idx), _np_out(out)
+    # success count semantics from tail_decode_safe: bytes written for
+    # SUCCESS, error position otherwise
+    if err == ec.SUCCESS:
+        if last_chunk == STOP_BEFORE_PARTIAL:
+            return Result(ec.SUCCESS, src_idx), _np_out(out)
+        return Result(ec.SUCCESS, outlen), _np_out(out)
+    return Result(err, src_idx), _np_out(out)

@@ -295,6 +295,25 @@ class Implementation:
     def binary_to_base64(self, src, options: int = 0) -> np.ndarray:
         return gb64.encode(src, options)
 
+    def base64_to_binary_safe(
+        self,
+        src,
+        capacity: int,
+        options: int = 0,
+        last_chunk: int = gb64.LOOSE,
+        decode_up_to_bad_char: bool = False,
+    ):
+        """Capacity-limited decode (implementation.h:3090-3208 contract).
+        Returns (Result, out) with len(out) <= capacity."""
+        return gb64.decode_safe(
+            src,
+            capacity,
+            options,
+            last_chunk,
+            decode_up_to_bad_char,
+            details_fn=lambda s, o, lc: self.base64_to_binary_details(s, o, lc),
+        )
+
 
 class FallbackImplementation(Implementation):
     """Explicit name for the base tier."""

@@ -1,0 +1,67 @@
+"""sutf CLI tests (reference: tools/sutf.cpp behavior)."""
+
+import subprocess
+import sys
+
+import pytest
+
+
+def run_cli(args, input_bytes=b"", cwd="/root/repo"):
+    return subprocess.run(
+        [sys.executable, "-m", "simdutf_tpu.cli", *args],
+        input=input_bytes,
+        capture_output=True,
+        cwd=cwd,
+        env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+             "PYTHONPATH": "/root/repo", "HOME": "/root"},
+    )
+
+
+def test_utf8_to_utf16le(tmp_path):
+    src = tmp_path / "in.txt"
+    src.write_bytes("héllo 🙂".encode())
+    out = tmp_path / "out.bin"
+    r = run_cli(["-f", "UTF-8", "-t", "UTF-16LE", "-o", str(out), str(src)])
+    assert r.returncode == 0, r.stderr
+    assert out.read_bytes() == "héllo 🙂".encode("utf-16-le")
+
+
+def test_stdin_stdout():
+    r = run_cli(["-f", "UTF-8", "-t", "UTF-32"], "abc€".encode())
+    assert r.returncode == 0, r.stderr
+    assert r.stdout == "abc€".encode("utf-32-le")
+
+
+def test_iconv_style_long_flags(tmp_path):
+    src = tmp_path / "in.txt"
+    src.write_bytes("grüß".encode("latin-1"))
+    r = run_cli(["--from-code=LATIN1", "--to-code=UTF-8", str(src)])
+    assert r.returncode == 0, r.stderr
+    assert r.stdout == "grüß".encode()
+
+
+def test_invalid_input_error():
+    r = run_cli(["-f", "UTF-8", "-t", "UTF-16LE"], b"ab\xff")
+    assert r.returncode == 1
+    assert b"HEADER_BITS" in r.stderr and b"position 2" in r.stderr
+
+
+def test_same_encoding_validates():
+    r = run_cli(["-f", "UTF-8", "-t", "UTF-8"], b"ok")
+    assert r.returncode == 0 and r.stdout == b"ok"
+    r = run_cli(["-f", "UTF-8", "-t", "UTF-8"], b"\x80bad")
+    assert r.returncode == 1
+
+
+def test_endianness_swap():
+    data = "hi🙂".encode("utf-16-le")
+    r = run_cli(["-f", "UTF-16LE", "-t", "UTF-16BE"], data)
+    assert r.returncode == 0
+    assert r.stdout == "hi🙂".encode("utf-16-be")
+
+
+def test_codec_fallback():
+    # non-Unicode charset handled by the codec fallback (reference: iconv)
+    r = run_cli(["-f", "cp1251", "-t", "UTF-8"], "привет".encode("cp1251"))
+    assert r.returncode == 0
+    assert r.stdout == "привет".encode()
