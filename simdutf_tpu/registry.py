@@ -25,7 +25,7 @@ from .implementation import Implementation, FallbackImplementation
 _lock = threading.Lock()
 _implementations: Dict[str, Implementation] = {}
 _active: Optional[Implementation] = None
-_priority = ["pallas", "xla", "fallback"]  # best-first, like the reference's
+_priority = ["pallas", "xla", "cnative", "fallback"]  # best-first, like the reference's
 # icelake->haswell->...->fallback listing order (implementation.cpp:758-786)
 
 ENV_FORCE = "SIMDUTF_TPU_FORCE_IMPLEMENTATION"
@@ -52,6 +52,13 @@ def _ensure_builtin_registered() -> None:
 
             register(PallasImplementation())
         except Exception:  # pragma: no cover
+            pass
+    if "cnative" not in _implementations:
+        try:
+            from ._native.impl import CNativeImplementation
+
+            register(CNativeImplementation())
+        except ImportError:  # extension not built
             pass
 
 
