@@ -134,6 +134,17 @@ def main(argv=None) -> int:
     ap.add_argument("-f", "--from-code", dest="src", default="UTF-8")
     ap.add_argument("-t", "--to-code", dest="dst", default="UTF-8")
     ap.add_argument("-o", "--output", dest="output")
+    ap.add_argument(
+        "--base64-encode", action="store_true",
+        help="base64-encode input (fastbase64 parity, tools/fastbase64.cpp)",
+    )
+    ap.add_argument(
+        "--base64-decode", action="store_true",
+        help="forgiving-base64-decode input",
+    )
+    ap.add_argument(
+        "--url", action="store_true", help="use the base64url alphabet"
+    )
     ap.add_argument("files", nargs="*")
     args = ap.parse_args(argv)
 
@@ -146,12 +157,26 @@ def main(argv=None) -> int:
         chunks.append(sys.stdin.buffer.read())
     data = b"".join(chunks)
 
-    src, dst = _canon(args.src), _canon(args.dst)
     try:
-        if src is None or dst is None:
-            out = _codec_fallback(data, args.src, args.dst)
+        if args.base64_encode:
+            out = api.binary_to_base64(
+                data, api.base64_url if args.url else api.base64_default
+            )
+        elif args.base64_decode:
+            res, out = api.base64_to_binary(
+                data, api.base64_url if args.url else api.base64_default
+            )
+            if res.is_err:
+                raise ValueError(
+                    f"invalid base64: {error_code(res.error).name} at "
+                    f"position {res.count}"
+                )
         else:
-            out = _convert(data, src, dst)
+            src, dst = _canon(args.src), _canon(args.dst)
+            if src is None or dst is None:
+                out = _codec_fallback(data, args.src, args.dst)
+            else:
+                out = _convert(data, src, dst)
     except (ValueError, LookupError, UnicodeError) as e:
         print(f"sutf: {e}", file=sys.stderr)
         return 1
