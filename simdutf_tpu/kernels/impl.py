@@ -18,6 +18,7 @@ from ..errors import Result, error_code as ec
 from ..ops.impl import XLAImplementation, _MIN_BUCKET
 from ..runtime import staging_buffer
 from . import validate as kv
+from . import utf16_kernels as k16
 
 
 def _pad2d(arr: np.ndarray):
@@ -84,4 +85,69 @@ class PallasImplementation(XLAImplementation):
         x2d, n = _pad2d(b)
         return int(kv.utf8_utf16_length(x2d, n))
 
+    # -- UTF-16 (pallas kernels) ---------------------------------------------
+    def _v16(self, w, be):
+        x2d, n = _pad2d16(w)
+        pos = int(k16.utf16_first_bad(x2d, be))
+        if pos >= int(n):
+            return Result(ec.SUCCESS, int(n))
+        return Result(ec.SURROGATE, pos)
 
+    def validate_utf16le_with_errors(self, w):
+        return self._v16(w, False)
+
+    def validate_utf16be_with_errors(self, w):
+        return self._v16(w, True)
+
+    def validate_utf16le(self, w):
+        return self._v16(w, False).is_ok
+
+    def validate_utf16be(self, w):
+        return self._v16(w, True).is_ok
+
+    def count_utf16le(self, w):
+        x2d, n = _pad2d16(w)
+        return int(k16.utf16_reduce(x2d, n, False, "count"))
+
+    def count_utf16be(self, w):
+        x2d, n = _pad2d16(w)
+        return int(k16.utf16_reduce(x2d, n, True, "count"))
+
+    def utf8_length_from_utf16le(self, w):
+        x2d, n = _pad2d16(w)
+        return int(k16.utf16_reduce(x2d, n, False, "utf8len"))
+
+    def utf8_length_from_utf16be(self, w):
+        x2d, n = _pad2d16(w)
+        return int(k16.utf16_reduce(x2d, n, True, "utf8len"))
+
+    def to_well_formed_utf16le(self, w):
+        x2d, n = _pad2d16(w)
+        out = np.asarray(k16.utf16_to_well_formed(x2d, False))
+        return out.reshape(-1)[: int(n)]
+
+    def to_well_formed_utf16be(self, w):
+        x2d, n = _pad2d16(w)
+        out = np.asarray(k16.utf16_to_well_formed(x2d, True))
+        return out.reshape(-1)[: int(n)]
+
+
+
+
+def _pad2d16(arr: np.ndarray):
+    """uint16 -> ((BR + R + BR, W16) buffer with zero tiles fore and aft,
+    length in units)."""
+    n = int(arr.shape[0])
+    tile = k16.W16 * kv.BR
+    need = max(n + 8, _MIN_BUCKET // 2)
+    cap = 1 << (need - 1).bit_length()
+    if cap % tile:
+        cap += tile - cap % tile
+    rows = cap // k16.W16
+    start = kv.BR * k16.W16  # data begins after the leading zero tile
+    out = staging_buffer(
+        (rows + 2 * kv.BR, k16.W16), np.uint16, fill_len=start + n
+    )
+    flat = out.reshape(-1)
+    flat[start : start + n] = arr
+    return out, np.int32(n)
