@@ -16,7 +16,7 @@ from ..errors import FullResult, Result, error_code as ec
 from ..golden import base64_impl as gb
 from ..implementation import Implementation
 from ..runtime import staging_buffer, tune_host_allocator
-from . import base64_ops, latin1 as ol1, utf8 as o8, utf16 as o16, utf32 as o32
+from . import base64_ops, detect as odet, latin1 as ol1, utf8 as o8, utf16 as o16, utf32 as o32
 
 _MIN_BUCKET = 1024
 
@@ -46,6 +46,9 @@ _j_utf16_len_from_utf8 = jax.jit(o8.utf16_length)
 _j_u8_to_u16le = jax.jit(lambda b, n: o8.to_utf16(b, n, False))
 _j_u8_to_u16be = jax.jit(lambda b, n: o8.to_utf16(b, n, True))
 _j_u8_to_u32 = jax.jit(o8.to_utf32)
+_j_u8_to_u16le_v = jax.jit(lambda b, n: o8.to_utf16_valid(b, n, False))
+_j_u8_to_u16be_v = jax.jit(lambda b, n: o8.to_utf16_valid(b, n, True))
+_j_u8_to_u32_v = jax.jit(o8.to_utf32_valid)
 _j_u8_to_l1 = jax.jit(o8.to_latin1)
 
 _j_validate_u16le = jax.jit(lambda w, n: o16.validate_with_errors(w, n, False))
@@ -78,6 +81,7 @@ _j_l1_to_u16le = jax.jit(lambda b, n: ol1.to_utf16(b, n, False))
 _j_l1_to_u16be = jax.jit(lambda b, n: ol1.to_utf16(b, n, True))
 _j_l1_to_u32 = jax.jit(ol1.to_utf32)
 
+_j_detect = jax.jit(odet.detect_encodings)
 _j_b64_decode = jax.jit(base64_ops.decode_bulk)
 _j_b64_encode = jax.jit(base64_ops.encode_bulk)
 
@@ -186,6 +190,18 @@ class XLAImplementation(Implementation):
     def convert_utf8_to_utf16le_with_errors(self, b):
         return self._convert(_j_u8_to_u16le, b)
 
+    def convert_valid_utf8_to_utf16le(self, b):
+        out, total = _j_u8_to_u16le_v(*_pad(b))
+        return _cut(out, total)
+
+    def convert_valid_utf8_to_utf16be(self, b):
+        out, total = _j_u8_to_u16be_v(*_pad(b))
+        return _cut(out, total)
+
+    def convert_valid_utf8_to_utf32(self, b):
+        out, total = _j_u8_to_u32_v(*_pad(b))
+        return _cut(out, total)
+
     def convert_utf8_to_utf16be_with_errors(self, b):
         return self._convert(_j_u8_to_u16be, b)
 
@@ -253,6 +269,24 @@ class XLAImplementation(Implementation):
     def to_well_formed_utf16be(self, w):
         p, n = _pad(w)
         return _cut(_j_wf_u16be(p, n), n)
+
+    # -- encoding detection (fused one-pass) ---------------------------------
+    def detect_encodings(self, b):
+        from ..encodings import check_bom, encoding_type
+
+        bom = check_bom(b.tobytes())
+        if bom != encoding_type.unspecified:
+            return int(bom)
+        n = int(b.shape[0])
+        ok8, ok16, ok32 = (int(x) for x in _j_detect(*_pad(b)))
+        out = 0
+        if ok8:
+            out |= int(encoding_type.UTF8)
+        if n % 2 == 0 and ok16:
+            out |= int(encoding_type.UTF16_LE)
+        if n % 4 == 0 and ok32:
+            out |= int(encoding_type.UTF32_LE)
+        return out
 
     # -- base64 --------------------------------------------------------------
     def base64_to_binary_details(self, src, options=0, last_chunk=gb.LOOSE):

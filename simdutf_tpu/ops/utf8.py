@@ -285,3 +285,43 @@ def to_latin1(b: jnp.ndarray, length):
         out.astype(jnp.uint8),
         out_len,
     )
+
+
+def to_utf16_valid(b: jnp.ndarray, length, big_endian: bool):
+    """convert_valid_utf8_to_utf16*: assumes valid input, skips the error
+    events entirely (reference: generic/utf8_to_utf16/valid_utf8_to_utf16.h).
+    Returns (out u16[N], out_len)."""
+    n = b.shape[0]
+    idx = positions(n)
+    cls = classify(b, length)
+    lead = cls["lead"] & (idx < length)
+    cp = cls["cp"]
+    width = jnp.where(lead, jnp.where(cls["lead4"], 2, 1), 0)
+    off_inc = jnp.cumsum(width)
+    off = off_inc - width
+    total = off_inc[n - 1]
+    cpx = cp - 0x10000
+    unit0 = jnp.where(cp > 0xFFFF, 0xD800 + (cpx >> 10), cp)
+    unit1 = 0xDC00 + (cpx & 0x3FF)
+    if big_endian:
+        unit0 = ((unit0 << 8) | (unit0 >> 8)) & 0xFFFF
+        unit1 = ((unit1 << 8) | (unit1 >> 8)) & 0xFFFF
+    out = jnp.zeros(n, dtype=jnp.int32)
+    out = out.at[jnp.where(lead, off, n)].set(unit0, mode="drop")
+    out = out.at[jnp.where(lead & cls["lead4"], off + 1, n)].set(unit1, mode="drop")
+    return out.astype(jnp.uint16), total
+
+
+def to_utf32_valid(b: jnp.ndarray, length):
+    n = b.shape[0]
+    idx = positions(n)
+    cls = classify(b, length)
+    lead = cls["lead"] & (idx < length)
+    width = lead.astype(jnp.int32)
+    off_inc = jnp.cumsum(width)
+    off = off_inc - width
+    total = off_inc[n - 1]
+    out = jnp.zeros(n, dtype=jnp.int32).at[jnp.where(lead, off, n)].set(
+        cls["cp"], mode="drop"
+    )
+    return out.astype(jnp.uint32), total
