@@ -95,6 +95,24 @@ def main():
     arr = np.frombuffer(data, dtype=np.uint8)
     nbytes = len(data)
 
+    # device-health probe: a trivial chained op; if this is far below
+    # ~100 GB/s the tunneled dev chip is in its known degraded state and
+    # the numbers below under-report the library (see PERF.md).
+    xp = jax.device_put(np.ones(4 * 1024 * 1024, np.float32))
+
+    @jax.jit
+    def _probe(x, k):
+        def body(i, acc):
+            return acc + jnp.sum(x * (k + i).astype(jnp.float32))
+        return lax.fori_loop(0, 10, body, jnp.float32(0))
+
+    jax.device_get(_probe(xp, jnp.float32(0)))
+    t0 = time.perf_counter()
+    jax.device_get(_probe(xp, jnp.float32(1)))
+    probe_gbps = 16 / 1024 / ((time.perf_counter() - t0) / 10)
+    log(f"device-health probe: {probe_gbps:.0f} GB/s "
+        f"({'HEALTHY' if probe_gbps > 50 else 'DEGRADED - numbers below under-report'})")
+
     p, n = oi._pad(arr)
     log(f"corpus {nbytes} bytes, padded shape {p.shape}")
     t0 = time.time()
@@ -153,6 +171,19 @@ def main():
         log(f"pallas utf8 count: {nbytes/dtc/1e9:.1f} GB/s")
     except Exception as e:  # pragma: no cover
         log(f"pallas bench skipped: {e}")
+
+    # competition: CPython's codecs (this ecosystem's ICU/iconv analog,
+    # mirroring the reference harness's competitor table,
+    # benchmarks/src/benchmark.h:9-46)
+    import simdutf_tpu as su
+
+    sample = data[: 8 * 1024 * 1024]
+    sample = sample[: su.trim_partial_utf8(sample)]  # cut on a codepoint
+    t0 = time.perf_counter()
+    sample.decode("utf-8").encode("utf-16-le")
+    cpy = len(sample) / (time.perf_counter() - t0) / 1e9
+    log(f"competition: CPython codecs utf8->utf16le {cpy:.2f} GB/s "
+        f"(host, 8MB)")
 
     print(
         json.dumps(
