@@ -81,8 +81,13 @@ def validate_utf16be(data) -> bool:
     return _impl().validate_utf16be(as_u16(data))
 
 
+#: host byte order decides what the un-suffixed UTF-16 entry points mean
+#: (match_system, encoding_types.cpp:3-9); all of them dispatch through this
+_NATIVE_LE = match_system(endianness.LITTLE)
+
+
 def validate_utf16(data) -> bool:
-    return validate_utf16le(data) if match_system(endianness.LITTLE) else validate_utf16be(data)
+    return validate_utf16le(data) if _NATIVE_LE else validate_utf16be(data)
 
 
 def validate_utf16le_with_errors(data) -> Result:
@@ -94,7 +99,7 @@ def validate_utf16be_with_errors(data) -> Result:
 
 
 def validate_utf16_with_errors(data) -> Result:
-    return validate_utf16le_with_errors(data)
+    return validate_utf16le_with_errors(data) if _NATIVE_LE else validate_utf16be_with_errors(data)
 
 
 def validate_utf32(data) -> bool:
@@ -122,7 +127,7 @@ def count_utf16be(data) -> int:
 
 
 def count_utf16(data) -> int:
-    return count_utf16le(data)
+    return count_utf16le(data) if _NATIVE_LE else count_utf16be(data)
 
 
 def utf16_length_from_utf8(data) -> int:
@@ -146,7 +151,7 @@ def utf8_length_from_utf16be(data) -> int:
 
 
 def utf8_length_from_utf16(data) -> int:
-    return utf8_length_from_utf16le(data)
+    return utf8_length_from_utf16le(data) if _NATIVE_LE else utf8_length_from_utf16be(data)
 
 
 def utf32_length_from_utf16le(data) -> int:
@@ -158,7 +163,7 @@ def utf32_length_from_utf16be(data) -> int:
 
 
 def utf32_length_from_utf16(data) -> int:
-    return utf32_length_from_utf16le(data)
+    return utf32_length_from_utf16le(data) if _NATIVE_LE else utf32_length_from_utf16be(data)
 
 
 def latin1_length_from_utf16(length: int) -> int:
@@ -212,7 +217,7 @@ def convert_utf8_to_utf16be_with_errors(data):
 
 
 def convert_utf8_to_utf16_with_errors(data):
-    return convert_utf8_to_utf16le_with_errors(data)
+    return convert_utf8_to_utf16le_with_errors(data) if _NATIVE_LE else convert_utf8_to_utf16be_with_errors(data)
 
 
 def convert_utf8_to_utf32_with_errors(data):
@@ -232,7 +237,7 @@ def convert_utf8_to_utf16be(data) -> bytes:
 
 
 def convert_utf8_to_utf16(data) -> bytes:
-    return convert_utf8_to_utf16le(data)
+    return convert_utf8_to_utf16le(data) if _NATIVE_LE else convert_utf8_to_utf16be(data)
 
 
 def convert_utf8_to_utf32(data) -> bytes:
@@ -252,7 +257,7 @@ def convert_valid_utf8_to_utf16be(data) -> bytes:
 
 
 def convert_valid_utf8_to_utf16(data) -> bytes:
-    return convert_valid_utf8_to_utf16le(data)
+    return convert_valid_utf8_to_utf16le(data) if _NATIVE_LE else convert_valid_utf8_to_utf16be(data)
 
 
 def convert_valid_utf8_to_utf32(data) -> bytes:
@@ -276,7 +281,7 @@ def convert_utf16be_to_utf8_with_errors(data):
 
 
 def convert_utf16_to_utf8_with_errors(data):
-    return convert_utf16le_to_utf8_with_errors(data)
+    return convert_utf16le_to_utf8_with_errors(data) if _NATIVE_LE else convert_utf16be_to_utf8_with_errors(data)
 
 
 def convert_utf16le_to_utf32_with_errors(data):
@@ -288,7 +293,7 @@ def convert_utf16be_to_utf32_with_errors(data):
 
 
 def convert_utf16_to_utf32_with_errors(data):
-    return convert_utf16le_to_utf32_with_errors(data)
+    return convert_utf16le_to_utf32_with_errors(data) if _NATIVE_LE else convert_utf16be_to_utf32_with_errors(data)
 
 
 def convert_utf16le_to_latin1_with_errors(data):
@@ -300,7 +305,7 @@ def convert_utf16be_to_latin1_with_errors(data):
 
 
 def convert_utf16_to_latin1_with_errors(data):
-    return convert_utf16le_to_latin1_with_errors(data)
+    return convert_utf16le_to_latin1_with_errors(data) if _NATIVE_LE else convert_utf16be_to_latin1_with_errors(data)
 
 
 def convert_utf16le_to_utf8(data) -> bytes:
@@ -312,7 +317,7 @@ def convert_utf16be_to_utf8(data) -> bytes:
 
 
 def convert_utf16_to_utf8(data) -> bytes:
-    return convert_utf16le_to_utf8(data)
+    return convert_utf16le_to_utf8(data) if _NATIVE_LE else convert_utf16be_to_utf8(data)
 
 
 def convert_utf16le_to_utf32(data) -> bytes:
@@ -324,7 +329,7 @@ def convert_utf16be_to_utf32(data) -> bytes:
 
 
 def convert_utf16_to_utf32(data) -> bytes:
-    return convert_utf16le_to_utf32(data)
+    return convert_utf16le_to_utf32(data) if _NATIVE_LE else convert_utf16be_to_utf32(data)
 
 
 def convert_utf16le_to_latin1(data) -> bytes:
@@ -336,7 +341,7 @@ def convert_utf16be_to_latin1(data) -> bytes:
 
 
 def convert_utf16_to_latin1(data) -> bytes:
-    return convert_utf16le_to_latin1(data)
+    return convert_utf16le_to_latin1(data) if _NATIVE_LE else convert_utf16be_to_latin1(data)
 
 
 def convert_valid_utf16le_to_utf8(data) -> bytes:
@@ -348,7 +353,7 @@ def convert_valid_utf16be_to_utf8(data) -> bytes:
 
 
 def convert_valid_utf16_to_utf8(data) -> bytes:
-    return convert_valid_utf16le_to_utf8(data)
+    return convert_valid_utf16le_to_utf8(data) if _NATIVE_LE else convert_valid_utf16be_to_utf8(data)
 
 
 def convert_valid_utf16le_to_utf32(data) -> bytes:
@@ -360,7 +365,7 @@ def convert_valid_utf16be_to_utf32(data) -> bytes:
 
 
 def convert_valid_utf16_to_utf32(data) -> bytes:
-    return convert_valid_utf16le_to_utf32(data)
+    return convert_valid_utf16le_to_utf32(data) if _NATIVE_LE else convert_valid_utf16be_to_utf32(data)
 
 
 def convert_valid_utf16le_to_latin1(data) -> bytes:
@@ -372,7 +377,7 @@ def convert_valid_utf16be_to_latin1(data) -> bytes:
 
 
 def convert_valid_utf16_to_latin1(data) -> bytes:
-    return convert_valid_utf16le_to_latin1(data)
+    return convert_valid_utf16le_to_latin1(data) if _NATIVE_LE else convert_valid_utf16be_to_latin1(data)
 
 
 # ---------------------------------------------------------------------------
@@ -392,7 +397,7 @@ def convert_utf32_to_utf16be_with_errors(data):
 
 
 def convert_utf32_to_utf16_with_errors(data):
-    return convert_utf32_to_utf16le_with_errors(data)
+    return convert_utf32_to_utf16le_with_errors(data) if _NATIVE_LE else convert_utf32_to_utf16be_with_errors(data)
 
 
 def convert_utf32_to_latin1_with_errors(data):
@@ -412,7 +417,7 @@ def convert_utf32_to_utf16be(data) -> bytes:
 
 
 def convert_utf32_to_utf16(data) -> bytes:
-    return convert_utf32_to_utf16le(data)
+    return convert_utf32_to_utf16le(data) if _NATIVE_LE else convert_utf32_to_utf16be(data)
 
 
 def convert_utf32_to_latin1(data) -> bytes:
@@ -432,7 +437,7 @@ def convert_valid_utf32_to_utf16be(data) -> bytes:
 
 
 def convert_valid_utf32_to_utf16(data) -> bytes:
-    return convert_valid_utf32_to_utf16le(data)
+    return convert_valid_utf32_to_utf16le(data) if _NATIVE_LE else convert_valid_utf32_to_utf16be(data)
 
 
 def convert_valid_utf32_to_latin1(data) -> bytes:
@@ -469,7 +474,7 @@ def convert_latin1_to_utf16be(data) -> bytes:
 
 
 def convert_latin1_to_utf16(data) -> bytes:
-    return convert_latin1_to_utf16le(data)
+    return convert_latin1_to_utf16le(data) if _NATIVE_LE else convert_latin1_to_utf16be(data)
 
 
 def convert_latin1_to_utf32(data) -> bytes:
@@ -493,7 +498,7 @@ def to_well_formed_utf16be(data) -> bytes:
 
 
 def to_well_formed_utf16(data) -> bytes:
-    return to_well_formed_utf16le(data)
+    return to_well_formed_utf16le(data) if _NATIVE_LE else to_well_formed_utf16be(data)
 
 
 def trim_partial_utf8(data) -> int:
@@ -509,7 +514,7 @@ def trim_partial_utf16be(data) -> int:
 
 
 def trim_partial_utf16(data) -> int:
-    return trim_partial_utf16le(data)
+    return trim_partial_utf16le(data) if _NATIVE_LE else trim_partial_utf16be(data)
 
 
 # ---------------------------------------------------------------------------

@@ -40,9 +40,6 @@ _CANON = {
     "us-ascii": "ascii",
 }
 
-_CONVERters = {}
-
-
 def _canon(name: str) -> str | None:
     return _CANON.get(name.lower().strip())
 

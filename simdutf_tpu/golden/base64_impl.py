@@ -418,7 +418,12 @@ def _np_out(out) -> np.ndarray:
 
 
 def _decode_safe_slow(src, capacity, options, last_chunk):
-    """slow_base64_to_binary_safe_impl (implementation.cpp:2091-2155)."""
+    """Capacity-limited decode: emulates the observable behavior of the
+    reference's split path (base64_to_binary_safe_impl,
+    implementation.cpp:2200-2394): success count = full input length
+    (non-stop modes) or the resume position incl. consumed trailing
+    padding/whitespace (stop_before_partial, implementation.cpp:2355-2386).
+    """
     from ..errors import Result
 
     garbage = ignore_garbage(options)
@@ -457,6 +462,7 @@ def _decode_safe_slow(src, capacity, options, last_chunk):
             return Result(ec.INVALID_BASE64_CHARACTER, equallocation), empty_np
         return Result(ec.SUCCESS, 0), empty_np
 
+    orig_length = int(src.shape[0]) if hasattr(src, "shape") else len(src)
     out = bytearray()
     err, src_idx = tail_decode_safe(
         out, capacity, src, 0, length, equalsigns, options, last_chunk
@@ -468,11 +474,32 @@ def _decode_safe_slow(src, capacity, options, last_chunk):
         and equalsigns > 0
     ):
         if (outlen % 3 == 0) or ((outlen % 3) + 1 + equalsigns != 4):
-            return Result(ec.INVALID_BASE64_CHARACTER, src_idx), _np_out(out)
-    # success count semantics from tail_decode_safe: bytes written for
-    # SUCCESS, error position otherwise
+            # reference keeps a path-dependent count here; we report the
+            # padding location like the non-safe path (documented deviation)
+            return (
+                Result(ec.INVALID_BASE64_CHARACTER, equallocation),
+                _np_out(out),
+            )
     if err == ec.SUCCESS:
         if last_chunk == STOP_BEFORE_PARTIAL:
-            return Result(ec.SUCCESS, src_idx), _np_out(out)
-        return Result(ec.SUCCESS, outlen), _np_out(out)
+            # consume expected trailing '=' + whitespace after a chunk the
+            # padding completes (implementation.cpp:2355-2386)
+            count = src_idx
+            remainder = outlen % 3
+            expected_padding = 0 if remainder == 0 else 3 - remainder
+            if expected_padding > 0:
+                while count < orig_length:
+                    c = int(src[count])
+                    if c == ord("="):
+                        if expected_padding == 0:
+                            break
+                        expected_padding -= 1
+                        count += 1
+                    elif code(c) == 64:
+                        count += 1
+                    else:
+                        break
+            return Result(ec.SUCCESS, count), _np_out(out)
+        # full success consumes the entire input (implementation.cpp:2388)
+        return Result(ec.SUCCESS, orig_length), _np_out(out)
     return Result(err, src_idx), _np_out(out)

@@ -253,7 +253,7 @@ class Implementation:
     # -- encoding detection --------------------------------------------------
     def autodetect_encoding(self, b: np.ndarray) -> encoding_type:
         # src/implementation.cpp:44-76
-        bom = check_bom(b.tobytes())
+        bom = check_bom(b[:4].tobytes())
         if bom != encoding_type.unspecified:
             return bom
         n = int(b.shape[0])
@@ -267,7 +267,7 @@ class Implementation:
 
     def detect_encodings(self, b: np.ndarray) -> int:
         # src/fallback/implementation.cpp:6-30
-        bom = check_bom(b.tobytes())
+        bom = check_bom(b[:4].tobytes())
         if bom != encoding_type.unspecified:
             return int(bom)
         out = 0

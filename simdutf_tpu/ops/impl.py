@@ -274,7 +274,7 @@ class XLAImplementation(Implementation):
     def detect_encodings(self, b):
         from ..encodings import check_bom, encoding_type
 
-        bom = check_bom(b.tobytes())
+        bom = check_bom(b[:4].tobytes())
         if bom != encoding_type.unspecified:
             return int(bom)
         n = int(b.shape[0])

@@ -74,8 +74,13 @@ def _detect_best() -> Implementation:
         impl = _implementations.get(forced)
         if impl is not None and impl.supported_by_runtime_system():
             return impl
-        # Reference silently falls through to best-pick when the forced name
-        # is unknown (implementation.cpp:1294-1305 keeps the detected one).
+        # Fail loudly: the reference installs an unsupported singleton whose
+        # every call fails (implementation.cpp:1302-1305); silently running a
+        # different tier would invalidate pinned benchmarks/fuzz runs.
+        raise RuntimeError(
+            f"{ENV_FORCE}={forced!r} names no usable implementation; "
+            f"available: {sorted(_implementations)}"
+        )
     for name in _priority:
         impl = _implementations.get(name)
         if (
@@ -90,10 +95,8 @@ def _detect_best() -> Implementation:
 def get_active_implementation() -> Implementation:
     global _active
     if _active is None:
-        with _lock:
-            if _active is None:
-                pass
-        # detection may import jax; do it outside the lock
+        # detection may import jax and take seconds; run it outside the
+        # lock, then install only if nobody else won the race
         impl = _detect_best()
         with _lock:
             if _active is None:

@@ -110,3 +110,37 @@ def test_atomic_aliases(impl_name):
     r1, o1 = su.atomic_base64_to_binary_safe(enc, 1000)
     r2, o2 = su.base64_to_binary_safe(enc, 1000)
     assert (r1, o1) == (r2, o2)
+
+
+def test_safe_count_is_capacity_independent(impl_name):
+    """Review regression: success count must not depend on capacity
+    (reference: implementation.cpp:2388 'rr.count = length')."""
+    for cap in (4, 5, 100):
+        res, out = su.base64_to_binary_safe(b"a G V s", cap)
+        assert res.is_ok and res.count == 7 and out == b"hel", (cap, res)
+
+
+def test_safe_stop_consumes_trailing_padding(impl_name):
+    """Review regression: stop_before_partial consumes expected '=' and
+    whitespace after a padding-completed chunk
+    (implementation.cpp:2355-2386)."""
+    for cap in (5, 6, 100):
+        res, out = su.base64_to_binary_safe(
+            b"aGVs bG8=", cap, last_chunk_handling=su.stop_before_partial
+        )
+        assert res.is_ok and out == b"hello" and res.count == 9, (cap, res)
+
+
+def test_forced_unknown_implementation_fails_loudly():
+    import subprocess
+    import sys
+
+    p = subprocess.run(
+        [sys.executable, "-c", "import simdutf_tpu as su; su.validate_utf8(b'x')"],
+        env={"PYTHONPATH": "/root/repo", "JAX_PLATFORMS": "cpu",
+             "SIMDUTF_TPU_FORCE_IMPLEMENTATION": "no-such-tier",
+             "HOME": "/root", "PATH": "/usr/bin:/bin"},
+        capture_output=True,
+        text=True,
+    )
+    assert p.returncode != 0 and "no-such-tier" in p.stderr
