@@ -19,6 +19,7 @@ from ..ops.impl import XLAImplementation, _MIN_BUCKET
 from ..runtime import staging_buffer
 from . import validate as kv
 from . import utf16_kernels as k16
+from . import swar as ksw
 
 
 def _pad2d(arr: np.ndarray):
@@ -55,16 +56,22 @@ class PallasImplementation(XLAImplementation):
             return False
 
     # -- validation ----------------------------------------------------------
+    def validate_utf8(self, b):
+        """Hot path: SWAR any-error check (4 bytes/lane). Exact error
+        localization only runs when the check fires — the reference's own
+        vector-pass/rescan split (generic/utf8_validation/utf8_validator.h)."""
+        x32, n = _pad_swar(b)
+        return int(ksw.utf8_swar_first_bad_word(x32)) == ksw.BIG
+
     def validate_utf8_with_errors(self, b):
+        if self.validate_utf8(b):
+            return Result(ec.SUCCESS, int(b.shape[0]))
         x2d, n = _pad2d(b)
         pos, code = kv.utf8_first_event(x2d)
         pos, code = int(pos), int(code)
-        if pos == kv.BIG:
+        if pos == kv.BIG:  # unreachable unless tiers disagree
             return Result(ec.SUCCESS, int(n))
         return Result(ec(code), pos)
-
-    def validate_utf8(self, b):
-        return self.validate_utf8_with_errors(b).is_ok
 
     def validate_ascii_with_errors(self, b):
         x2d, n = _pad2d(b)
@@ -151,3 +158,21 @@ def _pad2d16(arr: np.ndarray):
     flat = out.reshape(-1)
     flat[start : start + n] = arr
     return out, np.int32(n)
+
+
+def _pad_swar(arr: np.ndarray):
+    """uint8 -> int32 view (BR + R + BR, 128) with zero tiles fore and aft
+    for the SWAR kernel's lane halos."""
+    n = int(arr.shape[0])
+    tile = kv.W * kv.BR
+    need = max(n + 8, _MIN_BUCKET)
+    cap = 1 << (need - 1).bit_length()
+    if cap % tile:
+        cap += tile - cap % tile
+    rows = cap // kv.W
+    start = kv.BR * kv.W
+    buf = staging_buffer(
+        (rows + 2 * kv.BR, kv.W), np.uint8, fill_len=start + n
+    )
+    buf.reshape(-1)[start : start + n] = arr
+    return buf.view(np.int32).reshape(rows + 2 * kv.BR, ksw.W32), np.int32(n)
