@@ -6,14 +6,31 @@ import numpy as np
 
 __all__ = ["as_u8", "as_u16", "as_u32"]
 
+#: device tiers index with int32 offsets; larger single calls must be
+#: sharded by the caller (parallel.plan_shards handles this naturally)
+MAX_SINGLE_CALL_BYTES = 2**31 - 512
+
+
+def _check_size(n: int) -> None:
+    if n > MAX_SINGLE_CALL_BYTES:
+        raise ValueError(
+            f"input of {n} bytes exceeds the {MAX_SINGLE_CALL_BYTES}-byte "
+            "single-call limit (int32 offsets); split it with "
+            "simdutf_tpu.parallel.plan_shards"
+        )
+
 
 def as_u8(data) -> np.ndarray:
     """bytes-like / array -> contiguous uint8 array (zero-copy for bytes)."""
     if isinstance(data, np.ndarray):
         if data.dtype == np.uint8:
-            return np.ascontiguousarray(data)
-        return np.ascontiguousarray(data).view(np.uint8)
-    return np.frombuffer(memoryview(data), dtype=np.uint8)
+            out = np.ascontiguousarray(data)
+        else:
+            out = np.ascontiguousarray(data).view(np.uint8)
+    else:
+        out = np.frombuffer(memoryview(data), dtype=np.uint8)
+    _check_size(out.shape[0])
+    return out
 
 
 def as_u16(data) -> np.ndarray:
