@@ -326,3 +326,20 @@ def test_registry_api():
     assert su.get_active_implementation().name == "fallback"
     with pytest.raises(KeyError):
         su.set_active_implementation("no-such-impl")
+
+
+def test_encoding_to_string():
+    assert su.to_string(su.encoding_type.UTF8) == "UTF8"
+    assert su.to_string(su.encoding_type.UTF16_LE) == "UTF16 little-endian"
+    assert su.to_string(su.encoding_type.unspecified) == "unknown"
+    assert su.bom_byte_size(su.encoding_type.UTF32_BE) == 4
+    assert su.bom_byte_size(su.encoding_type.UTF8) == 3
+
+
+def test_bom_prefixed_autodetect(impl_name):
+    # BOM wins over content (implementation.cpp:44-49)
+    data = b"\xfe\xff" + "ascii tail".encode()
+    assert su.autodetect_encoding(data) == su.encoding_type.UTF16_BE
+    # utf8 BOM needs length >= 4 (reference quirk, encoding_types.cpp:42)
+    assert su.check_bom(b"\xef\xbb\xbf") == su.encoding_type.unspecified
+    assert su.check_bom(b"\xef\xbb\xbfa") == su.encoding_type.UTF8
