@@ -27,6 +27,7 @@ from .api import (  # explicit re-exports for the registry / enums
     set_active_implementation,
 )
 from .errors import Result, FullResult, error_code
+from .features import features, FEATURES
 from .encodings import (
     encoding_type,
     endianness,
