@@ -25,7 +25,7 @@ import numpy as np
 
 from ..errors import Result, error_code as ec
 
-_NO_ERROR = np.iinfo(np.int64).max
+_NO_ERROR = np.iinfo(np.int32).max
 
 
 def _shift(b: np.ndarray, k: int) -> np.ndarray:
@@ -120,8 +120,8 @@ def analyze(b: np.ndarray) -> Utf8Analysis:
     cp = np.where(lead4, cp4, cp)
 
     # --- error events ---
-    pos = np.arange(n, dtype=np.int64)
-    event_pos = np.full(n, _NO_ERROR, dtype=np.int64)
+    pos = np.arange(n, dtype=np.int32)
+    event_pos = np.full(n, _NO_ERROR, dtype=np.int32)
     event_code = np.zeros(n, dtype=np.int32)
 
     # (1) invalid lead sequences
@@ -212,7 +212,7 @@ def trim_partial(b: np.ndarray) -> int:
 def _emit_utf16(cps: np.ndarray, big_endian: bool) -> np.ndarray:
     """codepoints -> uint16 units (surrogate expansion via cumsum offsets)."""
     is4 = cps > 0xFFFF
-    units = 1 + is4.astype(np.int64)
+    units = 1 + is4.astype(np.int32)
     total = int(units.sum())
     off = np.cumsum(units) - units
     out = np.zeros(total, dtype=np.uint32)
@@ -280,7 +280,7 @@ def convert_to_latin1_with_errors(b: np.ndarray):
 
     lead = ~is_cont
     seqlen = np.where(ascii_, 1, 2)
-    pos = np.arange(n, dtype=np.int64)
+    pos = np.arange(n, dtype=np.int32)
     event_pos = np.where(lead & (err != 0), pos, _NO_ERROR)
     event_code = err
     good_lead = lead & (err == 0)

@@ -34,6 +34,12 @@ class Implementation:
     name = "fallback"
     description = "Vectorized NumPy implementation (host CPU)"
 
+    def __init__(self):
+        # virtualized hosts fault fresh pages extremely slowly; see runtime.py
+        from .runtime import tune_host_allocator
+
+        tune_host_allocator()
+
     def supported_by_runtime_system(self) -> bool:
         return True
 

@@ -99,6 +99,7 @@ class XLAImplementation(Implementation):
     description = "jax.numpy ops lowered by XLA (TPU/CPU/GPU)"
 
     def __init__(self):
+        super().__init__()
         tune_host_allocator()
 
     def supported_by_runtime_system(self) -> bool:
