@@ -618,3 +618,55 @@ def atomic_binary_to_base64(data, options: int = base64_default) -> bytes:
     """API-parity alias of :func:`binary_to_base64` (see
     :func:`atomic_base64_to_binary_safe` for why atomicity is N/A here)."""
     return binary_to_base64(data, options)
+
+
+# ---------------------------------------------------------------------------
+# C-style *_into variants: write into a caller-provided NumPy buffer and
+# return the unit count (0 on error), exactly the reference's calling
+# convention (caller sizes the buffer via X_length_from_Y, e.g.
+# implementation.h:4964-4971). For zero-copy interop with buffer-managing
+# code being ported from simdutf.
+
+
+def _into(out_arr: np.ndarray, produced: np.ndarray) -> int:
+    n = int(produced.shape[0])
+    if n > int(out_arr.shape[0]):
+        raise ValueError(
+            f"output buffer too small: need {n} units, have {out_arr.shape[0]}"
+        )
+    out_arr[:n] = produced
+    return n
+
+
+def convert_utf8_to_utf16le_into(data, out: np.ndarray) -> int:
+    res, produced = _impl().convert_utf8_to_utf16le_with_errors(as_u8(data))
+    return _into(out, produced) if res.is_ok else 0
+
+
+def convert_utf8_to_utf16be_into(data, out: np.ndarray) -> int:
+    res, produced = _impl().convert_utf8_to_utf16be_with_errors(as_u8(data))
+    return _into(out, produced) if res.is_ok else 0
+
+
+def convert_utf8_to_utf32_into(data, out: np.ndarray) -> int:
+    res, produced = _impl().convert_utf8_to_utf32_with_errors(as_u8(data))
+    return _into(out, produced) if res.is_ok else 0
+
+
+def convert_utf16le_to_utf8_into(data, out: np.ndarray) -> int:
+    res, produced = _impl().convert_utf16le_to_utf8_with_errors(as_u16(data))
+    return _into(out, produced) if res.is_ok else 0
+
+
+def convert_utf16be_to_utf8_into(data, out: np.ndarray) -> int:
+    res, produced = _impl().convert_utf16be_to_utf8_with_errors(as_u16(data))
+    return _into(out, produced) if res.is_ok else 0
+
+
+def convert_utf32_to_utf8_into(data, out: np.ndarray) -> int:
+    res, produced = _impl().convert_utf32_to_utf8_with_errors(as_u32(data))
+    return _into(out, produced) if res.is_ok else 0
+
+
+def convert_latin1_to_utf8_into(data, out: np.ndarray) -> int:
+    return _into(out, _impl().convert_latin1_to_utf8(as_u8(data)))
