@@ -169,6 +169,22 @@ def main():
 
         dtc = run_chained(f_count, x2j, int(n2))
         log(f"pallas utf8 count: {nbytes/dtc/1e9:.1f} GB/s")
+
+        from simdutf_tpu.kernels import swar as ksw
+        from simdutf_tpu.kernels.impl import _pad_swar
+
+        x32, _ = _pad_swar(arr)
+        x32j = jax.device_put(x32.copy())
+        x32j.block_until_ready()
+
+        @jax.jit
+        def f_swar(x, n0):
+            def body(i, acc):
+                return acc + ksw.utf8_swar_first_bad_word(x) + i + n0
+            return lax.fori_loop(0, ITERS, body, jnp.int32(0))
+
+        dts = run_chained(f_swar, x32j, 0)
+        log(f"pallas utf8 SWAR validate: {nbytes/dts/1e9:.1f} GB/s")
     except Exception as e:  # pragma: no cover
         log(f"pallas bench skipped: {e}")
 
