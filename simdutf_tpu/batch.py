@@ -1,0 +1,107 @@
+"""Batch API: process many byte strings in one device program.
+
+The reference is a one-buffer-per-call library; serving workloads on TPU
+want the opposite — a batch of documents validated/measured/transcoded in
+a single vmapped program so the chip is fed one large launch instead of
+thousands of small ones. This is the TPU-native extension of the
+reference's "users shard across threads" scaling story
+(benchmarks/threaded.cpp).
+
+Inputs: a list of bytes-like objects. They are packed into one (B, L)
+uint8 matrix (L = padded max length, power-of-two bucketed to keep the jit
+cache small) with a per-row length vector; results come back per-row.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .errors import Result, error_code as ec
+from .ops import utf8 as o8
+from .ops.common import BIG
+from .runtime import staging_buffer, tune_host_allocator
+
+_MIN_L = 256
+
+
+def _pack(items: Sequence[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    tune_host_allocator()
+    arrs = [
+        a if isinstance(a, np.ndarray) else np.frombuffer(memoryview(a), np.uint8)
+        for a in items
+    ]
+    maxlen = max((int(a.shape[0]) for a in arrs), default=1)
+    L = 1 << max(maxlen + 8, _MIN_L).bit_length()
+    B = len(arrs)
+    lens = np.array([a.shape[0] for a in arrs], dtype=np.int32)
+    total = int(lens.sum())
+    # claim the whole matrix as dirty (scattered row writes don't fit the
+    # pool's prefix-watermark model) and zero each row's tail explicitly
+    buf = staging_buffer((B, L), np.uint8, fill_len=B * L)
+    for i, a in enumerate(arrs):
+        k = a.shape[0]
+        buf[i, :k] = a
+        buf[i, k:] = 0
+    return buf, lens
+
+
+_j_validate_batch = jax.jit(jax.vmap(o8.validate_with_errors))
+_j_count_batch = jax.jit(jax.vmap(o8.count_code_points))
+_j_u16len_batch = jax.jit(jax.vmap(o8.utf16_length))
+
+
+def validate_utf8_batch(items: Sequence[bytes]) -> list[Result]:
+    """Per-item validate_utf8_with_errors, one device launch."""
+    if not items:
+        return []
+    buf, lens = _pack(items)
+    codes, poss = (np.asarray(x) for x in _j_validate_batch(buf, lens))
+    return [
+        Result(ec(int(c)), int(p)) for c, p in zip(codes, poss)
+    ]
+
+
+def count_utf8_batch(items: Sequence[bytes]) -> np.ndarray:
+    """Per-item codepoint counts (int64 ndarray), one device launch."""
+    if not items:
+        return np.zeros(0, dtype=np.int64)
+    buf, lens = _pack(items)
+    return np.asarray(_j_count_batch(buf, lens)).astype(np.int64)
+
+
+def utf16_length_from_utf8_batch(items: Sequence[bytes]) -> np.ndarray:
+    if not items:
+        return np.zeros(0, dtype=np.int64)
+    buf, lens = _pack(items)
+    return np.asarray(_j_u16len_batch(buf, lens)).astype(np.int64)
+
+
+_j_transcode_batch = jax.jit(
+    jax.vmap(lambda b, n: o8.to_utf16(b, n, False))
+)
+
+
+def convert_utf8_to_utf16le_batch(
+    items: Sequence[bytes],
+) -> list[tuple[Result, bytes]]:
+    """Per-item validating transcode, one device launch.
+    Returns [(Result, utf16le_bytes)] with the host API's semantics."""
+    if not items:
+        return []
+    buf, lens = _pack(items)
+    codes, poss, outs, out_lens = (
+        np.asarray(x) for x in _j_transcode_batch(buf, lens)
+    )
+    results = []
+    for i in range(len(items)):
+        code, out_len = int(codes[i]), int(out_lens[i])
+        payload = outs[i, :out_len].tobytes()
+        if code == 0:
+            results.append((Result(ec.SUCCESS, out_len), payload))
+        else:
+            results.append((Result(ec(code), int(poss[i])), payload))
+    return results

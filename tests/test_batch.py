@@ -1,0 +1,66 @@
+"""Batch API: one device launch for many strings; per-item parity with the
+single-call API (and hence the oracle)."""
+
+import numpy as np
+import pytest
+
+import helpers
+import oracle
+from simdutf_tpu import batch
+
+
+def _items(seed):
+    out = [
+        b"",
+        b"plain ascii",
+        "héllo 日本 🙂".encode(),
+        b"bad\xff\xfebytes",
+        b"\xed\xa0\x80",
+        helpers.random_utf8(seed, 300, 2, 1, 1, 1),
+        helpers.mutate(helpers.random_utf8(seed + 1, 200, 1, 1, 1, 1), seed, 2),
+    ]
+    return out
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_validate_batch(seed):
+    items = _items(seed)
+    got = batch.validate_utf8_batch(items)
+    for item, r in zip(items, got):
+        assert r == oracle.validate_utf8_with_errors(item), item.hex()
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_count_and_length_batch(seed):
+    items = _items(seed)
+    counts = batch.count_utf8_batch(items)
+    u16 = batch.utf16_length_from_utf8_batch(items)
+    for i, item in enumerate(items):
+        assert counts[i] == oracle.count_utf8(item)
+        assert u16[i] == oracle.utf16_length_from_utf8(item)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_transcode_batch(seed):
+    items = _items(seed)
+    got = batch.convert_utf8_to_utf16le_batch(items)
+    for item, (r, out) in zip(items, got):
+        exp_r, exp_out = oracle.convert_utf8_to_utf16_with_errors(item, False)
+        assert r == exp_r, item.hex()
+        assert out == exp_out
+
+
+def test_batch_no_stale_rows():
+    # a long batch then a short one: pooled matrix must not leak old rows
+    long_items = [b"x" * 500, b"y" * 400]
+    batch.validate_utf8_batch(long_items)
+    short = [b"a", b"\xc3\xa9"]
+    got = batch.validate_utf8_batch(short)
+    assert all(r.is_ok for r in got)
+    counts = batch.count_utf8_batch(short)
+    assert list(counts) == [1, 1]
+
+
+def test_empty_batch():
+    assert batch.validate_utf8_batch([]) == []
+    assert batch.count_utf8_batch([]).shape == (0,)
