@@ -57,6 +57,10 @@ _j_count_u16le = jax.jit(lambda w, n: o16.count_code_points(w, n, False))
 _j_count_u16be = jax.jit(lambda w, n: o16.count_code_points(w, n, True))
 _j_u8len_u16le = jax.jit(lambda w, n: o16.utf8_length(w, n, False))
 _j_u8len_u16be = jax.jit(lambda w, n: o16.utf8_length(w, n, True))
+_j_u16le_to_u8_v = jax.jit(lambda w, n: o16.to_utf8_valid(w, n, False))
+_j_u16be_to_u8_v = jax.jit(lambda w, n: o16.to_utf8_valid(w, n, True))
+_j_u16le_to_u32_v = jax.jit(lambda w, n: o16.to_utf32_valid(w, n, False))
+_j_u16be_to_u32_v = jax.jit(lambda w, n: o16.to_utf32_valid(w, n, True))
 _j_u16le_to_u8 = jax.jit(lambda w, n: o16.to_utf8(w, n, False))
 _j_u16be_to_u8 = jax.jit(lambda w, n: o16.to_utf8(w, n, True))
 _j_u16le_to_u32 = jax.jit(lambda w, n: o16.to_utf32(w, n, False))
@@ -214,6 +218,22 @@ class XLAImplementation(Implementation):
 
     def convert_utf16le_to_utf8_with_errors(self, w):
         return self._convert(_j_u16le_to_u8, w)
+
+    def convert_valid_utf16le_to_utf8(self, w):
+        out, total = _j_u16le_to_u8_v(*_pad(w))
+        return _cut(out, total)
+
+    def convert_valid_utf16be_to_utf8(self, w):
+        out, total = _j_u16be_to_u8_v(*_pad(w))
+        return _cut(out, total)
+
+    def convert_valid_utf16le_to_utf32(self, w):
+        out, total = _j_u16le_to_u32_v(*_pad(w))
+        return _cut(out, total)
+
+    def convert_valid_utf16be_to_utf32(self, w):
+        out, total = _j_u16be_to_u32_v(*_pad(w))
+        return _cut(out, total)
 
     def convert_utf16be_to_utf8_with_errors(self, w):
         return self._convert(_j_u16be_to_u8, w)

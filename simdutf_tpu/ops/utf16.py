@@ -188,3 +188,50 @@ def to_latin1(words: jnp.ndarray, length, big_endian: bool):
         out,
         out_len,
     )
+
+
+def to_utf8_valid(words: jnp.ndarray, length, big_endian: bool):
+    """convert_valid_utf16_to_utf8: skips surrogate validation entirely
+    (reference: per-arch convert_valid kernels). Returns (out u8[3N], total)."""
+    n = words.shape[0]
+    w = native(words, length, big_endian)
+    cp, start = _codepoints(w, length)
+    width = jnp.where(start, 1, 0)
+    width += jnp.where(start & (cp > 0x7F), 1, 0)
+    width += jnp.where(start & (cp > 0x7FF), 1, 0)
+    width += jnp.where(start & (cp > 0xFFFF), 1, 0)
+    off_inc = jnp.cumsum(width)
+    off = off_inc - width
+    total = off_inc[n - 1]
+    cap = 3 * n
+    w1, w2, w3, w4 = width == 1, width == 2, width == 3, width == 4
+    b0 = jnp.where(w1, cp, 0)
+    b0 = jnp.where(w2, (cp >> 6) | 0xC0, b0)
+    b0 = jnp.where(w3, (cp >> 12) | 0xE0, b0)
+    b0 = jnp.where(w4, (cp >> 18) | 0xF0, b0)
+    b1 = jnp.where(w2, (cp & 0x3F) | 0x80, 0)
+    b1 = jnp.where(w3, ((cp >> 6) & 0x3F) | 0x80, b1)
+    b1 = jnp.where(w4, ((cp >> 12) & 0x3F) | 0x80, b1)
+    b2 = jnp.where(w3, (cp & 0x3F) | 0x80, 0)
+    b2 = jnp.where(w4, ((cp >> 6) & 0x3F) | 0x80, b2)
+    b3 = (cp & 0x3F) | 0x80
+    out = jnp.zeros(cap, dtype=jnp.int32)
+    out = out.at[jnp.where(start, off, cap)].set(b0, mode="drop")
+    out = out.at[jnp.where(start & (width >= 2), off + 1, cap)].set(b1, mode="drop")
+    out = out.at[jnp.where(start & (width >= 3), off + 2, cap)].set(b2, mode="drop")
+    out = out.at[jnp.where(start & (width >= 4), off + 3, cap)].set(b3, mode="drop")
+    return out.astype(jnp.uint8), total
+
+
+def to_utf32_valid(words: jnp.ndarray, length, big_endian: bool):
+    n = words.shape[0]
+    w = native(words, length, big_endian)
+    cp, start = _codepoints(w, length)
+    width = start.astype(jnp.int32)
+    off_inc = jnp.cumsum(width)
+    off = off_inc - width
+    total = off_inc[n - 1]
+    out = jnp.zeros(n, dtype=jnp.int32).at[jnp.where(start, off, n)].set(
+        cp, mode="drop"
+    )
+    return out.astype(jnp.uint32), total

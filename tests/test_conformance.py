@@ -343,3 +343,16 @@ def test_bom_prefixed_autodetect(impl_name):
     # utf8 BOM needs length >= 4 (reference quirk, encoding_types.cpp:42)
     assert su.check_bom(b"\xef\xbb\xbf") == su.encoding_type.unspecified
     assert su.check_bom(b"\xef\xbb\xbfa") == su.encoding_type.UTF8
+
+
+@pytest.mark.parametrize("data", UTF16_CASES, ids=_ids(UTF16_CASES))
+def test_utf16_valid_variants(impl_name, data):
+    if not oracle.validate_utf16(data, False):
+        pytest.skip("needs valid input")
+    _, exp8 = oracle.convert_utf16_to_utf8_with_errors(data, False)
+    _, exp32 = oracle.convert_utf16_to_utf32_with_errors(data, False)
+    assert su.convert_valid_utf16le_to_utf8(data) == exp8
+    assert su.convert_valid_utf16le_to_utf32(data) == exp32
+    be = _be(data)
+    assert su.convert_valid_utf16be_to_utf8(be) == exp8
+    assert su.convert_valid_utf16be_to_utf32(be) == exp32
