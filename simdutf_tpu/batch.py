@@ -35,13 +35,13 @@ def _pack(items: Sequence[bytes]) -> tuple[np.ndarray, np.ndarray]:
         for a in items
     ]
     maxlen = max((int(a.shape[0]) for a in arrs), default=1)
-    L = 1 << max(maxlen + 8, _MIN_L).bit_length()
+    L = 1 << (max(maxlen + 8, _MIN_L) - 1).bit_length()
     B = len(arrs)
     lens = np.array([a.shape[0] for a in arrs], dtype=np.int32)
     total = int(lens.sum())
     # claim the whole matrix as dirty (scattered row writes don't fit the
     # pool's prefix-watermark model) and zero each row's tail explicitly
-    buf = staging_buffer((B, L), np.uint8, fill_len=B * L)
+    buf = staging_buffer((B, L), np.uint8, fill_len=B * L, tag="batch")
     for i, a in enumerate(arrs):
         k = a.shape[0]
         buf[i, :k] = a

@@ -22,17 +22,33 @@ from . import utf16_kernels as k16
 from . import swar as ksw
 
 
+def _tile_layout(n: int, width: int, lead_tiles: int, trail_tiles: int,
+                 dtype, tag: str):
+    """Shared bucket/layout computation for all kernel paddings: data
+    padded to a power-of-two multiple of one tile, with ``lead_tiles`` /
+    ``trail_tiles`` zero tiles around it. Returns (buffer, start_elems)."""
+    tile = width * kv.BR
+    minimum = _MIN_BUCKET if dtype == np.uint8 else _MIN_BUCKET // 2
+    need = max(n + 8, minimum)
+    cap = 1 << (need - 1).bit_length()
+    if cap % tile:
+        cap += tile - cap % tile
+    rows = cap // width
+    start = lead_tiles * tile
+    buf = staging_buffer(
+        (rows + (lead_tiles + trail_tiles) * kv.BR, width),
+        dtype,
+        fill_len=start + n,
+        tag=tag,
+    )
+    return buf, start
+
+
 def _pad2d(arr: np.ndarray):
     """uint8 -> ((R+BR, W) zero-padded buffer, length). R is a multiple of
     BR; BR extra zero rows feed the one-tile lookahead input."""
     n = int(arr.shape[0])
-    tile = kv.W * kv.BR
-    need = max(n + 8, _MIN_BUCKET)
-    cap = 1 << (need - 1).bit_length()
-    if cap % tile:
-        cap += tile - cap % tile
-    rows = cap // kv.W
-    out = staging_buffer((rows + kv.BR, kv.W), np.uint8, fill_len=n)
+    out, start = _tile_layout(n, kv.W, 0, 1, np.uint8, "pad2d")
     out.reshape(-1)[:n] = arr
     return out, np.int32(n)
 
@@ -145,18 +161,8 @@ def _pad2d16(arr: np.ndarray):
     """uint16 -> ((BR + R + BR, W16) buffer with zero tiles fore and aft,
     length in units)."""
     n = int(arr.shape[0])
-    tile = k16.W16 * kv.BR
-    need = max(n + 8, _MIN_BUCKET // 2)
-    cap = 1 << (need - 1).bit_length()
-    if cap % tile:
-        cap += tile - cap % tile
-    rows = cap // k16.W16
-    start = kv.BR * k16.W16  # data begins after the leading zero tile
-    out = staging_buffer(
-        (rows + 2 * kv.BR, k16.W16), np.uint16, fill_len=start + n
-    )
-    flat = out.reshape(-1)
-    flat[start : start + n] = arr
+    out, start = _tile_layout(n, k16.W16, 1, 1, np.uint16, "pad2d16")
+    out.reshape(-1)[start : start + n] = arr
     return out, np.int32(n)
 
 
@@ -164,15 +170,7 @@ def _pad_swar(arr: np.ndarray):
     """uint8 -> int32 view (BR + R + BR, 128) with zero tiles fore and aft
     for the SWAR kernel's lane halos."""
     n = int(arr.shape[0])
-    tile = kv.W * kv.BR
-    need = max(n + 8, _MIN_BUCKET)
-    cap = 1 << (need - 1).bit_length()
-    if cap % tile:
-        cap += tile - cap % tile
-    rows = cap // kv.W
-    start = kv.BR * kv.W
-    buf = staging_buffer(
-        (rows + 2 * kv.BR, kv.W), np.uint8, fill_len=start + n
-    )
+    buf, start = _tile_layout(n, kv.W, 1, 1, np.uint8, "swar")
     buf.reshape(-1)[start : start + n] = arr
-    return buf.view(np.int32).reshape(rows + 2 * kv.BR, ksw.W32), np.int32(n)
+    rows = buf.shape[0]
+    return buf.view(np.int32).reshape(rows, ksw.W32), np.int32(n)

@@ -32,7 +32,7 @@ def _bucket(n: int, multiple: int = 4) -> int:
 def _pad(arr: np.ndarray, multiple: int = 4):
     n = int(arr.shape[0])
     cap = _bucket(n, multiple)
-    out = staging_buffer((cap,), arr.dtype, fill_len=n)
+    out = staging_buffer((cap,), arr.dtype, fill_len=n, tag="pad1d")
     out[:n] = arr
     return out, np.int32(n)
 

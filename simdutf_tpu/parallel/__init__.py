@@ -12,7 +12,9 @@ positions offset by shard starts).
 
 from .planner import plan_shards, ShardPlan  # noqa: F401
 from .distributed import (  # noqa: F401
+    gather_utf16,
     make_mesh,
-    validate_utf8_sharded,
+    stage,
     transcode_utf8_to_utf16_sharded,
+    validate_utf8_sharded,
 )

@@ -48,20 +48,26 @@ _tls = threading.local()
 _MAX_POOLED_BYTES = 1 << 31  # don't pool buffers above 2 GiB
 
 
-def staging_buffer(shape: tuple, dtype, fill_len: int = 0) -> np.ndarray:
+def staging_buffer(
+    shape: tuple, dtype, fill_len: int = 0, tag: str = ""
+) -> np.ndarray:
     """A pooled zeroed buffer of (shape, dtype), reused per thread.
 
     The region [fill_len:] is guaranteed zero on return; the caller then
-    writes [:fill_len]. Callers must treat the buffer as borrowed until the
-    next ``staging_buffer`` call with the same key on this thread
-    (device_put / np copies happen immediately in all users).
+    writes [:fill_len]. ``tag`` isolates pool entries between callers with
+    different layout invariants (e.g. leading-halo layouts) — two callers
+    with the same shape but different dirty-region conventions MUST use
+    different tags, or stale bytes leak between them. Callers must treat
+    the buffer as borrowed until the next ``staging_buffer`` call with the
+    same key on this thread (device_put / np copies happen immediately in
+    all users).
     """
     pool = getattr(_tls, "pool", None)
     if pool is None:
         pool = _tls.pool = {}
     shape = tuple(int(s) for s in shape)
     dt = np.dtype(dtype)
-    key = (shape, dt.str)
+    key = (tag, shape, dt.str)
     entry = pool.get(key)
     if entry is None:
         buf = np.zeros(shape, dtype=dt)

@@ -37,3 +37,22 @@ for b0 in range(0xC0, 0xE0, 3):
 def test_swar_matches_oracle_validity(i):
     data = CASES[i]
     assert _ok(data) == oracle.validate_utf8(data), data[:24].hex()
+
+
+def test_no_pool_collision_between_layouts():
+    """Review regression: _pad2d (data at offset 0) and _pad_swar (data
+    after a leading zero tile) must never share a pool buffer — stale lead
+    bytes in the SWAR halo flipped validity both ways."""
+    import simdutf_tpu as su
+
+    su.set_active_implementation("pallas")
+    try:
+        # same bucket shape for both layouts: n=40000 -> (192, 512)-ish
+        b1 = b"A" * 32767 + b"\xe4\xb8\xad" + b"B" * 7000  # lead at 32767 area
+        assert su.count_utf8(b1) == oracle.count_utf8(b1)  # uses _pad2d
+        good = b"plain ascii " * 80
+        assert su.validate_utf8(good)  # uses _pad_swar; halo must be clean
+        bad = b"\x80" + b"x" * 998
+        assert not su.validate_utf8(bad)  # stray continuation must stay bad
+    finally:
+        su.set_active_implementation("fallback")

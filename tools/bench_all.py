@@ -62,7 +62,8 @@ def main() -> int:
         for _ in range(args.iters):
             fn(inp)
         dt = (time.perf_counter() - t0) / args.iters
-        gbps = len(inp) / dt / 1e9
+        nbytes = inp.nbytes if hasattr(inp, "nbytes") else len(inp)
+        gbps = nbytes / dt / 1e9
         results["ops_gbps"][op] = round(gbps, 3)
         print(f"{op:34s} {gbps:8.2f} GB/s", file=sys.stderr, flush=True)
 

