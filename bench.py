@@ -180,7 +180,9 @@ def main():
         @jax.jit
         def f_swar(x, n0):
             def body(i, acc):
-                return acc + ksw.utf8_swar_first_bad_word(x) + i + n0
+                # salt varies per iteration: the kernel call is never
+                # loop-invariant (same discipline as the other loops)
+                return acc + ksw.utf8_swar_first_bad_word(x, n0 - (i & 7)) + i
             return lax.fori_loop(0, ITERS, body, jnp.int32(0))
 
         dts = run_chained(f_swar, x32j, 0)

@@ -55,12 +55,13 @@ def _eq(b, mask, val):
     return _hz((b & _i32(mask * _ONES)) ^ _i32(val * _ONES))
 
 
-def _swar_kernel(x_ref, nxt_ref, prv_ref, out_ref):
+def _swar_kernel(salt_ref, x_ref, nxt_ref, prv_ref, out_ref):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _init():
         out_ref[0, 0] = BIG
+        out_ref[0, 1] = salt_ref[0]
 
     b = x_ref[...]
     _, lane = _iotas(b.shape)
@@ -126,15 +127,21 @@ def _swar_kernel(x_ref, nxt_ref, prv_ref, out_ref):
 
 
 @jax.jit
-def utf8_swar_first_bad_word(x32: jnp.ndarray):
+def utf8_swar_first_bad_word(x32: jnp.ndarray, salt=0):
     """x32: (BR + R + BR, 128) int32 view of the zero-padded byte buffer
     (one zero tile fore and aft). Returns the flattened index of the first
-    int32 word containing an error byte (BIG when fully valid)."""
+    int32 word containing an error byte (BIG when fully valid).
+
+    ``salt`` is echoed through the kernel's scratch output so benchmark
+    loops can make each call's arguments distinct (defeats loop-invariant
+    hoisting / execution caching in remote runtimes); it does not affect
+    the result."""
     grid = (x32.shape[0] - 2 * BR) // BR
     out = pl.pallas_call(
         _swar_kernel,
         grid=(grid,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((BR, W32), lambda i: (i + 1, 0)),
             pl.BlockSpec((8, HALO), lambda i: ((i + 2) * BR // 8, 0)),
             pl.BlockSpec((8, HALO), lambda i: ((i + 1) * BR // 8 - 1, 0)),
@@ -142,5 +149,5 @@ def utf8_swar_first_bad_word(x32: jnp.ndarray):
         out_specs=pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, 2), jnp.int32),
         interpret=_interpret(),
-    )(x32, x32, x32)
+    )(jnp.reshape(jnp.asarray(salt, jnp.int32), (1,)), x32, x32, x32)
     return out[0, 0]
