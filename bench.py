@@ -140,6 +140,25 @@ def main():
         f"{100*sol/dt:.0f}% of roofline)"
     )
 
+    # per-script-mix transcode (the reference reports per-language curves,
+    # doc/utf8utf16.png); same compiled program, different corpora
+    try:
+        sys.path.insert(0, __file__.rsplit("/", 1)[0] + "/tools")
+        import gen_corpus
+
+        for scr in ("ascii", "zh"):
+            sdata = gen_corpus.generate(
+                gen_corpus.PROFILES[scr], CORPUS_BYTES, seed=1
+            )[:CORPUS_BYTES]
+            sarr = np.frombuffer(sdata, np.uint8)
+            sp, sn = oi._pad(sarr)
+            if sp.shape == p.shape:
+                sxj = jax.device_put(sp.copy())
+                sdt = run_chained(f_transcode, sxj, int(sn))
+                log(f"  transcode[{scr}]: {len(sdata)/sdt/1e9:.1f} GB/s in")
+    except Exception as e:  # pragma: no cover
+        log(f"per-script bench skipped: {e}")
+
     @jax.jit
     def f_validate(x, n0):
         def body(i, acc):
