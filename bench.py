@@ -147,9 +147,13 @@ def main():
         import gen_corpus
 
         for scr in ("ascii", "zh"):
-            sdata = gen_corpus.generate(
-                gen_corpus.PROFILES[scr], CORPUS_BYTES, seed=1
-            )[:CORPUS_BYTES]
+            block = gen_corpus.generate(
+                gen_corpus.PROFILES[scr], 1 << 20, seed=1
+            )
+            reps = CORPUS_BYTES // len(block) + 1
+            sdata = (block * reps)[:CORPUS_BYTES]
+            import simdutf_tpu as _su
+            sdata = sdata[: _su.trim_partial_utf8(sdata)]
             sarr = np.frombuffer(sdata, np.uint8)
             sp, sn = oi._pad(sarr)
             if sp.shape == p.shape:
