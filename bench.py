@@ -143,6 +143,8 @@ def main():
     # per-script-mix transcode (the reference reports per-language curves,
     # doc/utf8utf16.png); same compiled program, different corpora
     try:
+        if probe_gbps < 50:
+            raise RuntimeError("device degraded; skipping per-script sweep")
         sys.path.insert(0, __file__.rsplit("/", 1)[0] + "/tools")
         import gen_corpus
 
