@@ -56,3 +56,74 @@ def test_no_pool_collision_between_layouts():
         assert not su.validate_utf8(bad)  # stray continuation must stay bad
     finally:
         su.set_active_implementation("fallback")
+
+
+def _swar_flags_numpy(s: bytes) -> bool:
+    """Byte-level NumPy mirror of the SWAR predicate set (same derivation
+    as kernels/swar.py, without the int32 packing): returns whether any
+    error predicate fires for the zero-padded string."""
+    b = np.frombuffer(s, np.uint8).astype(np.int32)
+    b = np.concatenate([b, np.zeros(4, np.int32)])  # zero tail
+    n = b.shape[0]
+
+    def sh(k):  # b[i+k], zero-filled
+        out = np.zeros(n, np.int32)
+        out[: n - k] = b[k:]
+        return out
+
+    def ph(k):  # b[i-k], zero-filled (zero lead tile)
+        out = np.zeros(n, np.int32)
+        out[k:] = b[: n - k]
+        return out
+
+    cont = (b & 0xC0) == 0x80
+    def lead234(x):
+        return (
+            ((x & 0xE0) == 0xC0) | ((x & 0xF0) == 0xE0) | ((x & 0xF8) == 0xF0)
+        )
+    must = (
+        lead234(ph(1))
+        | (((ph(2) & 0xF0) == 0xE0) | ((ph(2) & 0xF8) == 0xF0))
+        | ((ph(3) & 0xF8) == 0xF0)
+    )
+    err = must ^ cont
+    b1 = sh(1)
+    err |= (b & 0xFE) == 0xC0
+    err |= (b == 0xE0) & ((b1 & 0xE0) == 0x80)
+    err |= (b == 0xED) & ((b1 & 0xE0) == 0xA0)
+    err |= (b == 0xF0) & ((b1 & 0xF0) == 0x80)
+    err |= (b == 0xF4) & ~((b1 & 0xF0) == 0x80)
+    err |= ((b & 0xFC) == 0xF4) & (b != 0xF4)
+    err |= (b & 0xF8) == 0xF8
+    return bool(err.any())
+
+
+def test_swar_formulas_exhaustive_2byte():
+    for b0 in range(256):
+        for b1 in range(256):
+            s = bytes([b0, b1])
+            assert _swar_flags_numpy(s) == (not oracle.validate_utf8(s)), s.hex()
+
+
+def test_swar_formulas_3byte_sampled():
+    probes = (0x00, 0x41, 0x7F, 0x80, 0x8F, 0x90, 0x9F, 0xA0, 0xBF,
+              0xC0, 0xC2, 0xE0, 0xED, 0xF0, 0xF4, 0xFF)
+    for b0 in range(256):
+        for b1 in probes:
+            for b2 in probes:
+                s = bytes([b0, b1, b2])
+                assert _swar_flags_numpy(s) == (
+                    not oracle.validate_utf8(s)
+                ), s.hex()
+
+
+def test_swar_formulas_4byte_leads():
+    probes = (0x7F, 0x80, 0x8F, 0x90, 0xBF, 0xC0)
+    for b0 in (0xF0, 0xF1, 0xF3, 0xF4, 0xF5, 0xF7, 0xF8):
+        for b1 in probes:
+            for b2 in probes:
+                for b3 in probes:
+                    s = bytes([b0, b1, b2, b3])
+                    assert _swar_flags_numpy(s) == (
+                        not oracle.validate_utf8(s)
+                    ), s.hex()
