@@ -105,3 +105,62 @@ def convert_utf8_to_utf16le_batch(
         else:
             results.append((Result(ec(code), int(poss[i])), payload))
     return results
+
+
+from .ops import utf16 as o16  # noqa: E402
+
+_j_validate16_batch = jax.jit(
+    jax.vmap(lambda w, n: o16.validate_with_errors(w, n, False))
+)
+_j_u16_to_u8_batch = jax.jit(jax.vmap(lambda w, n: o16.to_utf8(w, n, False)))
+
+
+def _pack16(items: Sequence[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    tune_host_allocator()
+    arrs = []
+    for a in items:
+        if isinstance(a, np.ndarray) and a.dtype == np.uint16:
+            arrs.append(a)
+        else:
+            raw = np.frombuffer(memoryview(a), np.uint8)
+            if raw.shape[0] % 2:
+                raise ValueError("UTF-16 items must have even byte length")
+            arrs.append(raw.view(np.uint16))
+    maxlen = max((int(a.shape[0]) for a in arrs), default=1)
+    L = 1 << (max(maxlen + 8, _MIN_L) - 1).bit_length()
+    B = len(arrs)
+    lens = np.array([a.shape[0] for a in arrs], dtype=np.int32)
+    buf = staging_buffer((B, L), np.uint16, fill_len=B * L, tag="batch16")
+    for i, a in enumerate(arrs):
+        k = a.shape[0]
+        buf[i, :k] = a
+        buf[i, k:] = 0
+    return buf, lens
+
+
+def validate_utf16le_batch(items: Sequence[bytes]) -> list[Result]:
+    if not items:
+        return []
+    buf, lens = _pack16(items)
+    codes, poss = (np.asarray(x) for x in _j_validate16_batch(buf, lens))
+    return [Result(ec(int(c)), int(p)) for c, p in zip(codes, poss)]
+
+
+def convert_utf16le_to_utf8_batch(
+    items: Sequence[bytes],
+) -> list[tuple[Result, bytes]]:
+    if not items:
+        return []
+    buf, lens = _pack16(items)
+    codes, poss, outs, out_lens = (
+        np.asarray(x) for x in _j_u16_to_u8_batch(buf, lens)
+    )
+    results = []
+    for i in range(len(items)):
+        code, out_len = int(codes[i]), int(out_lens[i])
+        payload = outs[i, :out_len].tobytes()
+        if code == 0:
+            results.append((Result(ec.SUCCESS, out_len), payload))
+        else:
+            results.append((Result(ec(code), int(poss[i])), payload))
+    return results

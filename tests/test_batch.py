@@ -64,3 +64,21 @@ def test_batch_no_stale_rows():
 def test_empty_batch():
     assert batch.validate_utf8_batch([]) == []
     assert batch.count_utf8_batch([]).shape == (0,)
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_utf16_batch(seed):
+    items = [
+        b"",
+        "plain".encode("utf-16-le"),
+        "héllo 𝄞".encode("utf-16-le"),
+        np.array([0x41, 0xD800, 0x42], dtype=np.uint16).tobytes(),
+        helpers.random_utf16(seed, 100, 2, 1),
+    ]
+    got = batch.validate_utf16le_batch(items)
+    for item, r in zip(items, got):
+        assert r == oracle.validate_utf16_with_errors(item, False), item.hex()
+    pairs = batch.convert_utf16le_to_utf8_batch(items)
+    for item, (r, out) in zip(items, pairs):
+        exp_r, exp_out = oracle.convert_utf16_to_utf8_with_errors(item, False)
+        assert (r, out) == (exp_r, exp_out)
