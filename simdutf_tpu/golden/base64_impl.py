@@ -55,10 +55,15 @@ _ENC_URL = np.frombuffer(_URL, dtype=np.uint8)
 
 
 def value_table(options: int) -> np.ndarray:
-    key = options
-    if key in (2, 3):  # reverse-padding modifiers share the base alphabet
-        key = options & BASE64_URL
-    return _TABLES.get(key, _TABLES[options & (BASE64_URL | BASE64_DEFAULT_OR_URL)])
+    """Resolve by bit semantics like the reference's table selection
+    (scalar/base64.h:43-47): default_or_url bit wins, then the url bit;
+    modifier bits (reverse padding, accept_garbage) don't change the
+    alphabet."""
+    if options & BASE64_DEFAULT_OR_URL:
+        return _TABLES[8]
+    if options & BASE64_URL:
+        return _TABLES[1]
+    return _TABLES[0]
 
 
 def ignore_garbage(options: int) -> bool:

@@ -29,6 +29,7 @@ def _tables():
 
 
 _TABLE_CACHE = None
+_ALPHA_CACHE = None
 
 
 def table_for(options: int) -> jnp.ndarray:
@@ -38,6 +39,19 @@ def table_for(options: int) -> jnp.ndarray:
     if options & gb.BASE64_DEFAULT_OR_URL:
         return _TABLE_CACHE[8]
     return _TABLE_CACHE[options & gb.BASE64_URL]
+
+
+def alphabet_for(options: int) -> jnp.ndarray:
+    """Device-resident encode alphabet, cached (decode tables likewise)."""
+    global _ALPHA_CACHE
+    import numpy as np
+
+    if _ALPHA_CACHE is None:
+        _ALPHA_CACHE = {
+            0: jnp.asarray(np.frombuffer(gb._STD, dtype=np.uint8)),
+            1: jnp.asarray(np.frombuffer(gb._URL, dtype=np.uint8)),
+        }
+    return _ALPHA_CACHE[options & gb.BASE64_URL]
 
 
 def decode_bulk(chars: jnp.ndarray, length, table: jnp.ndarray):

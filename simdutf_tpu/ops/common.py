@@ -33,13 +33,3 @@ def zero_tail(b: jnp.ndarray, length) -> jnp.ndarray:
     idx = positions(b.shape[0])
     return jnp.where(idx < length, b, 0)
 
-
-def min_event(*pairs):
-    """Combine (pos, code) event summaries; earliest position wins.
-    Positions are guaranteed distinct across sources by construction."""
-    pos, code = pairs[0]
-    for p, c in pairs[1:]:
-        take = p < pos
-        code = jnp.where(take, c, code)
-        pos = jnp.minimum(pos, p)
-    return pos, code

@@ -313,28 +313,33 @@ class XLAImplementation(Implementation):
     def base64_to_binary_details(self, src, options=0, last_chunk=gb.LOOSE):
         garbage = gb.ignore_garbage(options)
         tab_np = gb.value_table(options)
-        codes_np = gb._codes(src, tab_np)
         eq = ord("=")
         empty = np.zeros(0, dtype=np.uint8)
+
+        def code_at(i: int) -> int:
+            c = int(src[i])
+            if c != (c & 0xFF):
+                return 255
+            return int(tab_np[c & 0xFF])
 
         srclen = int(src.shape[0])
         equallocation = srclen
         equalsigns = 0
         if not garbage:
-            # prologue strip (generic/base64.h:50-73), vectorized: ``sig``
-            # holds indices of non-space chars; '=' stripping walks it
-            # backward at most twice.
-            sig = np.flatnonzero(codes_np != 64)
-            k = int(sig.shape[0])
-            srclen = int(sig[k - 1]) + 1 if k else 0
-            for _ in range(2):
+            # prologue strip (generic/base64.h:50-73): O(trailing chars)
+            # backward scan — never classify the whole input on the host
+            while srclen > 0 and code_at(srclen - 1) == 64:
+                srclen -= 1
+            if srclen > 0 and int(src[srclen - 1]) == eq:
+                equallocation = srclen - 1
+                srclen -= 1
+                equalsigns = 1
+                while srclen > 0 and code_at(srclen - 1) == 64:
+                    srclen -= 1
                 if srclen > 0 and int(src[srclen - 1]) == eq:
                     equallocation = srclen - 1
-                    equalsigns += 1
-                    k -= 1
-                    srclen = int(sig[k - 1]) + 1 if k else 0
-                else:
-                    break
+                    srclen -= 1
+                    equalsigns = 2
         if srclen == 0:
             if not garbage and equalsigns > 0:
                 if last_chunk == gb.STRICT:
@@ -416,11 +421,7 @@ class XLAImplementation(Implementation):
     def binary_to_base64(self, src, options=0):
         n = int(src.shape[0])
         nfull = n // 3 * 3
-        alpha = jnp.asarray(
-            np.frombuffer(
-                gb._URL if (options & gb.BASE64_URL) else gb._STD, dtype=np.uint8
-            )
-        )
+        alpha = base64_ops.alphabet_for(options)
         p, _ = _pad(src[:nfull], multiple=3)
         body = np.asarray(_j_b64_encode(p, np.int32(nfull), alpha))[: nfull // 3 * 4]
         tail = gb.encode(src[nfull:], options)

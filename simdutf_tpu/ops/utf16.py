@@ -98,27 +98,16 @@ def _codepoints(w: jnp.ndarray, length):
     return cp, start
 
 
-def to_utf8(words: jnp.ndarray, length, big_endian: bool):
-    """Returns (err_code, err_pos, out u8[3N], out_len)."""
-    n = words.shape[0]
-    w = native(words, length, big_endian)
-    err_pos, err_code = first_error(w, length)
-    ok = err_pos == BIG
 
-    cp, start = _codepoints(w, length)
-    width = jnp.where(start, 1, 0)
-    width += jnp.where(start & (cp > 0x7F), 1, 0)
-    width += jnp.where(start & (cp > 0x7FF), 1, 0)
-    width += jnp.where(start & (cp > 0xFFFF), 1, 0)
+
+def _emit_utf8(cp, start, width, n):
+    """Scatter UTF-8 bytes for per-unit codepoints: shared by the
+    validating and valid-only converters. Returns (out u8[3n], total)."""
     off_inc = jnp.cumsum(width)
     off = off_inc - width
     total = off_inc[n - 1]
-
     cap = 3 * n
-    w1 = width == 1
-    w2 = width == 2
-    w3 = width == 3
-    w4 = width == 4
+    w1, w2, w3, w4 = width == 1, width == 2, width == 3, width == 4
     b0 = jnp.where(w1, cp, 0)
     b0 = jnp.where(w2, (cp >> 6) | 0xC0, b0)
     b0 = jnp.where(w3, (cp >> 12) | 0xE0, b0)
@@ -129,19 +118,37 @@ def to_utf8(words: jnp.ndarray, length, big_endian: bool):
     b2 = jnp.where(w3, (cp & 0x3F) | 0x80, 0)
     b2 = jnp.where(w4, ((cp >> 6) & 0x3F) | 0x80, b2)
     b3 = (cp & 0x3F) | 0x80
-
     out = jnp.zeros(cap, dtype=jnp.int32)
     out = out.at[jnp.where(start, off, cap)].set(b0, mode="drop")
     out = out.at[jnp.where(start & (width >= 2), off + 1, cap)].set(b1, mode="drop")
     out = out.at[jnp.where(start & (width >= 3), off + 2, cap)].set(b2, mode="drop")
     out = out.at[jnp.where(start & (width >= 4), off + 3, cap)].set(b3, mode="drop")
+    return out.astype(jnp.uint8), off, total
 
+
+def _utf8_widths(cp, start):
+    width = jnp.where(start, 1, 0)
+    width += jnp.where(start & (cp > 0x7F), 1, 0)
+    width += jnp.where(start & (cp > 0x7FF), 1, 0)
+    width += jnp.where(start & (cp > 0xFFFF), 1, 0)
+    return width
+
+def to_utf8(words: jnp.ndarray, length, big_endian: bool):
+    """Returns (err_code, err_pos, out u8[3N], out_len)."""
+    n = words.shape[0]
+    w = native(words, length, big_endian)
+    err_pos, err_code = first_error(w, length)
+    ok = err_pos == BIG
+
+    cp, start = _codepoints(w, length)
+    width = _utf8_widths(cp, start)
+    out, off, total = _emit_utf8(cp, start, width, n)
     clamped = jnp.minimum(err_pos, n - 1)
     out_len = jnp.where(ok, total, jnp.where(err_pos == 0, 0, off[clamped]))
     return (
         jnp.where(ok, 0, err_code),
         jnp.where(ok, length, err_pos),
-        out.astype(jnp.uint8),
+        out,
         out_len,
     )
 
@@ -196,31 +203,9 @@ def to_utf8_valid(words: jnp.ndarray, length, big_endian: bool):
     n = words.shape[0]
     w = native(words, length, big_endian)
     cp, start = _codepoints(w, length)
-    width = jnp.where(start, 1, 0)
-    width += jnp.where(start & (cp > 0x7F), 1, 0)
-    width += jnp.where(start & (cp > 0x7FF), 1, 0)
-    width += jnp.where(start & (cp > 0xFFFF), 1, 0)
-    off_inc = jnp.cumsum(width)
-    off = off_inc - width
-    total = off_inc[n - 1]
-    cap = 3 * n
-    w1, w2, w3, w4 = width == 1, width == 2, width == 3, width == 4
-    b0 = jnp.where(w1, cp, 0)
-    b0 = jnp.where(w2, (cp >> 6) | 0xC0, b0)
-    b0 = jnp.where(w3, (cp >> 12) | 0xE0, b0)
-    b0 = jnp.where(w4, (cp >> 18) | 0xF0, b0)
-    b1 = jnp.where(w2, (cp & 0x3F) | 0x80, 0)
-    b1 = jnp.where(w3, ((cp >> 6) & 0x3F) | 0x80, b1)
-    b1 = jnp.where(w4, ((cp >> 12) & 0x3F) | 0x80, b1)
-    b2 = jnp.where(w3, (cp & 0x3F) | 0x80, 0)
-    b2 = jnp.where(w4, ((cp >> 6) & 0x3F) | 0x80, b2)
-    b3 = (cp & 0x3F) | 0x80
-    out = jnp.zeros(cap, dtype=jnp.int32)
-    out = out.at[jnp.where(start, off, cap)].set(b0, mode="drop")
-    out = out.at[jnp.where(start & (width >= 2), off + 1, cap)].set(b1, mode="drop")
-    out = out.at[jnp.where(start & (width >= 3), off + 2, cap)].set(b2, mode="drop")
-    out = out.at[jnp.where(start & (width >= 4), off + 3, cap)].set(b3, mode="drop")
-    return out.astype(jnp.uint8), total
+    width = _utf8_widths(cp, start)
+    out, _, total = _emit_utf8(cp, start, width, n)
+    return out, total
 
 
 def to_utf32_valid(words: jnp.ndarray, length, big_endian: bool):

@@ -168,6 +168,27 @@ def utf16_length(b: jnp.ndarray, length):
     return jnp.sum(((b & 0xC0) != 0x80) & in_r) + jnp.sum((b >= 0xF0) & in_r)
 
 
+
+
+def _emit_utf16_units(cp, lead, lead4, n, big_endian: bool):
+    """Scatter UTF-16 units for per-lead codepoints (unit1 goes to off+1
+    for astral chars); shared by validating and valid-only converters.
+    Returns (out u16[n], off, total)."""
+    width = jnp.where(lead, jnp.where(lead4, 2, 1), 0)
+    off_inc = jnp.cumsum(width)
+    off = off_inc - width
+    total = off_inc[n - 1]
+    cpx = cp - 0x10000
+    unit0 = jnp.where(cp > 0xFFFF, 0xD800 + (cpx >> 10), cp)
+    unit1 = 0xDC00 + (cpx & 0x3FF)
+    if big_endian:
+        unit0 = ((unit0 << 8) | (unit0 >> 8)) & 0xFFFF
+        unit1 = ((unit1 << 8) | (unit1 >> 8)) & 0xFFFF
+    out = jnp.zeros(n, dtype=jnp.int32)
+    out = out.at[jnp.where(lead, off, n)].set(unit0, mode="drop")
+    out = out.at[jnp.where(lead & lead4, off + 1, n)].set(unit1, mode="drop")
+    return out.astype(jnp.uint16), off, total
+
 def to_utf16(b: jnp.ndarray, length, big_endian: bool):
     """Validating transcode, classify -> scan -> scatter.
 
@@ -182,26 +203,9 @@ def to_utf16(b: jnp.ndarray, length, big_endian: bool):
     ok = err_pos == BIG
 
     lead = cls["lead"] & (idx < length)
-    cp = cls["cp"]
-    width = jnp.where(lead, jnp.where(cls["lead4"], 2, 1), 0)
-    off_inc = jnp.cumsum(width)
-    off = off_inc - width  # exclusive
-    total = off_inc[n - 1]
-
-    cpx = cp - 0x10000
-    unit0 = jnp.where(cp > 0xFFFF, 0xD800 + (cpx >> 10), cp)
-    unit1 = 0xDC00 + (cpx & 0x3FF)
-    if big_endian:
-        unit0 = ((unit0 << 8) | (unit0 >> 8)) & 0xFFFF
-        unit1 = ((unit1 << 8) | (unit1 >> 8)) & 0xFFFF
-
-    tgt0 = jnp.where(lead, off, n)
-    tgt1 = jnp.where(lead & cls["lead4"], off + 1, n)
-    out = jnp.zeros(n, dtype=jnp.int32)
-    out = out.at[tgt0].set(unit0, mode="drop")
-    out = out.at[tgt1].set(unit1, mode="drop")
-    out = out.astype(jnp.uint16)
-
+    out, off, total = _emit_utf16_units(
+        cls["cp"], lead, cls["lead4"], n, big_endian
+    )
     # on error, units written = offset at the error position
     clamped = jnp.minimum(err_pos, n - 1)
     out_len = jnp.where(ok, total, jnp.where(err_pos == 0, 0, off[clamped]))
@@ -295,21 +299,10 @@ def to_utf16_valid(b: jnp.ndarray, length, big_endian: bool):
     idx = positions(n)
     cls = classify(b, length)
     lead = cls["lead"] & (idx < length)
-    cp = cls["cp"]
-    width = jnp.where(lead, jnp.where(cls["lead4"], 2, 1), 0)
-    off_inc = jnp.cumsum(width)
-    off = off_inc - width
-    total = off_inc[n - 1]
-    cpx = cp - 0x10000
-    unit0 = jnp.where(cp > 0xFFFF, 0xD800 + (cpx >> 10), cp)
-    unit1 = 0xDC00 + (cpx & 0x3FF)
-    if big_endian:
-        unit0 = ((unit0 << 8) | (unit0 >> 8)) & 0xFFFF
-        unit1 = ((unit1 << 8) | (unit1 >> 8)) & 0xFFFF
-    out = jnp.zeros(n, dtype=jnp.int32)
-    out = out.at[jnp.where(lead, off, n)].set(unit0, mode="drop")
-    out = out.at[jnp.where(lead & cls["lead4"], off + 1, n)].set(unit1, mode="drop")
-    return out.astype(jnp.uint16), total
+    out, _, total = _emit_utf16_units(
+        cls["cp"], lead, cls["lead4"], n, big_endian
+    )
+    return out, total
 
 
 def to_utf32_valid(b: jnp.ndarray, length):

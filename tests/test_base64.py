@@ -116,3 +116,15 @@ def test_base64_char16_input(impl_name):
     arr_bad[2] = 0x141  # non-8-bit char whose low byte is 'A'
     res, _ = su.base64_to_binary(arr_bad)
     assert res.error == su.error_code.INVALID_BASE64_CHARACTER and res.count == 2
+
+
+def test_base64_combined_option_values(impl_name):
+    """Review regression: bit-combination option values (9, 11, 13) must
+    resolve by bit semantics, not crash (scalar/base64.h:43-47)."""
+    for options in (9, 11, 2, 3, 6, 7):
+        res, out = su.base64_to_binary(b"AA__", options)
+        # default_or_url bit set (8|1=9, 8|2|1=11): '_' is valid
+        if options & 8:
+            assert res.is_ok, options
+        res2, out2 = su.base64_to_binary(b"aGVsbG8=", options)
+        assert res2.is_ok and out2 == b"hello", options
