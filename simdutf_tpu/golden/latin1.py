@@ -23,7 +23,7 @@ def utf32_length(b: np.ndarray) -> int:
 def convert_to_utf8(b: np.ndarray) -> np.ndarray:
     w = b.astype(np.int32)
     hi = w >= 0x80
-    width = 1 + hi.astype(np.int64)
+    width = 1 + hi.astype(np.int32)
     total = int(width.sum())
     off = np.cumsum(width) - width
     out = np.zeros(total, dtype=np.int32)

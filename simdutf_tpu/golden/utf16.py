@@ -14,7 +14,7 @@ import numpy as np
 
 from ..errors import Result, error_code as ec
 
-_NO_ERROR = np.iinfo(np.int64).max
+_NO_ERROR = np.iinfo(np.int32).max
 
 
 def _native(words: np.ndarray, big_endian: bool) -> np.ndarray:
@@ -129,10 +129,10 @@ def convert_to_utf8_with_errors(words: np.ndarray, big_endian: bool):
     wv = w[:upto]
     cp, start = _utf16_cps(wv)
     cps = cp[start]
-    width = np.ones(cps.shape[0], dtype=np.int64)
-    width += (cps > 0x7F).astype(np.int64)
-    width += (cps > 0x7FF).astype(np.int64)
-    width += (cps > 0xFFFF).astype(np.int64)
+    width = np.ones(cps.shape[0], dtype=np.int32)
+    width += (cps > 0x7F).astype(np.int32)
+    width += (cps > 0x7FF).astype(np.int32)
+    width += (cps > 0xFFFF).astype(np.int32)
     out = _emit_utf8(cps, width)
     if pos == _NO_ERROR:
         return Result(ec.SUCCESS, int(out.shape[0])), out

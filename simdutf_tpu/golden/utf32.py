@@ -9,7 +9,7 @@ import numpy as np
 from ..errors import Result, error_code as ec
 from .utf16 import _emit_utf8
 
-_NO_ERROR = np.iinfo(np.int64).max
+_NO_ERROR = np.iinfo(np.int32).max
 
 
 def first_error(w: np.ndarray) -> tuple[int, int]:
@@ -67,10 +67,10 @@ def convert_to_utf8_with_errors(words: np.ndarray):
     pos, code = first_error(w)
     upto = int(w.shape[0]) if pos == _NO_ERROR else pos
     wv = w[:upto]
-    width = np.ones(upto, dtype=np.int64)
-    width += (wv > 0x7F).astype(np.int64)
-    width += (wv > 0x7FF).astype(np.int64)
-    width += (wv > 0xFFFF).astype(np.int64)
+    width = np.ones(upto, dtype=np.int32)
+    width += (wv > 0x7F).astype(np.int32)
+    width += (wv > 0x7FF).astype(np.int32)
+    width += (wv > 0xFFFF).astype(np.int32)
     out = _emit_utf8(wv, width)
     if pos == _NO_ERROR:
         return Result(ec.SUCCESS, int(out.shape[0])), out
@@ -85,7 +85,7 @@ def convert_to_utf16_with_errors(words: np.ndarray, big_endian: bool):
     upto = int(w.shape[0]) if pos == _NO_ERROR else pos
     wv = w[:upto]
     is4 = wv > 0xFFFF
-    units = 1 + is4.astype(np.int64)
+    units = 1 + is4.astype(np.int32)
     total = int(units.sum())
     off = np.cumsum(units) - units
     out = np.zeros(total, dtype=np.uint32)
