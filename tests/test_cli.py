@@ -65,3 +65,14 @@ def test_codec_fallback():
     r = run_cli(["-f", "cp1251", "-t", "UTF-8"], "привет".encode("cp1251"))
     assert r.returncode == 0
     assert r.stdout == "привет".encode()
+
+
+def test_base64_encode_decode_modes(tmp_path):
+    r = run_cli(["--base64-encode"], b"hello world")
+    assert r.returncode == 0 and r.stdout == b"aGVsbG8gd29ybGQ="
+    r = run_cli(["--base64-decode"], b"aGVsbG8gd29ybGQ=")
+    assert r.returncode == 0 and r.stdout == b"hello world"
+    r = run_cli(["--base64-encode", "--url"], b"\xfb\xff")
+    assert r.returncode == 0 and r.stdout == b"-_8"
+    r = run_cli(["--base64-decode"], b"abc$")
+    assert r.returncode == 1 and b"INVALID_BASE64_CHARACTER" in r.stderr
