@@ -90,11 +90,16 @@ class PallasImplementation(XLAImplementation):
         return Result(ec(code), pos)
 
     def validate_ascii_with_errors(self, b):
-        x2d, n = _pad2d(b)
-        pos = int(kv.ascii_first_bad(x2d))
-        if pos >= int(n):  # padding is zero, so any hit past n is impossible,
-            return Result(ec.SUCCESS, int(n))  # but keep the guard symmetric
-        return Result(ec.TOO_LARGE, pos)
+        x32, n = _pad_swar(b)
+        word = int(ksw.ascii_swar_first_bad_word(x32))
+        if word == ksw.BIG:
+            return Result(ec.SUCCESS, int(n))
+        # exact byte within the flagged word, from the host copy
+        base = word * 4
+        for k in range(4):
+            if base + k < int(n) and int(b[base + k]) >= 0x80:
+                return Result(ec.TOO_LARGE, base + k)
+        return Result(ec.SUCCESS, int(n))  # unreachable (zero padding)
 
     def validate_ascii(self, b):
         return self.validate_ascii_with_errors(b).is_ok

@@ -151,3 +151,41 @@ def utf8_swar_first_bad_word(x32: jnp.ndarray, salt=0):
         interpret=_interpret(),
     )(jnp.reshape(jnp.asarray(salt, jnp.int32), (1,)), x32, x32, x32)
     return out[0, 0]
+
+
+def _ascii_swar_kernel(x_ref, out_ref):
+    """First int32 word containing a non-ASCII byte (high-bit OR-reduce:
+    one op per 4 bytes vs 3-4 in the widened kernel)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        out_ref[0, 0] = BIG
+
+    b = x_ref[...]
+    from .validate import _iotas as _io
+
+    row, lane = _io(b.shape)
+    hit = (b & _HIGH) != 0
+    pos = jnp.min(jnp.where(hit, (i * BR + row) * W32 + lane, BIG))
+
+    @pl.when(pos < out_ref[0, 0])
+    def _update():
+        out_ref[0, 0] = pos
+
+
+@jax.jit
+def ascii_swar_first_bad_word(x32: jnp.ndarray):
+    """x32: (BR + R + BR, 128) int32 view (same layout as the utf8 SWAR
+    buffer). Returns the first word index with a non-ASCII byte (BIG when
+    pure ASCII)."""
+    grid = (x32.shape[0] - 2 * BR) // BR
+    out = pl.pallas_call(
+        _ascii_swar_kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((BR, W32), lambda i: (i + 1, 0))],
+        out_specs=pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 2), jnp.int32),
+        interpret=_interpret(),
+    )(x32)
+    return out[0, 0]
