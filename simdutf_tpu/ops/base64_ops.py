@@ -54,16 +54,36 @@ def alphabet_for(options: int) -> jnp.ndarray:
     return _ALPHA_CACHE[options & gb.BASE64_URL]
 
 
-def decode_bulk(chars: jnp.ndarray, length, table: jnp.ndarray):
+def classify_chars(c: jnp.ndarray, url: bool, both: bool) -> jnp.ndarray:
+    """Range-compare classification (no table gather — per-element gathers
+    over a 256-entry table vectorize poorly on TPU). Matches the
+    to_base64* value tables (src/tables/base64_tables.h): 0..63 alphabet
+    value, 64 ASCII space, 255 invalid."""
+    v = jnp.full_like(c, 255)
+    v = jnp.where((c >= 65) & (c <= 90), c - 65, v)  # A-Z
+    v = jnp.where((c >= 97) & (c <= 122), c - 71, v)  # a-z
+    v = jnp.where((c >= 48) & (c <= 57), c + 4, v)  # 0-9
+    if both or not url:
+        v = jnp.where(c == 43, 62, v)  # '+'
+        v = jnp.where(c == 47, 63, v)  # '/'
+    if both or url:
+        v = jnp.where(c == 45, 62, v)  # '-'
+        v = jnp.where(c == 95, 63, v)  # '_'
+    for sp in (32, 9, 10, 13, 12):
+        v = jnp.where(c == sp, 64, v)
+    return v
+
+
+def decode_bulk(chars: jnp.ndarray, length, url: bool, both: bool):
     """chars: padded uint8[N] (N % 4 == 0) or uint16 for char16 input."""
     n = chars.shape[0]
     idx = positions(n)
     in_r = idx < length
     if chars.dtype == jnp.uint16:
         c = chars.astype(jnp.int32)
-        codes = jnp.where(c > 0xFF, 255, table[c & 0xFF].astype(jnp.int32))
+        codes = jnp.where(c > 0xFF, 255, classify_chars(c & 0xFF, url, both))
     else:
-        codes = table[chars].astype(jnp.int32)
+        codes = classify_chars(chars.astype(jnp.int32), url, both)
 
     valid = (codes <= 63) & in_r
     invalid = (codes > 64) & in_r

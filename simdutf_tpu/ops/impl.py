@@ -86,7 +86,9 @@ _j_l1_to_u16be = jax.jit(lambda b, n: ol1.to_utf16(b, n, True))
 _j_l1_to_u32 = jax.jit(ol1.to_utf32)
 
 _j_detect = jax.jit(odet.detect_encodings)
-_j_b64_decode = jax.jit(base64_ops.decode_bulk)
+_j_b64_decode = jax.jit(
+    base64_ops.decode_bulk, static_argnames=("url", "both")
+)
 _j_b64_encode = jax.jit(base64_ops.encode_bulk)
 
 
@@ -353,9 +355,13 @@ class XLAImplementation(Implementation):
             return FullResult(ec.SUCCESS, 0, 0), empty
 
         p, _ = _pad(src[:srclen])
-        table = base64_ops.table_for(options)
         first_bad, nvalid, nvalid_at_bad, packed, tail_vals, tail_start = (
-            _j_b64_decode(p, np.int32(srclen), table)
+            _j_b64_decode(
+                p,
+                np.int32(srclen),
+                url=bool(options & gb.BASE64_URL),
+                both=bool(options & gb.BASE64_DEFAULT_OR_URL),
+            )
         )
         first_bad = int(first_bad)
         nvalid = int(nvalid)
