@@ -80,14 +80,37 @@ class PallasImplementation(XLAImplementation):
         return int(ksw.utf8_swar_first_bad_word(x32)) == ksw.BIG
 
     def validate_utf8_with_errors(self, b):
-        if self.validate_utf8(b):
-            return Result(ec.SUCCESS, int(b.shape[0]))
-        x2d, n = _pad2d(b)
+        """SWAR flag -> exact (code, pos) from a tiny host window around the
+        flagged word — the reference's rewind-and-revalidate trick
+        (scalar/utf8.h:207-228) at word scale. The first scalar-machine
+        error lies within 4 bytes of the first SWAR-flagged word (every
+        SWAR predicate reads <= 4 bytes of context), so a [flag-8, flag+16)
+        window whose start is snapped back to a lead byte reproduces the
+        global first error exactly; spurious truncation events at the
+        window's end lie beyond it and lose the min."""
+        x32, n = _pad_swar(b)
+        word = int(ksw.utf8_swar_first_bad_word(x32))
+        n = int(n)
+        if word == ksw.BIG:
+            return Result(ec.SUCCESS, n)
+        fb = word * 4
+        start = max(fb - 8, 0)
+        back = 0
+        while start > 0 and back < 3 and (int(b[start]) & 0xC0) == 0x80:
+            start -= 1
+            back += 1
+        window = b[start : min(fb + 16, n)]
+        from ..golden import utf8 as g8
+
+        res = g8.validate_with_errors(window)
+        if res.is_err:
+            return Result(res.error, start + res.count)
+        # safety net (should be unreachable): full exact kernel
+        x2d, n2 = _pad2d(b)
         pos, code = kv.utf8_first_event(x2d)
-        pos, code = int(pos), int(code)
-        if pos == kv.BIG:  # unreachable unless tiers disagree
-            return Result(ec.SUCCESS, int(n))
-        return Result(ec(code), pos)
+        if int(pos) == kv.BIG:
+            return Result(ec.SUCCESS, n)
+        return Result(ec(int(code)), int(pos))
 
     def validate_ascii_with_errors(self, b):
         x32, n = _pad_swar(b)
