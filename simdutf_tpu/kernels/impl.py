@@ -138,10 +138,38 @@ class PallasImplementation(XLAImplementation):
 
     # -- UTF-16 (pallas kernels) ---------------------------------------------
     def _v16(self, w, be):
-        x2d, n = _pad2d16(w)
+        """SWAR check (2 units/word) + exact position from a tiny host
+        window around the flagged word (surrogate context is 1 unit, so
+        the scalar machine's first error is inside [flag*2-4, flag*2+8);
+        the start snaps back one unit when it would split a pair)."""
+        x32, n = _pad_swar16(w)
+        word = int(ksw.utf16_swar_first_bad_word(x32, be=be))
+        n = int(n)
+        if word == ksw.BIG:
+            return Result(ec.SUCCESS, n)
+        fb = word * 2
+        start = max(fb - 4, 0)
+        # avoid splitting a surrogate pair at the window start
+        if start > 0:
+            u = int(w[start]) if not be else int(
+                ((int(w[start]) << 8) | (int(w[start]) >> 8)) & 0xFFFF
+            )
+            pu = int(w[start - 1]) if not be else int(
+                ((int(w[start - 1]) << 8) | (int(w[start - 1]) >> 8)) & 0xFFFF
+            )
+            if (u & 0xFC00) == 0xDC00 and (pu & 0xFC00) == 0xD800:
+                start -= 1
+        window = w[start : min(fb + 8, n)]
+        from ..golden import utf16 as g16w
+
+        res = g16w.validate_with_errors(window, big_endian=be)
+        if res.is_err:
+            return Result(res.error, start + res.count)
+        # safety net: exact kernel over the full buffer
+        x2d, _ = _pad2d16(w)
         pos = int(k16.utf16_first_bad(x2d, be))
-        if pos >= int(n):
-            return Result(ec.SUCCESS, int(n))
+        if pos >= n:
+            return Result(ec.SUCCESS, n)
         return Result(ec.SURROGATE, pos)
 
     def validate_utf16le_with_errors(self, w):
@@ -199,6 +227,16 @@ def _pad_swar(arr: np.ndarray):
     for the SWAR kernel's lane halos."""
     n = int(arr.shape[0])
     buf, start = _tile_layout(n, kv.W, 1, 1, np.uint8, "swar")
+    buf.reshape(-1)[start : start + n] = arr
+    rows = buf.shape[0]
+    return buf.view(np.int32).reshape(rows, ksw.W32), np.int32(n)
+
+
+def _pad_swar16(arr: np.ndarray):
+    """uint16 -> int32 view (BR + R + BR, 128) with zero tiles fore and
+    aft for the UTF-16 SWAR kernel (2 units per word)."""
+    n = int(arr.shape[0])
+    buf, start = _tile_layout(n, k16.W16, 1, 1, np.uint16, "swar16")
     buf.reshape(-1)[start : start + n] = arr
     rows = buf.shape[0]
     return buf.view(np.int32).reshape(rows, ksw.W32), np.int32(n)

@@ -189,3 +189,107 @@ def ascii_swar_first_bad_word(x32: jnp.ndarray):
         interpret=_interpret(),
     )(x32)
     return out[0, 0]
+
+
+# ---------------------------------------------------------------------------
+# UTF-16 SWAR: two code units per int32 word (halfword predicates via the
+# 16-bit zero-detect analog of the byte trick).
+
+_HONES = 0x00010001
+_HHIGH = _i32(0x80008000)
+
+
+def _hz16(v):
+    return (v - _HONES) & ~v & _HHIGH
+
+
+def _eq16(w, mask, val):
+    return _hz16((w & _i32(mask * _HONES)) ^ _i32(val * _HONES))
+
+
+def _utf16_swar_kernel(x_ref, nxt_ref, prv_ref, out_ref, *, be: bool):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        out_ref[0, 0] = BIG
+
+    w = x_ref[...]
+    if be:
+        w = ((w << 8) & _i32(0xFF00FF00)) | (
+            (w.astype(jnp.uint32) >> 8).astype(jnp.int32) & 0x00FF00FF
+        )
+    _, lane = _iotas(w.shape)
+
+    high = _eq16(w, 0xFC00, 0xD800)  # 0x8000 bit per high surrogate
+    low = _eq16(w, 0xFC00, 0xDC00)
+
+    lu = jnp.uint32
+
+    def lsr(m, k):
+        return (m.astype(lu) >> k).astype(jnp.int32)
+
+    # next unit's low-flag aligned at current unit
+    nxt_word_low = jnp.where(
+        lane < W32 - 1,
+        pltpu.roll(low, shift=W32 - 1, axis=1),
+        jnp.concatenate([low[1:, :1], jnp.zeros_like(low[0:1, :1])], axis=0),
+    )
+    # boundary: recompute from the raw next word (masks can't cross tiles)
+    nxt_raw = jnp.concatenate([x_ref[1:, :1], nxt_ref[0:1, :1]], axis=0)
+    if be:
+        nxt_raw = ((nxt_raw << 8) & _i32(0xFF00FF00)) | (
+            (nxt_raw.astype(jnp.uint32) >> 8).astype(jnp.int32) & 0x00FF00FF
+        )
+    nxt_low_b = _eq16(nxt_raw, 0xFC00, 0xDC00)
+    nxt_word_low = jnp.where(lane < W32 - 1, nxt_word_low, nxt_low_b)
+    next_low = lsr(low, 16) | (nxt_word_low << 16)
+
+    # previous unit's high-flag aligned at current unit
+    prv_word_high = jnp.where(
+        lane > 0,
+        pltpu.roll(high, shift=1, axis=1),
+        jnp.zeros_like(high),
+    )
+    prv_raw = jnp.concatenate(
+        [prv_ref[7:8, HALO - 1 :], x_ref[:-1, W32 - 1 :]], axis=0
+    )
+    if be:
+        prv_raw = ((prv_raw << 8) & _i32(0xFF00FF00)) | (
+            (prv_raw.astype(jnp.uint32) >> 8).astype(jnp.int32) & 0x00FF00FF
+        )
+    prv_high_b = _eq16(prv_raw, 0xFC00, 0xD800)
+    prv_word_high = jnp.where(lane > 0, prv_word_high, prv_high_b)
+    prev_high = (high << 16) | lsr(prv_word_high, 16)
+
+    bad = (high & ~next_low) | (low & ~prev_high)
+    row, lane32 = _iotas(w.shape)
+    pos = jnp.min(jnp.where(bad != 0, (i * BR + row) * W32 + lane32, BIG))
+
+    @pl.when(pos < out_ref[0, 0])
+    def _update():
+        out_ref[0, 0] = pos
+
+
+import functools as _ft
+
+
+@_ft.partial(jax.jit, static_argnames=("be",))
+def utf16_swar_first_bad_word(x32: jnp.ndarray, be: bool = False):
+    """x32: (BR + R + BR, 128) int32 view of a zero-padded uint16 buffer
+    (units packed 2/word, zero tiles fore and aft). Returns the first word
+    index containing an ill-formed surrogate (BIG when valid)."""
+    grid = (x32.shape[0] - 2 * BR) // BR
+    out = pl.pallas_call(
+        _ft.partial(_utf16_swar_kernel, be=be),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((BR, W32), lambda i: (i + 1, 0)),
+            pl.BlockSpec((8, HALO), lambda i: ((i + 2) * BR // 8, 0)),
+            pl.BlockSpec((8, HALO), lambda i: ((i + 1) * BR // 8 - 1, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 2), jnp.int32),
+        interpret=_interpret(),
+    )(x32, x32, x32)
+    return out[0, 0]
