@@ -66,6 +66,22 @@ def _swar_kernel(salt_ref, x_ref, nxt_ref, prv_ref, out_ref):
     b = x_ref[...]
     _, lane = _iotas(b.shape)
 
+    # ASCII fast path (the reference's per-block is_ascii short-circuit,
+    # generic/utf8_validation/utf8_validator.h): a pure-ASCII tile whose
+    # predecessor's last word holds no multi-byte lead can produce no
+    # events — skip the whole algebra.
+    any_nonascii = jnp.any((b & _HIGH) != 0)
+    prev_last = prv_ref[7:8, HALO - 1 :]
+    prev_lead = jnp.any(_eq(prev_last, 0xC0, 0xC0) != 0)
+
+    @pl.when(any_nonascii | prev_lead)
+    def _full_check():
+        _swar_body(x_ref, nxt_ref, prv_ref, out_ref, i, lane)
+
+
+def _swar_body(x_ref, nxt_ref, prv_ref, out_ref, i, lane):
+    b = x_ref[...]
+
     cont = _eq(b, 0xC0, 0x80)
 
     lu = jnp.uint32  # logical right shifts need unsigned
@@ -214,6 +230,21 @@ def _utf16_swar_kernel(x_ref, nxt_ref, prv_ref, out_ref, *, be: bool):
     def _init():
         out_ref[0, 0] = BIG
 
+    wr = x_ref[...]
+    if be:
+        wr = ((wr << 8) & _i32(0xFF00FF00)) | (
+            (wr.astype(jnp.uint32) >> 8).astype(jnp.int32) & 0x00FF00FF
+        )
+    # surrogate-free fast path: no D800..DFFF units in the tile or in the
+    # neighbor halo words -> nothing to check
+    sur_here = jnp.any(_eq16(wr, 0xF800, 0xD800) != 0)
+
+    @pl.when(sur_here)
+    def _full_check():
+        _utf16_swar_body(x_ref, nxt_ref, prv_ref, out_ref, i, be)
+
+
+def _utf16_swar_body(x_ref, nxt_ref, prv_ref, out_ref, i, be):
     w = x_ref[...]
     if be:
         w = ((w << 8) & _i32(0xFF00FF00)) | (
