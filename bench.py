@@ -28,6 +28,10 @@ TRIALS = 5
 # sized so the padding bucket lands exactly on 64 MiB (a power of two)
 CORPUS_BYTES = 64 * 1024 * 1024 - 4096
 CACHE_DIR = "/root/.cache/jax_comp"
+# health-probe retry schedule: the tunneled dev chip intermittently falls
+# into a ~50x-degraded state (PERF.md); wait for a healthy window, bounded.
+PROBE_HEALTHY_GBPS = 50.0
+PROBE_MAX_WAIT_S = 600.0
 
 
 def log(*a):
@@ -95,9 +99,12 @@ def main():
     arr = np.frombuffer(data, dtype=np.uint8)
     nbytes = len(data)
 
-    # device-health probe: a trivial chained op; if this is far below
-    # ~100 GB/s the tunneled dev chip is in its known degraded state and
-    # the numbers below under-report the library (see PERF.md).
+    # device-health probe: a trivial chained op; far below ~50 GB/s means
+    # the tunneled dev chip is in its known degraded state and every number
+    # below under-reports the library (see PERF.md). Wait (bounded,
+    # exponential backoff) for a healthy window rather than recording a
+    # degraded-state artifact; after PROBE_MAX_WAIT_S, bench anyway and tag
+    # the JSON line with degraded=true.
     xp = jax.device_put(np.ones(4 * 1024 * 1024, np.float32))
 
     @jax.jit
@@ -106,12 +113,29 @@ def main():
             return acc + jnp.sum(x * (k + i).astype(jnp.float32))
         return lax.fori_loop(0, 10, body, jnp.float32(0))
 
-    jax.device_get(_probe(xp, jnp.float32(0)))
-    t0 = time.perf_counter()
-    jax.device_get(_probe(xp, jnp.float32(1)))
-    probe_gbps = 16 / 1024 / ((time.perf_counter() - t0) / 10)
+    def probe_once(salt: float) -> float:
+        t0 = time.perf_counter()
+        jax.device_get(_probe(xp, jnp.float32(salt)))
+        return 16 / 1024 / ((time.perf_counter() - t0) / 10)
+
+    jax.device_get(_probe(xp, jnp.float32(0)))  # compile
+    wait_t0, backoff, salt = time.perf_counter(), 15.0, 1.0
+    probe_gbps = probe_once(salt)
+    if backend != "tpu":
+        pass  # CPU/interpret runs are not gated on the probe
+    else:
+        while (probe_gbps < PROBE_HEALTHY_GBPS
+               and time.perf_counter() - wait_t0 < PROBE_MAX_WAIT_S):
+            log(f"device-health probe: {probe_gbps:.0f} GB/s (DEGRADED) - "
+                f"retrying in {backoff:.0f}s "
+                f"({time.perf_counter() - wait_t0:.0f}s elapsed)")
+            time.sleep(backoff)
+            backoff = min(backoff * 1.7, 120.0)
+            salt += 1.0
+            probe_gbps = probe_once(salt)
+    degraded = backend == "tpu" and probe_gbps < PROBE_HEALTHY_GBPS
     log(f"device-health probe: {probe_gbps:.0f} GB/s "
-        f"({'HEALTHY' if probe_gbps > 50 else 'DEGRADED - numbers below under-report'})")
+        f"({'DEGRADED - numbers below under-report' if degraded else 'HEALTHY'})")
 
     p, n = oi._pad(arr)
     log(f"corpus {nbytes} bytes, padded shape {p.shape}")
@@ -143,7 +167,7 @@ def main():
     # per-script-mix transcode (the reference reports per-language curves,
     # doc/utf8utf16.png); same compiled program, different corpora
     try:
-        if probe_gbps < 50:
+        if degraded:
             raise RuntimeError("device degraded; skipping per-script sweep")
         sys.path.insert(0, __file__.rsplit("/", 1)[0] + "/tools")
         import gen_corpus
@@ -235,6 +259,8 @@ def main():
                 "value": round(transcode_gbps, 2),
                 "unit": "GB/s/chip (input bytes)",
                 "vs_baseline": round(transcode_gbps / REFERENCE_GBPS, 2),
+                "probe_gbps": round(probe_gbps, 1),
+                "degraded": degraded,
             }
         )
     )
