@@ -23,6 +23,13 @@ def shift_left(b: jnp.ndarray, k: int) -> jnp.ndarray:
     return jnp.pad(b[k:], (0, k))
 
 
+def shift_right(b: jnp.ndarray, k: int) -> jnp.ndarray:
+    """out[i] = b[i-k], zero-filled before the start (lookback carry)."""
+    if k == 0:
+        return b
+    return jnp.pad(b[:-k], (k, 0))
+
+
 def positions(n: int) -> jnp.ndarray:
     return jnp.arange(n, dtype=jnp.int32)
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..errors import error_code as ec
-from .common import BIG, positions, shift_left, zero_tail
+from .common import BIG, positions, shift_left, shift_right, zero_tail
 
 # plain ints (not jnp scalars): device constants at import time would pin
 # the default backend and slow every lowering
@@ -171,22 +171,29 @@ def utf16_length(b: jnp.ndarray, length):
 
 
 def _emit_utf16_units(cp, lead, lead4, n, big_endian: bool):
-    """Scatter UTF-16 units for per-lead codepoints (unit1 goes to off+1
-    for astral chars); shared by validating and valid-only converters.
-    Returns (out u16[n], off, total)."""
-    width = jnp.where(lead, jnp.where(lead4, 2, 1), 0)
-    off_inc = jnp.cumsum(width)
-    off = off_inc - width
-    total = off_inc[n - 1]
+    """Emit UTF-16 units with the unit-per-byte reformulation: unit0 is
+    carried by the lead byte, unit1 (astral chars only) by the byte right
+    after the lead, so per-byte widths are 0/1 and ONE scatter suffices
+    (vs the reference's shuffle-table packing,
+    src/haswell/avx2_convert_utf8_to_utf16.cpp:7-130; halves scatter cost
+    vs the round-1 two-scatter form). Returns (out u16[n], off, total)
+    where off[i] = units written before byte i (the partial-output count
+    at an error position)."""
     cpx = cp - 0x10000
     unit0 = jnp.where(cp > 0xFFFF, 0xD800 + (cpx >> 10), cp)
     unit1 = 0xDC00 + (cpx & 0x3FF)
     if big_endian:
         unit0 = ((unit0 << 8) | (unit0 >> 8)) & 0xFFFF
         unit1 = ((unit1 << 8) | (unit1 >> 8)) & 0xFFFF
+    after_lead4 = shift_right((lead & lead4).astype(jnp.int32), 1).astype(bool)
+    keep = lead | after_lead4
+    val = jnp.where(after_lead4, shift_right(unit1, 1), unit0)
+    k32 = keep.astype(jnp.int32)
+    off_inc = jnp.cumsum(k32)
+    off = off_inc - k32
+    total = off_inc[n - 1]
     out = jnp.zeros(n, dtype=jnp.int32)
-    out = out.at[jnp.where(lead, off, n)].set(unit0, mode="drop")
-    out = out.at[jnp.where(lead & lead4, off + 1, n)].set(unit1, mode="drop")
+    out = out.at[jnp.where(keep, off, n)].set(val, mode="drop")
     return out.astype(jnp.uint16), off, total
 
 def to_utf16(b: jnp.ndarray, length, big_endian: bool):
