@@ -1,0 +1,328 @@
+#!/usr/bin/env python
+"""On-device microprobes for kernel-architecture decisions.
+
+Round-1's cost models disagreed with measurements by up to ~10x; this probe
+pins down the constants that decide the Pallas transcode kernel design
+(VERDICT.md next-round item 1):
+
+  ew32/ew16/ew8 : elementwise op throughput by dtype (do narrow types pack?)
+  gather128     : take_along_axis lane-gather throughput at W=128
+  roll          : pltpu.roll (static + dynamic shift) throughput
+  compact       : the full per-window compaction core (scan+search+gather)
+  dma           : dynamic-row-offset VMEM->HBM DMA correctness + rate
+
+Usage: python tools/probe_vpu.py [test ...]   (default: all)
+Each test prints one line: name, ns/tile, derived GB/s or Tops.
+"""
+
+from __future__ import annotations
+
+import functools
+import statistics
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from simdutf_tpu.kernels.validate import _interpret, _iotas
+
+MB = 1024 * 1024
+N_BYTES = 32 * MB
+BR, W = 64, 512
+TILE = BR * W
+GRID = N_BYTES // TILE
+ITERS = 10
+TRIALS = 5
+
+
+def _time(fn, *args):
+    jax.device_get(fn(*args, jnp.int32(0)))  # compile
+    ts = []
+    for t in range(TRIALS):
+        t0 = time.perf_counter()
+        jax.device_get(fn(*args, jnp.int32(t + 1)))
+        ts.append((time.perf_counter() - t0) / ITERS)
+    return statistics.median(ts)
+
+
+def _chain(call):
+    """Wrap a single-pass callable into a salted chained fori_loop."""
+
+    @jax.jit
+    def f(x, salt):
+        def body(i, acc):
+            return acc + call(x, salt + i)
+        return lax.fori_loop(0, ITERS, body, jnp.int32(0))
+
+    return f
+
+
+# --- elementwise chains -----------------------------------------------------
+
+def _ew_kernel(s_ref, x_ref, o_ref, *, dtype, k):
+    v = x_ref[...]
+    c = s_ref[0].astype(dtype)
+    for i in range(k):
+        v = v + c
+        v = v ^ (v + v)
+    o_ref[...] = v
+
+
+def _make_ew(dtype, k):
+    rows = N_BYTES // np.dtype(dtype.dtype if hasattr(dtype, "dtype") else dtype).itemsize // W
+
+    def one(x, salt):
+        out = pl.pallas_call(
+            functools.partial(_ew_kernel, dtype=dtype, k=k),
+            grid=(rows // BR,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((BR, W), lambda i: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec((BR, W), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((rows, W), dtype),
+            interpret=_interpret(),
+        )(jnp.reshape(salt, (1,)), x)
+        return out[0, 0].astype(jnp.int32)
+
+    return one, rows
+
+
+def probe_ew(dtype, name, k=32):
+    one, rows = _make_ew(dtype, k)
+    x = jnp.zeros((rows, W), dtype)
+    dt = _time(_chain(one), x)
+    tiles = rows // BR
+    ops = 3 * k  # add, add, xor per round
+    elems = BR * W
+    tops = tiles * elems * ops / dt / 1e12
+    print(
+        f"{name:10s} {dt/tiles*1e9:8.1f} ns/tile  {ops} ops on "
+        f"({BR},{W})  -> {tops:6.2f} T elem-ops/s"
+    )
+
+
+# --- gather chain -----------------------------------------------------------
+
+def _gather_kernel(s_ref, x_ref, o_ref, *, k):
+    v = x_ref[...]  # (BR, 128) int32
+    idx = (v ^ s_ref[0]) & 127
+    for i in range(k):
+        v = jnp.take_along_axis(v, idx, axis=1)
+        idx = (idx + v) & 127
+    o_ref[...] = v
+
+
+def probe_gather(k=16):
+    rows = N_BYTES // 4 // 128
+
+    def one(x, salt):
+        out = pl.pallas_call(
+            functools.partial(_gather_kernel, k=k),
+            grid=(rows // BR,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((BR, 128), lambda i: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec((BR, 128), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.int32),
+            interpret=_interpret(),
+        )(jnp.reshape(salt, (1,)), x)
+        return out[0, 0]
+
+    x = jnp.zeros((rows, 128), jnp.int32)
+    dt = _time(_chain(one), x)
+    tiles = rows // BR
+    g = tiles * BR * 128 * k / dt / 1e9
+    print(
+        f"{'gather128':10s} {dt/tiles*1e9:8.1f} ns/tile  {k} gathers+2ops on "
+        f"({BR},128) -> {g:6.2f} G gathered-elems/s"
+    )
+
+
+# --- roll chain -------------------------------------------------------------
+
+def _roll_kernel(s_ref, x_ref, o_ref, *, k, dynamic):
+    v = x_ref[...]
+    s = s_ref[0]
+    for i in range(k):
+        if dynamic:
+            v = pltpu.roll(v, shift=(s + i) % W, axis=1) + 1
+        else:
+            v = pltpu.roll(v, shift=(7 * i + 1) % W, axis=1) + 1
+    o_ref[...] = v
+
+
+def probe_roll(dynamic, k=16):
+    rows = N_BYTES // 4 // W
+
+    def one(x, salt):
+        out = pl.pallas_call(
+            functools.partial(_roll_kernel, k=k, dynamic=dynamic),
+            grid=(rows // BR,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((BR, W), lambda i: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec((BR, W), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((rows, W), jnp.int32),
+            interpret=_interpret(),
+        )(jnp.reshape(salt, (1,)), x)
+        return out[0, 0]
+
+    x = jnp.zeros((rows, W), jnp.int32)
+    dt = _time(_chain(one), x)
+    tiles = rows // BR
+    name = "roll_dyn" if dynamic else "roll_st"
+    print(
+        f"{name:10s} {dt/tiles*1e9:8.1f} ns/tile  {k} roll+add on ({BR},{W})"
+    )
+
+
+# --- compaction core --------------------------------------------------------
+
+def _compact_kernel(s_ref, x_ref, o_ref):
+    """Realistic transcode compaction per 128-lane window: keep-mask,
+    7-round scan, 7-step binary search, final gather."""
+    v = x_ref[...]  # (BR*4, 128) int32 "bytes"
+    keep = ((v ^ s_ref[0]) & 3) != 0  # ~75% keep
+    k = keep.astype(jnp.int32)
+    _, lane = _iotas(v.shape)
+    inc = k
+    shift = 1
+    while shift < 128:
+        rolled = pltpu.roll(inc, shift=shift, axis=1)
+        inc = inc + jnp.where(lane >= shift, rolled, 0)
+        shift *= 2
+    target = lane + 1
+    lo = jnp.zeros_like(v)
+    step = 64
+    while step >= 1:
+        probe = jnp.minimum(lo + step - 1, 127)
+        pv = jnp.take_along_axis(inc, probe, axis=1)
+        lo = jnp.where(pv < target, lo + step, lo)
+        step //= 2
+    out = jnp.take_along_axis(v, jnp.minimum(lo, 127), axis=1)
+    cnt = inc[:, 127:]
+    o_ref[...] = jnp.where(target <= cnt, out, 0)
+
+
+def probe_compact():
+    rows = N_BYTES // 4 // 128  # int32 elements as "bytes"
+
+    def one(x, salt):
+        out = pl.pallas_call(
+            _compact_kernel,
+            grid=(rows // (BR * 4),),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((BR * 4, 128), lambda i: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec((BR * 4, 128), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.int32),
+            interpret=_interpret(),
+        )(jnp.reshape(salt, (1,)), x)
+        return out[0, 0]
+
+    x = jnp.zeros((rows, 128), jnp.int32)
+    dt = _time(_chain(one), x)
+    tiles = rows // (BR * 4)
+    elems = BR * 4 * 128  # "bytes" per tile
+    print(
+        f"{'compact':10s} {dt/tiles*1e9:8.1f} ns/tile  scan+search+gather on "
+        f"({BR*4},128) -> {elems*tiles/dt/1e9:6.1f} GB/s (1B/elem equiv)"
+    )
+
+
+# --- dynamic-offset DMA -----------------------------------------------------
+
+def _dma_kernel(off_ref, x_ref, o_ref, sem):
+    i = pl.program_id(0)
+    row = off_ref[i]
+
+    def inner(scratch, csem):
+        cp = pltpu.make_async_copy(x_ref, scratch, csem)
+        cp.start()
+        cp.wait()
+        scratch[...] = scratch[...] + 1
+        dma = pltpu.make_async_copy(
+            scratch, o_ref.at[pl.ds(row, BR), :], sem
+        )
+        dma.start()
+        dma.wait()
+
+    pl.run_scoped(
+        inner,
+        pltpu.VMEM((BR, W), jnp.int32),
+        pltpu.SemaphoreType.DMA(()),
+    )
+
+
+def probe_dma():
+    rows = 8 * MB // 4 // W
+    grid = rows // BR
+    # shuffled-but-covering row offsets, BR-aligned base plus odd jitter
+    offs = (np.arange(grid, dtype=np.int32)[::-1] * BR)
+    offs = np.maximum(offs - 7, 0).astype(np.int32)  # unaligned rows
+
+    def one(x, off, salt):
+        out = pl.pallas_call(
+            _dma_kernel,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((BR, W), lambda i: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_shape=jax.ShapeDtypeStruct((rows, W), jnp.int32),
+            scratch_shapes=[pltpu.SemaphoreType.DMA(())],
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=_interpret(),
+        )(off + salt * 0, x)
+        return out[0, 0]
+
+    x = jnp.zeros((rows, W), jnp.int32)
+    offj = jnp.asarray(offs)
+    try:
+        dt = _time(_chain(lambda x, s: one(x, offj, s)), x)
+        bts = rows * W * 4 * 2
+        print(
+            f"{'dyn_dma':10s} {dt/grid*1e9:8.1f} ns/tile  rw {bts/MB} MB -> "
+            f"{bts*1/dt/1e9:6.1f} GB/s  (unaligned row offsets OK)"
+        )
+    except Exception as e:
+        print(f"{'dyn_dma':10s} FAILED: {type(e).__name__}: {e}")
+
+
+ALL = {
+    "ew32": lambda: probe_ew(jnp.int32, "ew_int32"),
+    "ew16": lambda: probe_ew(jnp.int16, "ew_int16"),
+    "ew8": lambda: probe_ew(jnp.int8, "ew_int8"),
+    "gather": probe_gather,
+    "roll_st": lambda: probe_roll(False),
+    "roll_dyn": lambda: probe_roll(True),
+    "compact": probe_compact,
+    "dma": probe_dma,
+}
+
+
+def main():
+    names = sys.argv[1:] or list(ALL)
+    print(f"backend={jax.default_backend()} device={jax.devices()[0]}")
+    for n in names:
+        try:
+            ALL[n]()
+        except Exception as e:
+            print(f"{n:10s} ERROR: {type(e).__name__}: {e}")
+
+
+if __name__ == "__main__":
+    main()
