@@ -756,27 +756,33 @@ static PyObject *py_b64_encode(PyObject *self, PyObject *args) {
   return out;
 }
 
-/* Full forgiving decode (8-bit chars): returns
- * (code, input_count, output_count, bytes). */
+/* Full forgiving decode: returns (code, input_count, output_count, bytes).
+ * ``is16`` selects char16 input (the reference templates the whole decode
+ * over char/char16_t, src/scalar/base64.h:33; units >= 256 are invalid
+ * base64 characters, matching is_eight_byte()). */
 static PyObject *py_b64_decode(PyObject *self, PyObject *args) {
   Py_buffer buf;
-  int options, last_chunk;
-  if (!PyArg_ParseTuple(args, "y*ii", &buf, &options, &last_chunk)) return NULL;
-  const uint8_t *d = (const uint8_t *)buf.buf;
-  Py_ssize_t srclen = buf.len;
+  int options, last_chunk, is16 = 0;
+  if (!PyArg_ParseTuple(args, "y*ii|i", &buf, &options, &last_chunk, &is16))
+    return NULL;
+  const uint8_t *d8 = (const uint8_t *)buf.buf;
+  const uint16_t *d16 = (const uint16_t *)buf.buf;
+  Py_ssize_t srclen = is16 ? buf.len / 2 : buf.len;
   uint8_t tab[256];
   build_table(tab, options);
   const int garbage = (options == 4 || options == 5 || options == 12);
+#define AT(i) ((uint32_t)(is16 ? d16[(i)] : d8[(i)]))
+#define VALOF(c) ((c) < 256 ? tab[(c)] : (uint8_t)255)
 
   Py_ssize_t equallocation = srclen;
   Py_ssize_t equalsigns = 0;
   if (!garbage) {
-    while (srclen > 0 && tab[d[srclen - 1]] == 64) srclen--;
-    if (srclen > 0 && d[srclen - 1] == '=') {
+    while (srclen > 0 && VALOF(AT(srclen - 1)) == 64) srclen--;
+    if (srclen > 0 && AT(srclen - 1) == '=') {
       equallocation = --srclen;
       equalsigns = 1;
-      while (srclen > 0 && tab[d[srclen - 1]] == 64) srclen--;
-      if (srclen > 0 && d[srclen - 1] == '=') {
+      while (srclen > 0 && VALOF(AT(srclen - 1)) == 64) srclen--;
+      if (srclen > 0 && AT(srclen - 1) == '=') {
         equallocation = --srclen;
         equalsigns = 2;
       }
@@ -812,7 +818,7 @@ static PyObject *py_b64_decode(PyObject *self, PyObject *args) {
   int idx = 0;
   Py_ssize_t chunk_first_valid = -1;
   while (i < srclen) {
-    uint8_t v = tab[d[i]];
+    uint8_t v = VALOF(AT(i));
     if (v <= 63) {
       if (idx == 0) chunk_first_valid = i;
       buf4[idx++] = v;
@@ -862,6 +868,8 @@ static PyObject *py_b64_decode(PyObject *self, PyObject *args) {
   }
   RET(E_SUCCESS, srclen, w);
 #undef RET
+#undef AT
+#undef VALOF
 }
 
 /* ---------------- registration ---------------- */

@@ -158,10 +158,12 @@ class CNativeImplementation(Implementation):
 
     # -- base64 --------------------------------------------------------------
     def base64_to_binary_details(self, src, options=0, last_chunk=gb.LOOSE):
-        if isinstance(src, np.ndarray) and src.dtype == np.uint16:
-            # char16 inputs: fall back to the NumPy tier
-            return super().base64_to_binary_details(src, options, last_chunk)
-        code, in_count, out_count, out = C.b64_decode(src, options, last_chunk)
+        is16 = isinstance(src, np.ndarray) and src.dtype == np.uint16
+        if is16 and not src.flags["C_CONTIGUOUS"]:
+            src = np.ascontiguousarray(src)
+        code, in_count, out_count, out = C.b64_decode(
+            src, options, last_chunk, 1 if is16 else 0
+        )
         return FullResult(ec(code), in_count, out_count), _u8out(out)
 
     def binary_to_base64(self, src, options=0):

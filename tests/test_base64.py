@@ -128,3 +128,35 @@ def test_base64_combined_option_values(impl_name):
             assert res.is_ok, options
         res2, out2 = su.base64_to_binary(b"aGVsbG8=", options)
         assert res2.is_ok and out2 == b"hello", options
+
+
+def test_base64_char16_differential(impl_name):
+    """char16 decode parity across tiers vs the golden tier, over random
+    base64-ish strings with spaces/padding/garbage and >0xFF units
+    (reference templates the whole machinery over char16_t,
+    src/scalar/base64.h:33)."""
+    import random
+
+    from simdutf_tpu.golden import base64_impl as gb64
+    from simdutf_tpu.registry import get_available_implementations
+
+    rng = random.Random(1234)
+    alphabet = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnop0123456789+/-_ \t\n="
+    impl = get_available_implementations()[impl_name]
+    for trial in range(40):
+        n = rng.randrange(0, 40)
+        units = [ord(rng.choice(alphabet)) for _ in range(n)]
+        if trial % 5 == 4 and n:
+            units[rng.randrange(n)] = rng.randrange(0x100, 0xFFFF)
+        arr = np.array(units, dtype=np.uint16)
+        for options in (0, 1, 4, 8):
+            for last_chunk in (gb64.LOOSE, gb64.STRICT, gb64.STOP_BEFORE_PARTIAL):
+                want_full, want_out = gb64.decode(
+                    arr, options, last_chunk
+                )
+                got_full, got_out = impl.base64_to_binary_details(
+                    arr, options, last_chunk
+                )
+                assert (want_full, bytes(np.asarray(want_out))) == (
+                    got_full, bytes(np.asarray(got_out))
+                ), (units, options, last_chunk)
