@@ -100,6 +100,69 @@ def _cut(arr, out_len) -> np.ndarray:
     return np.asarray(arr)[: int(out_len)]
 
 
+def b64_tail_epilogue(
+    outlen: int,
+    idx: int,
+    tail: list,
+    tail_start: int,
+    srclen: int,
+    equalsigns: int,
+    equallocation: int,
+    garbage: bool,
+    last_chunk: int,
+):
+    """Last-chunk + padding-consistency semantics shared by the single-chip
+    and sharded base64 decoders (scalar/base64.h:135-216 tail modes and the
+    generic/base64.h:228-244 padding checks).
+
+    ``outlen``: bytes decoded from full quads; ``idx``/``tail``: leftover
+    (<4) char count and their 6-bit values; positions are global input
+    indices. Returns (FullResult, extra uint8 bytes to append).
+    """
+    none = np.zeros(0, dtype=np.uint8)
+    w = outlen
+    extra = none
+    if idx != 0 or (not garbage and equalsigns > 0):
+        if (
+            not garbage
+            and last_chunk == gb.STRICT
+            and idx != 1
+            and ((idx + equalsigns) & 3) != 0
+        ):
+            return FullResult(ec.BASE64_INPUT_REMAINDER, srclen, w), none
+        if (
+            not garbage
+            and last_chunk == gb.STOP_BEFORE_PARTIAL
+            and ((idx + equalsigns) & 3) != 0
+        ):
+            start = tail_start if idx > 0 else srclen
+            return FullResult(ec.SUCCESS, start, w), none
+        if idx == 2:
+            t = tail[0] << 18 | tail[1] << 12
+            if not garbage and last_chunk == gb.STRICT and (t & 0xFFFF):
+                return FullResult(ec.BASE64_EXTRA_BITS, srclen, w), none
+            extra = np.array([(t >> 16) & 0xFF], dtype=np.uint8)
+            w += 1
+        elif idx == 3:
+            t = tail[0] << 18 | tail[1] << 12 | tail[2] << 6
+            if not garbage and last_chunk == gb.STRICT and (t & 0xFF):
+                return FullResult(ec.BASE64_EXTRA_BITS, srclen, w), none
+            extra = np.array(
+                [(t >> 16) & 0xFF, (t >> 8) & 0xFF], dtype=np.uint8
+            )
+            w += 2
+        elif not garbage and idx == 1 and last_chunk != gb.STOP_BEFORE_PARTIAL:
+            return FullResult(ec.BASE64_INPUT_REMAINDER, srclen, w), none
+
+    if not garbage and last_chunk != gb.STOP_BEFORE_PARTIAL and equalsigns > 0:
+        if (w % 3 == 0) or ((w % 3) + 1 + equalsigns != 4):
+            return (
+                FullResult(ec.INVALID_BASE64_CHARACTER, equallocation, w),
+                extra,
+            )
+    return FullResult(ec.SUCCESS, srclen, w), extra
+
+
 class XLAImplementation(Implementation):
     name = "xla"
     description = "jax.numpy ops lowered by XLA (TPU/CPU/GPU)"
@@ -377,52 +440,14 @@ class XLAImplementation(Implementation):
         nfull = nvalid // 4 * 4
         out = np.asarray(packed)[: nfull // 4 * 3]
         idx = nvalid - nfull
-        tail = np.asarray(tail_vals)[:idx].astype(np.int64)
-
-        if idx != 0 or (not garbage and equalsigns > 0):
-            if (
-                not garbage
-                and last_chunk == gb.STRICT
-                and idx != 1
-                and ((idx + equalsigns) & 3) != 0
-            ):
-                return FullResult(ec.BASE64_INPUT_REMAINDER, srclen, len(out)), out
-            if (
-                not garbage
-                and last_chunk == gb.STOP_BEFORE_PARTIAL
-                and ((idx + equalsigns) & 3) != 0
-            ):
-                start = int(tail_start) if idx > 0 else srclen
-                return FullResult(ec.SUCCESS, start, len(out)), out
-            if idx == 2:
-                t = int(tail[0]) << 18 | int(tail[1]) << 12
-                if not garbage and last_chunk == gb.STRICT and (t & 0xFFFF):
-                    return FullResult(ec.BASE64_EXTRA_BITS, srclen, len(out)), out
-                out = np.concatenate(
-                    [out, np.array([(t >> 16) & 0xFF], dtype=np.uint8)]
-                )
-            elif idx == 3:
-                t = int(tail[0]) << 18 | int(tail[1]) << 12 | int(tail[2]) << 6
-                if not garbage and last_chunk == gb.STRICT and (t & 0xFF):
-                    return FullResult(ec.BASE64_EXTRA_BITS, srclen, len(out)), out
-                out = np.concatenate(
-                    [
-                        out,
-                        np.array([(t >> 16) & 0xFF, (t >> 8) & 0xFF], dtype=np.uint8),
-                    ]
-                )
-            elif not garbage and idx == 1 and last_chunk != gb.STOP_BEFORE_PARTIAL:
-                return FullResult(ec.BASE64_INPUT_REMAINDER, srclen, len(out)), out
-
-        if not garbage and last_chunk != gb.STOP_BEFORE_PARTIAL and equalsigns > 0:
-            if (len(out) % 3 == 0) or ((len(out) % 3) + 1 + equalsigns != 4):
-                return (
-                    FullResult(
-                        ec.INVALID_BASE64_CHARACTER, equallocation, len(out)
-                    ),
-                    out,
-                )
-        return FullResult(ec.SUCCESS, srclen, len(out)), out
+        tail = [int(t) for t in np.asarray(tail_vals)[:idx]]
+        full, extra = b64_tail_epilogue(
+            len(out), idx, tail, int(tail_start), srclen,
+            equalsigns, equallocation, garbage, last_chunk,
+        )
+        if len(extra):
+            out = np.concatenate([out, extra])
+        return full, out
 
     def binary_to_base64(self, src, options=0):
         n = int(src.shape[0])

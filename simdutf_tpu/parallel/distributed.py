@@ -34,6 +34,8 @@ except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
 from ..ops import utf8 as o8
+from ..ops import utf16 as o16
+from ..ops import base64_ops
 from ..ops.common import BIG
 from .planner import ShardPlan
 
@@ -158,3 +160,209 @@ def gather_utf16(outs, out_lens) -> np.ndarray:
     return np.concatenate(
         [outs[i, : int(out_lens[i])] for i in range(outs.shape[0])]
     )
+
+
+gather_units = gather_utf16  # works for any per-shard (outs, out_lens) pair
+
+
+# --- UTF-16 (plan with plan_shards(..., unit=2, big_endian=...)) ------------
+
+
+@functools.lru_cache(maxsize=16)
+def _validate16_step(mesh: Mesh, axis: str, big_endian: bool):
+    def local(shards, lengths):
+        code, pos = o16.validate_with_errors(shards[0], lengths[0], big_endian)
+        win, wpos, wcode, _ = _local_reduce(code, pos, jnp.int32(0), axis)
+        return win[None], wpos[None], wcode[None]
+
+    f = shard_map(
+        local, mesh=mesh, in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis)),
+    )
+
+    @jax.jit
+    def step(shards, lengths):
+        win, wpos, wcode = f(shards, lengths)
+        return win[0], wpos[0], wcode[0]
+
+    return step
+
+
+def validate_utf16_sharded(
+    plan: ShardPlan, mesh: Mesh, axis: str = "data",
+    big_endian: bool = False, staged=None,
+):
+    """Global (err_code, err_pos) in code units; (0, total_units) when
+    valid. ``plan`` must come from plan_shards(unit=2, big_endian=...)."""
+    shards, lengths = staged if staged is not None else stage(plan, mesh, axis)
+    win, wpos, wcode = (
+        int(x) for x in _validate16_step(mesh, axis, big_endian)(shards, lengths)
+    )
+    code, pos = _combine(plan, win, wpos, wcode)
+    if code == 0:
+        return 0, plan.total
+    return code, pos
+
+
+@functools.lru_cache(maxsize=16)
+def _transcode16_step(mesh: Mesh, axis: str, big_endian: bool):
+    def local(shards, lengths):
+        code, pos, out, out_len = o16.to_utf8(shards[0], lengths[0], big_endian)
+        win, wpos, wcode, total = _local_reduce(code, pos, out_len, axis)
+        return (win[None], wpos[None], wcode[None], total[None],
+                out[None], out_len[None])
+
+    f = shard_map(
+        local, mesh=mesh, in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis),) * 4 + (P(axis), P(axis)),
+    )
+
+    @jax.jit
+    def step(shards, lengths):
+        win, wpos, wcode, total, outs, out_lens = f(shards, lengths)
+        return win[0], wpos[0], wcode[0], total[0], outs, out_lens
+
+    return step
+
+
+def transcode_utf16_to_utf8_sharded(
+    plan: ShardPlan, mesh: Mesh, axis: str = "data",
+    big_endian: bool = False, staged=None,
+):
+    """Validating UTF-16→UTF-8 over shards. Returns (err_code,
+    err_pos_or_total_bytes, per-shard outputs, per-shard byte counts)."""
+    shards, lengths = staged if staged is not None else stage(plan, mesh, axis)
+    win, wpos, wcode, total, outs, out_lens = _transcode16_step(
+        mesh, axis, big_endian
+    )(shards, lengths)
+    code, pos = _combine(plan, int(win), int(wpos), int(wcode))
+    if code == 0:
+        return 0, int(total), outs, np.asarray(out_lens)
+    return code, pos, outs, np.asarray(out_lens)
+
+
+# --- counts ------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=16)
+def _count_step(mesh: Mesh, axis: str, what: str):
+    def local(shards, lengths):
+        if what == "utf8":
+            c = o8.count_code_points(shards[0], lengths[0])
+        elif what == "utf8_utf16len":
+            c = o8.utf16_length(shards[0], lengths[0])
+        elif what in ("utf16le", "utf16be"):
+            c = o16.count_code_points(shards[0], lengths[0], what.endswith("be"))
+        else:  # pragma: no cover
+            raise ValueError(what)
+        return c.astype(jnp.int32)[None]
+
+    f = shard_map(
+        local, mesh=mesh, in_specs=(P(axis), P(axis)), out_specs=P(axis)
+    )
+    return jax.jit(f)
+
+
+def count_sharded(
+    plan: ShardPlan, mesh: Mesh, what: str = "utf8", axis: str = "data",
+    staged=None,
+) -> int:
+    """Sharded counting (count_utf8 / utf16_length_from_utf8 /
+    count_utf16le/be). Per-shard partials are summed on the host in Python
+    ints so >2G-char corpora cannot overflow int32."""
+    shards, lengths = staged if staged is not None else stage(plan, mesh, axis)
+    parts = np.asarray(_count_step(mesh, axis, what)(shards, lengths))
+    return int(sum(int(p) for p in parts))
+
+
+# --- base64 (plan with plan_shards_base64) -----------------------------------
+
+
+@functools.lru_cache(maxsize=16)
+def _b64_step(mesh: Mesh, axis: str, url: bool, both: bool):
+    def local(shards, lengths):
+        first_bad, nvalid, nvalid_at_bad, packed, tail_vals, tail_start = (
+            base64_ops.decode_bulk(shards[0], lengths[0], url, both)
+        )
+        return (first_bad[None], nvalid[None], nvalid_at_bad[None],
+                packed[None], tail_vals[None], tail_start[None])
+
+    f = shard_map(
+        local, mesh=mesh, in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis),) * 6,
+    )
+    return jax.jit(f)
+
+
+def base64_to_binary_sharded(
+    data, plan: ShardPlan, mesh: Mesh, options: int = 0,
+    last_chunk=None, axis: str = "data", staged=None,
+):
+    """Forgiving-base64 decode of a sharded character stream.
+
+    ``plan`` must come from :func:`planner.plan_shards_base64` on the SAME
+    ``data`` (every non-final shard holds whole quads, padding in the final
+    shard). Returns (FullResult with global counts, per-shard outputs,
+    per-shard output byte counts). Semantics match the single-buffer
+    decoder byte-for-byte, including the last-chunk matrix.
+    """
+    from ..golden import base64_impl as gb64
+    from ..ops.impl import b64_tail_epilogue
+    from ..errors import FullResult, error_code as ec
+
+    if last_chunk is None:
+        last_chunk = gb64.LOOSE
+    if not isinstance(data, np.ndarray):
+        data = np.frombuffer(bytes(data), dtype=np.uint8)
+    garbage = gb64.ignore_garbage(options)
+    tab = gb64.value_table(options)
+    eq = ord("=")
+    # prologue strip (generic/base64.h:50-73) — O(trailing) host scan
+    srclen = int(data.shape[0])
+    equallocation, equalsigns = srclen, 0
+    if not garbage:
+        while srclen > 0 and tab[data[srclen - 1]] == 64:
+            srclen -= 1
+        if srclen > 0 and int(data[srclen - 1]) == eq:
+            equallocation, srclen, equalsigns = srclen - 1, srclen - 1, 1
+            while srclen > 0 and tab[data[srclen - 1]] == 64:
+                srclen -= 1
+            if srclen > 0 and int(data[srclen - 1]) == eq:
+                equallocation, srclen, equalsigns = srclen - 1, srclen - 1, 2
+
+    shards, lengths = staged if staged is not None else stage(plan, mesh, axis)
+    url = bool(options & gb64.BASE64_URL)
+    both = bool(options & gb64.BASE64_DEFAULT_OR_URL)
+    fb, nv, nvb, packed, tails, tstarts = _b64_step(mesh, axis, url, both)(
+        shards, lengths
+    )
+    fb, nv, nvb = np.asarray(fb), np.asarray(nv), np.asarray(nvb)
+    n_shards = len(plan.lengths)
+    # clamp device first-bad to the shard's logical length: '='/whitespace
+    # beyond srclen live in the final shard but were stripped above
+    out_lens = (nv // 4) * 3
+    for s in range(n_shards):
+        local_strip = max(0, int(plan.offsets[s] + plan.lengths[s]) - srclen)
+        bad = int(fb[s])
+        if bad < int(plan.lengths[s]) - local_strip:
+            gpos = int(plan.offsets[s]) + bad
+            outlen = int(nvb[s]) // 4 * 3 + sum(
+                int(nv[t]) // 4 * 3 for t in range(s)
+            )
+            return (
+                FullResult(ec.INVALID_BASE64_CHARACTER, gpos, outlen),
+                packed, out_lens, np.zeros(0, dtype=np.uint8),
+            )
+    # tail: leftover (<4) chars all live in the final shard by construction
+    last = n_shards - 1
+    nvalid_last = int(nv[last])
+    idx = nvalid_last % 4
+    tail = [int(t) for t in np.asarray(tails)[last][:idx]]
+    tail_start = int(plan.offsets[last]) + int(np.asarray(tstarts)[last])
+    out_lens = (nv // 4) * 3
+    total = int(out_lens.sum())
+    full, extra = b64_tail_epilogue(
+        total, idx, tail, tail_start, srclen,
+        equalsigns, equallocation, garbage, last_chunk,
+    )
+    return full, packed, out_lens, extra

@@ -26,16 +26,30 @@ class ShardPlan(NamedTuple):
 
 
 def plan_shards(
-    data, n_shards: int, unit: int = 1, align: int = 512
+    data,
+    n_shards: int,
+    unit: int = 1,
+    align: int = 512,
+    big_endian: bool = False,
 ) -> ShardPlan:
     """Split ``data`` (uint8 array / bytes) into ``n_shards`` blocks.
 
     ``unit``: 1 for UTF-8/Latin1 (trim at codepoint boundary), 2 for UTF-16
-    (trim at surrogate-pair boundary), 4 for UTF-32 (no trimming needed).
-    ``align``: shard capacity is padded to this multiple.
+    (trim at surrogate-pair boundary, honoring ``big_endian``), 4 for
+    UTF-32 (no trimming needed). ``align``: shard capacity is padded to
+    this multiple.
+
+    For ``unit == 2`` the shard payloads, lengths and offsets are in
+    UTF-16 code units (uint16 shards) so shard-local error positions add
+    directly to offsets.
     """
     if not isinstance(data, np.ndarray):
         data = np.frombuffer(bytes(data), dtype=np.uint8)
+    if data.dtype == np.uint16:
+        assert unit == 2
+        data = data.view(np.uint8) if data.flags["C_CONTIGUOUS"] else (
+            np.ascontiguousarray(data).view(np.uint8)
+        )
     n = int(data.shape[0])
     base = n // n_shards
     cuts = [0]
@@ -46,12 +60,60 @@ def plan_shards(
         if unit == 1:
             tgt = _cut_utf8(data, tgt)
         elif unit == 2:
-            tgt = _cut_utf16(data, tgt)
+            tgt = _cut_utf16(data, tgt, big_endian)
         cuts.append(max(tgt, cuts[-1]))
     cuts.append(n)
     lengths = np.array([cuts[i + 1] - cuts[i] for i in range(n_shards)], np.int64)
     offsets = np.array(cuts[:-1], dtype=np.int64)
     cap = int(lengths.max(initial=1))
+    cap = (cap + align - 1) // align * align
+    shards = np.zeros((n_shards, cap), dtype=np.uint8)
+    for i in range(n_shards):
+        shards[i, : lengths[i]] = data[cuts[i] : cuts[i + 1]]
+    if unit == 2:
+        return ShardPlan(
+            shards.view(np.uint16).reshape(n_shards, cap // 2),
+            (lengths // 2).astype(np.int32),
+            offsets // 2,
+            n // 2,
+        )
+    return ShardPlan(shards, lengths.astype(np.int32), offsets, n)
+
+
+def plan_shards_base64(
+    data, n_shards: int, options: int = 0, align: int = 512
+) -> ShardPlan:
+    """Shard a base64 character stream so every non-final shard contains a
+    multiple-of-4 count of base64 characters (whitespace ignored) and all
+    trailing padding stays in the final shard. Decoding shards
+    independently then concatenating equals the single-buffer decode —
+    the sharding contract of benchmarks/threaded.cpp lifted to base64.
+    """
+    from ..golden import base64_impl as gb64
+
+    if not isinstance(data, np.ndarray):
+        data = np.frombuffer(bytes(data), dtype=np.uint8)
+    n = int(data.shape[0])
+    tab = gb64.value_table(options)
+    is_char = tab[data] <= 63
+    prefix = np.cumsum(is_char.astype(np.int64))
+    # keep the trailing '='/whitespace epilogue in the last shard
+    nz = np.flatnonzero(is_char)
+    last_char_end = int(nz[-1]) + 1 if len(nz) else 0
+    base = n // n_shards
+    cuts = [0]
+    for s in range(1, n_shards):
+        tgt = min(s * base, last_char_end)
+        # pull back so the prefix holds a whole number of quads: the cut
+        # lands right after the (4j)-th base64 char
+        chars = int(prefix[tgt - 1]) if tgt > 0 else 0
+        j = chars // 4 * 4
+        cut = int(nz[j - 1]) + 1 if j > 0 else 0
+        cuts.append(max(cut, cuts[-1]))
+    cuts.append(n)
+    lengths = np.array([cuts[i + 1] - cuts[i] for i in range(n_shards)], np.int64)
+    offsets = np.array(cuts[:-1], dtype=np.int64)
+    cap = max(int(lengths.max(initial=1)), 4)
     cap = (cap + align - 1) // align * align
     shards = np.zeros((n_shards, cap), dtype=np.uint8)
     for i in range(n_shards):
@@ -81,12 +143,16 @@ def _cut_utf8(data: np.ndarray, tgt: int) -> int:
     return t if t + seq > tgt else tgt
 
 
-def _cut_utf16(data: np.ndarray, tgt: int) -> int:
-    """UTF-16LE: don't cut between a high and low surrogate
-    (scalar/utf16.h:114-124)."""
+def _cut_utf16(data: np.ndarray, tgt: int, big_endian: bool = False) -> int:
+    """UTF-16: don't cut between a high and low surrogate
+    (scalar/utf16.h:114-124), reading the boundary unit in the corpus's
+    own endianness."""
     if tgt < 2 or tgt >= data.shape[0]:
         return tgt
-    last = int(data[tgt - 2]) | (int(data[tgt - 1]) << 8)
+    if big_endian:
+        last = (int(data[tgt - 2]) << 8) | int(data[tgt - 1])
+    else:
+        last = int(data[tgt - 2]) | (int(data[tgt - 1]) << 8)
     if (last & 0xFC00) == 0xD800:
         return tgt - 2
     return tgt

@@ -94,3 +94,159 @@ def test_sharded_transcode_error():
     plan = plan_shards(mb, len(jax.devices()))
     code, pos, _, _ = transcode_utf8_to_utf16_sharded(plan, _mesh())
     assert (code, pos) == (int(expect.error), expect.count)
+
+
+# --- round-2 surface: utf16 / counts / base64 sharded ------------------------
+
+from simdutf_tpu.parallel.distributed import (
+    base64_to_binary_sharded,
+    count_sharded,
+    gather_units,
+    transcode_utf16_to_utf8_sharded,
+    validate_utf16_sharded,
+)
+from simdutf_tpu.parallel.planner import plan_shards_base64
+
+
+def _u16plan(data: bytes, be: bool):
+    return plan_shards(
+        np.frombuffer(data, np.uint8), len(jax.devices()), unit=2,
+        big_endian=be,
+    )
+
+
+@pytest.mark.parametrize("be", [False, True])
+@pytest.mark.parametrize("seed", range(4))
+def test_sharded_validate_utf16(seed, be):
+    data = helpers.random_utf16(seed, 4001, 2, 1, big_endian=be)
+    plan = _u16plan(data, be)
+    code, pos = validate_utf16_sharded(plan, _mesh(), big_endian=be)
+    assert code == 0 and pos == len(data) // 2
+    # corrupt: lone high surrogate at unit k (incl. shard-boundary spots)
+    n_units = len(data) // 2
+    for k in [n_units // 8 * j for j in range(1, 8)] + [seed * 811 % n_units]:
+        mutated = bytearray(data)
+        hi, lo = (0xD8, 0x00) if be else (0x00, 0xD8)
+        mutated[2 * k], mutated[2 * k + 1] = lo, hi
+        mb = bytes(mutated)
+        expect = oracle.validate_utf16_with_errors(mb, be)
+        plan = _u16plan(mb, be)
+        code, pos = validate_utf16_sharded(plan, _mesh(), big_endian=be)
+        assert (code == 0) == expect.is_ok
+        if not expect.is_ok:
+            assert (code, pos) == (int(expect.error), expect.count)
+
+
+def test_planner_utf16_be_pair_boundary():
+    """A BE corpus whose surrogate pairs would straddle naive cuts: the
+    planner must pull the cut back one unit (round-1 weakness: LE-only)."""
+    # all astral chars: every pair is (high, low)
+    data = helpers.random_utf16(3, 4000, 0, 1, big_endian=True)
+    plan = _u16plan(data, True)
+    for i in range(len(plan.lengths)):
+        shard = plan.shards[i, : plan.lengths[i]].tobytes()
+        assert oracle.validate_utf16(shard, True), i
+
+
+@pytest.mark.parametrize("be", [False, True])
+def test_sharded_transcode_utf16_to_utf8(be):
+    data = helpers.random_utf16(11, 3000, 3, 1, big_endian=be)
+    plan = _u16plan(data, be)
+    code, total, outs, out_lens = transcode_utf16_to_utf8_sharded(
+        plan, _mesh(), big_endian=be
+    )
+    assert code == 0
+    res, expect = oracle.convert_utf16_to_utf8_with_errors(data, be)
+    assert total == res.count
+    got = gather_units(outs, out_lens).tobytes()
+    assert got == expect
+
+
+def test_sharded_counts():
+    data = helpers.random_utf8(21, 6000, 3, 2, 2, 1)
+    plan = plan_shards(data, len(jax.devices()))
+    assert count_sharded(plan, _mesh(), "utf8") == oracle.count_utf8(data)
+    assert count_sharded(plan, _mesh(), "utf8_utf16len") == (
+        oracle.utf16_length_from_utf8(data)
+    )
+    u16 = helpers.random_utf16(22, 3000, 2, 1)
+    plan16 = _u16plan(u16, False)
+    assert count_sharded(plan16, _mesh(), "utf16le") == oracle.count_utf16(
+        u16, False
+    )
+
+
+def _b64_case(seed: int, n: int, spaces: bool, pad: bool) -> bytes:
+    import base64 as pyb64
+    import random
+
+    rng = random.Random(seed)
+    raw = bytes(rng.randrange(256) for _ in range(n))
+    s = pyb64.b64encode(raw)
+    if not pad:
+        s = s.rstrip(b"=")
+    if spaces:
+        chars = bytearray(s)
+        for _ in range(len(s) // 17):
+            chars.insert(rng.randrange(len(chars)), ord(" "))
+        s = bytes(chars)
+    return s
+
+
+@pytest.mark.parametrize("spaces", [False, True])
+@pytest.mark.parametrize("pad", [False, True])
+def test_sharded_base64_decode(spaces, pad):
+    import simdutf_tpu as su
+
+    data = _b64_case(5, 5000 + (7 if pad else 0), spaces, pad)
+    want_full, want_out = (
+        su.base64_to_binary_details(data)
+    )
+    plan = plan_shards_base64(data, len(jax.devices()))
+    full, outs, out_lens, extra = base64_to_binary_sharded(
+        data, plan, _mesh()
+    )
+    assert full == want_full
+    got = np.concatenate(
+        [np.asarray(outs)[i, : int(out_lens[i])] for i in range(len(out_lens))]
+        + [extra]
+    ).tobytes()
+    assert got == want_out
+
+
+def test_sharded_base64_invalid_position():
+    import simdutf_tpu as su
+
+    data = bytearray(_b64_case(9, 4000, True, True))
+    for spot in (17, len(data) // 2 + 1, len(data) - 9):
+        mutated = bytearray(data)
+        mutated[spot] = ord("!")
+        mb = bytes(mutated)
+        want_full, _ = su.base64_to_binary_details(mb)
+        plan = plan_shards_base64(mb, len(jax.devices()))
+        full, _, _, _ = base64_to_binary_sharded(mb, plan, _mesh())
+        assert full.error == want_full.error
+        assert full.input_count == want_full.input_count
+
+
+def test_sharded_base64_last_chunk_modes():
+    import simdutf_tpu as su
+    from simdutf_tpu.golden import base64_impl as gb64
+
+    for s in (b"ZXhhZg", b"ZXhhZg==", b"YWF=", b"ZXhhZg" + b" " * 70):
+        data = b"QUJDRA==".rstrip(b"=")[:4] * 300 + s  # bulk + tail
+        for lc in (gb64.LOOSE, gb64.STRICT, gb64.STOP_BEFORE_PARTIAL):
+            want_full, want_out = su.base64_to_binary_details(
+                data, last_chunk_handling=lc
+            )
+            plan = plan_shards_base64(data, len(jax.devices()))
+            full, outs, out_lens, extra = base64_to_binary_sharded(
+                data, plan, _mesh(), last_chunk=lc
+            )
+            assert full == want_full, (s, lc)
+            if full.is_ok:
+                got = np.concatenate(
+                    [np.asarray(outs)[i, : int(out_lens[i])]
+                     for i in range(len(out_lens))] + [extra]
+                ).tobytes()
+                assert got == want_out, (s, lc)
