@@ -1,79 +1,329 @@
 #!/usr/bin/env python
-"""Per-op benchmark sweep -> JSON (analog of scripts/benchmark-all.py).
+"""Broad benchmark harness: one JSON record per procedure.
 
-Runs every hot op through the active implementation on a mixed corpus and
-emits a JSON object of GB/s figures. Host-API timings (includes staging);
-for device-resident kernel numbers use bench.py.
+Mirrors the reference's benchmark registry + scripts/benchmark-all.py
+reporting (benchmarks/src/benchmark.cpp registers 101 procedures; we cover
+every op family on device plus host competitors). Each line:
 
-    python tools/bench_all.py [--mb 8] [--impl xla] [--json out.json]
+  {"procedure": ..., "gbps": ..., "sol_pct": ..., "ms": ..., "bytes": ...}
+
+GB/s is input-bytes based like benchmark_base.cpp:118-136; sol_pct is
+against the per-op minimum HBM read+write traffic at the chip's bandwidth.
+
+Usage: python tools/bench_all.py [--size MB] [--filter substr] [--list]
 """
 
 from __future__ import annotations
 
-import argparse
 import json
+import statistics
 import sys
 import time
 
+import numpy as np
+
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
+ITERS = 10
+TRIALS = 5
+MB = 1024 * 1024
+HBM_GBPS = {"v5 lite": 819.0, "v5e": 819.0, "v5p": 2765.0, "v4": 1228.0}
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--mb", type=int, default=8)
-    ap.add_argument("--impl")
-    ap.add_argument("--json")
-    ap.add_argument("--iters", type=int, default=5)
-    args = ap.parse_args()
 
-    import bench as bench_mod
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+# --- corpora -----------------------------------------------------------------
+
+
+def mixed_corpus(nbytes: int) -> bytes:
+    block = (
+        "The quick brown fox jumps over the lazy dog. "
+        "Höfn í Hornafirði er bær á Suðausturlandi. "
+        "東京は日本の首都であり、世界最大の都市圏です。"
+        "مرحبا بالعالم، هذا نص تجريبي باللغة العربية. "
+        "Привет, мир! Это тестовый текст. "
+        "🙂🚀🌍💡🎉 emoji and 𝄞 astral chars. "
+    )
+    data = (block * (nbytes // len(block.encode()) + 1)).encode()
+    return data[:nbytes]
+
+
+def _trim8(data: bytes) -> bytes:
     import simdutf_tpu as su
+
+    return data[: su.trim_partial_utf8(data)]
+
+
+def _corpora(nbytes: int):
+    import base64 as pyb64
+
+    mixed = _trim8(mixed_corpus(nbytes))
+    u16 = mixed.decode("utf-8").encode("utf-16-le")[:nbytes]
+    u16 = u16[: len(u16) // 2 * 2]
+    # trim a split surrogate pair at the cut
+    import simdutf_tpu as su
+
+    u16 = u16[: 2 * su.trim_partial_utf16le(u16)]
+    raw = np.random.default_rng(7).integers(0, 256, nbytes * 3 // 4,
+                                            dtype=np.uint8).tobytes()
+    b64_clean = pyb64.b64encode(raw)[:nbytes]
+    b64_clean = b64_clean[: len(b64_clean) // 4 * 4]
+    chars = np.frombuffer(b64_clean, np.uint8).copy()
+    sp = np.random.default_rng(8).random(len(chars)) < (1 / 77.0)
+    spaced = chars.copy()
+    spaced[sp] = ord(" ")  # overwrite (keeps length; quads break -> forgiving path)
+    return {
+        "mixed": mixed,
+        "ascii": (b"The quick brown fox jumps over the lazy dog. " * (
+            nbytes // 46 + 1))[:nbytes],
+        "utf16": u16,
+        "b64": b64_clean,
+        "b64_spaced": spaced.tobytes(),
+        "binary": raw[:nbytes],
+    }
+
+
+# --- timing ------------------------------------------------------------------
+
+
+def _run_chained(f, x, n):
+    import jax
+    import jax.numpy as jnp
+
+    jax.device_get(f(x, jnp.int32(n)))
+    ts = []
+    for t in range(TRIALS):
+        t0 = time.perf_counter()
+        jax.device_get(f(x, jnp.int32(n - 8 * (t + 1))))
+        ts.append((time.perf_counter() - t0) / ITERS)
+    return statistics.median(ts)
+
+
+def _chain_scalarish(body):
+    """body(x, n) -> int32-reducible scalar(s)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def f(x, n0):
+        def it(i, acc):
+            return acc + body(x, n0 - (i & 7))
+        return lax.fori_loop(0, ITERS, it, jnp.int32(0))
+
+    return f
+
+
+def _chain_out(body):
+    """body(x, n) -> (out array, out_len)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def f(x, n0):
+        def it(i, acc):
+            out, out_len = body(x, n0 - (i & 7))
+            probe = out[(acc % 1000).astype(jnp.int32)].astype(jnp.int32)
+            return acc + out_len + probe
+        return lax.fori_loop(0, ITERS, it, jnp.int32(0))
+
+    return f
+
+
+# --- procedure registry --------------------------------------------------
+
+
+def build_procedures():
+    """Returns [(name, corpus_key, prepare(arr)->(x, n), chained_fn,
+    traffic(nbytes)->min_rw_bytes)]. Built lazily so jax imports once."""
+    import jax.numpy as jnp
+
+    import simdutf_tpu.ops.impl as oi
+    import simdutf_tpu.ops.utf8 as o8
+    import simdutf_tpu.ops.utf16 as o16
+    import simdutf_tpu.ops.base64_ops as ob
+    from simdutf_tpu.golden import base64_impl as gb
+
+    def pad8(arr):
+        return oi._pad(arr)
+
+    def pad16(arr):
+        return oi._pad(arr.view(np.uint16))
+
+    P = []
+
+    def add(name, corpus, prep, fn, traffic):
+        P.append((name, corpus, prep, fn, traffic))
+
+    # validation family
+    add("utf8_validate", "mixed", pad8,
+        _chain_scalarish(lambda x, n: o8.validate_with_errors(x, n)[0] +
+                         o8.validate_with_errors(x, n)[1]),
+        lambda nb: nb)
+    add("ascii_validate", "ascii", pad8,
+        _chain_scalarish(lambda x, n: o8.validate_ascii_with_errors(x, n)[1]),
+        lambda nb: nb)
+    add("utf16_validate", "utf16", pad16,
+        _chain_scalarish(lambda x, n: o16.validate_with_errors(x, n, False)[1]),
+        lambda nb: nb)
+
+    # counting family
+    add("utf8_count", "mixed", pad8,
+        _chain_scalarish(o8.count_code_points), lambda nb: nb)
+    add("utf16_length_from_utf8", "mixed", pad8,
+        _chain_scalarish(o8.utf16_length), lambda nb: nb)
+    add("utf8_length_from_utf16", "utf16", pad16,
+        _chain_scalarish(lambda x, n: o16.utf8_length(x, n, False)),
+        lambda nb: nb)
+    add("utf16_count", "utf16", pad16,
+        _chain_scalarish(lambda x, n: o16.count_code_points(x, n, False)),
+        lambda nb: nb)
+
+    # transcode family (traffic: in + typical out)
+    add("utf8_to_utf16le", "mixed", pad8,
+        _chain_out(lambda x, n: o8.to_utf16(x, n, False)[2:]),
+        lambda nb: nb + int(nb * 1.4))
+    add("utf8_to_utf16le_valid", "mixed", pad8,
+        _chain_out(lambda x, n: o8.to_utf16_valid(x, n, False)),
+        lambda nb: nb + int(nb * 1.4))
+    add("utf8_to_utf16le_ascii", "ascii", pad8,
+        _chain_out(lambda x, n: o8.to_utf16(x, n, False)[2:]),
+        lambda nb: 3 * nb)
+    add("utf8_to_utf32", "mixed", pad8,
+        _chain_out(lambda x, n: o8.to_utf32(x, n)[2:]),
+        lambda nb: nb + int(nb * 2.8))
+    add("utf16_to_utf8", "utf16", pad16,
+        _chain_out(lambda x, n: o16.to_utf8(x, n, False)[2:]),
+        lambda nb: nb + int(nb * 0.8))
+    add("utf16_change_endianness", "utf16", pad16,
+        _chain_out(lambda x, n: (o16.change_endianness(x), n)),
+        lambda nb: 2 * nb)
+    add("utf16_to_well_formed", "utf16", pad16,
+        _chain_out(lambda x, n: (o16.to_well_formed(x, n, False), n)),
+        lambda nb: 2 * nb)
+
+    # base64 family
+    def b64_dec(x, n):
+        fb, nv, _, packed, _, _ = ob.decode_bulk(x, n, False, False)
+        return packed, (nv // 4) * 3 + fb * 0
+
+    add("base64_decode", "b64", pad8, _chain_out(b64_dec),
+        lambda nb: nb + nb * 3 // 4)
+    add("base64_decode_spaced", "b64_spaced", pad8, _chain_out(b64_dec),
+        lambda nb: nb + nb * 3 // 4)
+
+    def b64_enc(x, n):
+        alpha = ob.alphabet_for(0)
+        out = oi._j_b64_encode(x, n, alpha)
+        return out, (n // 3) * 4
+
+    add("base64_encode", "binary", lambda a: oi._pad(a, multiple=3),
+        _chain_out(b64_enc), lambda nb: nb + nb * 4 // 3)
+
+    # detection
+    import simdutf_tpu.ops.detect as od
+
+    add("detect_encodings", "mixed", pad8,
+        _chain_scalarish(lambda x, n: sum(
+            jnp.asarray(c).astype(jnp.int32)
+            for c in od.detect_encodings(x, n))),
+        lambda nb: nb)
+
+    return P
+
+
+def host_competitors(corp):
+    """CPython codecs / base64 module — the ecosystem's ICU/iconv analog
+    (reference competitor table: benchmarks/src/benchmark.h:9-46)."""
+    import base64 as pyb64
+
+    out = []
+    mixed, u16, b64 = corp["mixed"][: 8 * MB], corp["utf16"][: 8 * MB], corp["b64"][: 8 * MB]
+    mixed = _trim8(mixed)
+
+    def t(name, fn, nbytes):
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        out.append({"procedure": name, "gbps": round(nbytes / dt / 1e9, 3),
+                    "competitor": True})
+
+    t("cpython_utf8_to_utf16le",
+      lambda: mixed.decode("utf-8").encode("utf-16-le"), len(mixed))
+    t("cpython_utf8_validate",
+      lambda: mixed.decode("utf-8", errors="strict"), len(mixed))
+    t("cpython_utf16le_to_utf8",
+      lambda: u16.decode("utf-16-le", errors="surrogatepass").encode("utf-8"),
+      len(u16))
+    t("cpython_base64_decode", lambda: pyb64.b64decode(b64), len(b64))
+    t("cpython_base64_encode",
+      lambda: pyb64.b64encode(corp["binary"][: 8 * MB]),
+      len(corp["binary"][: 8 * MB]))
+    return out
+
+
+def main():
+    size = 64
+    filt = ""
+    for i, a in enumerate(sys.argv[1:]):
+        if a.startswith("--size"):
+            size = int(a.split("=")[1])
+        if a.startswith("--filter"):
+            filt = a.split("=")[1]
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
+    dev = str(jax.devices()[0])
+    hbm = next((v for k, v in HBM_GBPS.items() if k in dev.lower()), 819.0)
+    log(f"backend={jax.default_backend()} device={dev} hbm={hbm} GB/s")
+
+    nbytes = size * MB - 4096
+    corp = _corpora(nbytes)
+    if "--list" in sys.argv:
+        for name, ck, *_ in build_procedures():
+            print(name, f"[{ck}]")
+        return
+
     from simdutf_tpu.runtime import tune_host_allocator
 
     tune_host_allocator()
-    if args.impl:
-        su.set_active_implementation(args.impl)
-    name = su.get_active_implementation().name
-
-    data = bench_mod.mixed_corpus(args.mb * 1024 * 1024)
-    data = data[: su.trim_partial_utf8(data)]
-    u16 = su.convert_valid_utf8_to_utf16le(data)
-    b64 = su.binary_to_base64(data[: len(data) // 2])
-
-    ops = {
-        "validate_utf8": (su.validate_utf8, data),
-        "validate_utf8_with_errors": (su.validate_utf8_with_errors, data),
-        "count_utf8": (su.count_utf8, data),
-        "utf16_length_from_utf8": (su.utf16_length_from_utf8, data),
-        "convert_utf8_to_utf16le": (su.convert_utf8_to_utf16le, data),
-        "convert_valid_utf8_to_utf16le": (su.convert_valid_utf8_to_utf16le, data),
-        "convert_utf8_to_utf32": (su.convert_utf8_to_utf32, data),
-        "validate_utf16le": (su.validate_utf16le, u16),
-        "count_utf16le": (su.count_utf16le, u16),
-        "convert_utf16le_to_utf8": (su.convert_utf16le_to_utf8, u16),
-        "to_well_formed_utf16le": (su.to_well_formed_utf16le, u16),
-        "base64_decode": (lambda d: su.base64_to_binary(d), b64),
-        "base64_encode": (su.binary_to_base64, data[: len(data) // 2]),
-    }
-    results = {"implementation": name, "input_mb": args.mb, "ops_gbps": {}}
-    for op, (fn, inp) in ops.items():
-        fn(inp)  # warm (compile/page-fault)
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            fn(inp)
-        dt = (time.perf_counter() - t0) / args.iters
-        nbytes = inp.nbytes if hasattr(inp, "nbytes") else len(inp)
-        gbps = nbytes / dt / 1e9
-        results["ops_gbps"][op] = round(gbps, 3)
-        print(f"{op:34s} {gbps:8.2f} GB/s", file=sys.stderr, flush=True)
-
-    out = json.dumps(results, indent=2)
-    if args.json:
-        with open(args.json, "w") as f:
-            f.write(out)
-    print(out)
-    return 0
+    records = []
+    for name, ck, prep, fn, traffic in build_procedures():
+        if filt and filt not in name:
+            continue
+        arr = np.frombuffer(corp[ck], np.uint8)
+        try:
+            x, n = prep(arr)
+            xj = jax.device_put(x)
+            xj.block_until_ready()
+            dt = _run_chained(fn, xj, int(n))
+            nb = len(corp[ck])
+            sol = traffic(nb) / hbm / 1e9
+            rec = {
+                "procedure": name,
+                "gbps": round(nb / dt / 1e9, 2),
+                "sol_pct": round(100 * sol / dt, 1),
+                "ms": round(dt * 1e3, 3),
+                "bytes": nb,
+            }
+            records.append(rec)
+            log(f"{name:28s} {rec['gbps']:7.1f} GB/s  {rec['sol_pct']:5.1f}% SOL")
+            print(json.dumps(rec), flush=True)
+            del xj
+        except Exception as e:
+            log(f"{name:28s} ERROR {type(e).__name__}: {e}")
+    for rec in host_competitors(corp):
+        log(f"{rec['procedure']:28s} {rec['gbps']:7.2f} GB/s (host)")
+        print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    main()
