@@ -50,6 +50,7 @@ _j_u8_to_u16le_v = jax.jit(lambda b, n: o8.to_utf16_valid(b, n, False))
 _j_u8_to_u16be_v = jax.jit(lambda b, n: o8.to_utf16_valid(b, n, True))
 _j_u8_to_u32_v = jax.jit(o8.to_utf32_valid)
 _j_u8_to_l1 = jax.jit(o8.to_latin1)
+_j_u8_to_l1_v = jax.jit(o8.to_latin1_valid)
 
 _j_validate_u16le = jax.jit(lambda w, n: o16.validate_with_errors(w, n, False))
 _j_validate_u16be = jax.jit(lambda w, n: o16.validate_with_errors(w, n, True))
@@ -67,6 +68,8 @@ _j_u16le_to_u32 = jax.jit(lambda w, n: o16.to_utf32(w, n, False))
 _j_u16be_to_u32 = jax.jit(lambda w, n: o16.to_utf32(w, n, True))
 _j_u16le_to_l1 = jax.jit(lambda w, n: o16.to_latin1(w, n, False))
 _j_u16be_to_l1 = jax.jit(lambda w, n: o16.to_latin1(w, n, True))
+_j_u16le_to_l1_v = jax.jit(lambda w, n: o16.to_latin1_valid(w, n, False))
+_j_u16be_to_l1_v = jax.jit(lambda w, n: o16.to_latin1_valid(w, n, True))
 _j_swap16 = jax.jit(o16.change_endianness)
 _j_wf_u16le = jax.jit(lambda w, n: o16.to_well_formed(w, n, False))
 _j_wf_u16be = jax.jit(lambda w, n: o16.to_well_formed(w, n, True))
@@ -78,6 +81,10 @@ _j_u32_to_u8 = jax.jit(o32.to_utf8)
 _j_u32_to_u16le = jax.jit(lambda w, n: o32.to_utf16(w, n, False))
 _j_u32_to_u16be = jax.jit(lambda w, n: o32.to_utf16(w, n, True))
 _j_u32_to_l1 = jax.jit(o32.to_latin1)
+_j_u32_to_u8_v = jax.jit(o32.to_utf8_valid)
+_j_u32_to_u16le_v = jax.jit(lambda w, n: o32.to_utf16_valid(w, n, False))
+_j_u32_to_u16be_v = jax.jit(lambda w, n: o32.to_utf16_valid(w, n, True))
+_j_u32_to_l1_v = jax.jit(o32.to_latin1_valid)
 
 _j_u8len_l1 = jax.jit(ol1.utf8_length)
 _j_l1_to_u8 = jax.jit(ol1.to_utf8)
@@ -280,6 +287,34 @@ class XLAImplementation(Implementation):
 
     def convert_utf8_to_latin1_with_errors(self, b):
         return self._convert(_j_u8_to_l1, b)
+
+    def convert_valid_utf8_to_latin1(self, b):
+        out, total = _j_u8_to_l1_v(*_pad(b))
+        return _cut(out, total)
+
+    def convert_valid_utf16le_to_latin1(self, w):
+        out, total = _j_u16le_to_l1_v(*_pad(w))
+        return _cut(out, total)
+
+    def convert_valid_utf16be_to_latin1(self, w):
+        out, total = _j_u16be_to_l1_v(*_pad(w))
+        return _cut(out, total)
+
+    def convert_valid_utf32_to_utf8(self, w):
+        out, total = _j_u32_to_u8_v(*_pad(w))
+        return _cut(out, total)
+
+    def convert_valid_utf32_to_utf16le(self, w):
+        out, total = _j_u32_to_u16le_v(*_pad(w))
+        return _cut(out, total)
+
+    def convert_valid_utf32_to_utf16be(self, w):
+        out, total = _j_u32_to_u16be_v(*_pad(w))
+        return _cut(out, total)
+
+    def convert_valid_utf32_to_latin1(self, w):
+        out, total = _j_u32_to_l1_v(*_pad(w))
+        return _cut(out, total)
 
     def convert_utf16le_to_utf8_with_errors(self, w):
         return self._convert(_j_u16le_to_u8, w)

@@ -197,6 +197,12 @@ def to_latin1(words: jnp.ndarray, length, big_endian: bool):
     )
 
 
+def to_latin1_valid(words: jnp.ndarray, length, big_endian: bool):
+    """convert_valid_utf16_to_latin1: pure narrowing store. (out, total)."""
+    w = native(words, length, big_endian)
+    return (w & 0xFF).astype(jnp.uint8), length
+
+
 def to_utf8_valid(words: jnp.ndarray, length, big_endian: bool):
     """convert_valid_utf16_to_utf8: skips surrogate validation entirely
     (reference: per-arch convert_valid kernels). Returns (out u8[3N], total)."""

@@ -55,12 +55,9 @@ def utf16_length(words: jnp.ndarray, length):
     return jnp.sum(in_r) + jnp.sum((w > 0xFFFF) & in_r)
 
 
-def to_utf8(words: jnp.ndarray, length):
-    """Returns (err_code, err_pos, out u8[4N], out_len)."""
-    n = words.shape[0]
-    w64 = _native(words, length)
-    err_pos, err_code = first_error(w64, length)
-    ok = err_pos == BIG
+def _emit_utf8(w64, length, n):
+    """Shared UTF-8 emission from clamped codepoints: (out u8[4N], off,
+    total)."""
     idx = positions(n)
     in_r = idx < length
     # clamp garbage (>0x10FFFF) so bit ops stay sane; truncated away anyway
@@ -89,22 +86,11 @@ def to_utf8(words: jnp.ndarray, length):
     out = out.at[jnp.where(in_r & (width >= 2), off + 1, cap)].set(b1, mode="drop")
     out = out.at[jnp.where(in_r & (width >= 3), off + 2, cap)].set(b2, mode="drop")
     out = out.at[jnp.where(in_r & (width >= 4), off + 3, cap)].set(b3, mode="drop")
-    clamped = jnp.minimum(err_pos, n - 1)
-    out_len = jnp.where(ok, total, jnp.where(err_pos == 0, 0, off[clamped]))
-    return (
-        jnp.where(ok, 0, err_code),
-        jnp.where(ok, length, err_pos),
-        out.astype(jnp.uint8),
-        out_len,
-    )
+    return out.astype(jnp.uint8), off, total
 
 
-def to_utf16(words: jnp.ndarray, length, big_endian: bool):
-    """Returns (err_code, err_pos, out u16[2N], out_len)."""
-    n = words.shape[0]
-    w64 = _native(words, length)
-    err_pos, err_code = first_error(w64, length)
-    ok = err_pos == BIG
+def _emit_utf16(w64, length, n, big_endian):
+    """Shared UTF-16 emission: (out u16[2N], off, total)."""
     idx = positions(n)
     in_r = idx < length
     cp = jnp.where(w64 > 0x10FFFF, 0, w64).astype(jnp.int32)
@@ -123,14 +109,58 @@ def to_utf16(words: jnp.ndarray, length, big_endian: bool):
     out = jnp.zeros(cap, dtype=jnp.int32)
     out = out.at[jnp.where(in_r, off, cap)].set(unit0, mode="drop")
     out = out.at[jnp.where(is4, off + 1, cap)].set(unit1, mode="drop")
+    return out.astype(jnp.uint16), off, total
+
+
+def to_utf8(words: jnp.ndarray, length):
+    """Returns (err_code, err_pos, out u8[4N], out_len)."""
+    n = words.shape[0]
+    w64 = _native(words, length)
+    err_pos, err_code = first_error(w64, length)
+    ok = err_pos == BIG
+    out, off, total = _emit_utf8(w64, length, n)
     clamped = jnp.minimum(err_pos, n - 1)
     out_len = jnp.where(ok, total, jnp.where(err_pos == 0, 0, off[clamped]))
     return (
         jnp.where(ok, 0, err_code),
         jnp.where(ok, length, err_pos),
-        out.astype(jnp.uint16),
+        out,
         out_len,
     )
+
+
+def to_utf8_valid(words: jnp.ndarray, length):
+    """convert_valid_utf32_to_utf8: skips the range/surrogate checks
+    (reference: per-arch convert_valid kernels). Returns (out, total)."""
+    n = words.shape[0]
+    w64 = _native(words, length)
+    out, _, total = _emit_utf8(w64, length, n)
+    return out, total
+
+
+def to_utf16(words: jnp.ndarray, length, big_endian: bool):
+    """Returns (err_code, err_pos, out u16[2N], out_len)."""
+    n = words.shape[0]
+    w64 = _native(words, length)
+    err_pos, err_code = first_error(w64, length)
+    ok = err_pos == BIG
+    out, off, total = _emit_utf16(w64, length, n, big_endian)
+    clamped = jnp.minimum(err_pos, n - 1)
+    out_len = jnp.where(ok, total, jnp.where(err_pos == 0, 0, off[clamped]))
+    return (
+        jnp.where(ok, 0, err_code),
+        jnp.where(ok, length, err_pos),
+        out,
+        out_len,
+    )
+
+
+def to_utf16_valid(words: jnp.ndarray, length, big_endian: bool):
+    """convert_valid_utf32_to_utf16: no validation pass. (out, total)."""
+    n = words.shape[0]
+    w64 = _native(words, length)
+    out, _, total = _emit_utf16(w64, length, n, big_endian)
+    return out, total
 
 
 def to_latin1(words: jnp.ndarray, length):
@@ -148,3 +178,9 @@ def to_latin1(words: jnp.ndarray, length):
         out,
         out_len,
     )
+
+
+def to_latin1_valid(words: jnp.ndarray, length):
+    """convert_valid_utf32_to_latin1: a pure narrowing store. (out, total)."""
+    w = _native(words, length)
+    return (w & 0xFF).astype(jnp.uint8), length

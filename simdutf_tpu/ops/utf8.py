@@ -298,6 +298,26 @@ def to_latin1(b: jnp.ndarray, length):
     )
 
 
+def to_latin1_valid(b: jnp.ndarray, length):
+    """convert_valid_utf8_to_latin1: valid Latin1-range UTF-8 has only
+    ASCII + 2-byte sequences, so this skips the whole error lattice
+    (reference: valid_utf8_to_latin1.h). Returns (out u8[N], total)."""
+    n = b.shape[0]
+    idx = positions(n)
+    bb = zero_tail(b.astype(jnp.int32), length)
+    b1 = shift_left(bb, 1)
+    lead = ((bb & 0xC0) != 0x80) & (idx < length)
+    vals = jnp.where(bb < 0x80, bb, ((bb & 0x1F) << 6) | (b1 & 0x3F))
+    k32 = lead.astype(jnp.int32)
+    off_inc = jnp.cumsum(k32)
+    off = off_inc - k32
+    total = off_inc[n - 1]
+    out = jnp.zeros(n, dtype=jnp.int32).at[jnp.where(lead, off, n)].set(
+        vals, mode="drop"
+    )
+    return out.astype(jnp.uint8), total
+
+
 def to_utf16_valid(b: jnp.ndarray, length, big_endian: bool):
     """convert_valid_utf8_to_utf16*: assumes valid input, skips the error
     events entirely (reference: generic/utf8_to_utf16/valid_utf8_to_utf16.h).

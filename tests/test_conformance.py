@@ -356,3 +356,36 @@ def test_utf16_valid_variants(impl_name, data):
     be = _be(data)
     assert su.convert_valid_utf16be_to_utf8(be) == exp8
     assert su.convert_valid_utf16be_to_utf32(be) == exp32
+
+
+def test_convert_valid_matches_validating_on_valid_input(impl_name):
+    """Every convert_valid_* must agree with its validating sibling on
+    valid input (the reference's valid_ kernels are pure fast paths,
+    e.g. generic/utf8_to_utf16/valid_utf8_to_utf16.h)."""
+    import helpers
+
+    u8_latin = "héllo wörld ÿñ æøå".encode()  # Latin1-representable
+    u8_full = helpers.random_utf8(3, 600, 3, 2, 2, 1)
+    u16 = helpers.random_utf16(4, 500, 3, 1)
+    u16_latin = "héllo ÿ".encode("utf-16-le")
+    u32 = helpers.random_utf32(5, 400, 0.25)
+    u32_latin = "héllo ÿ".encode("utf-32-le")
+
+    assert su.convert_valid_utf8_to_latin1(u8_latin) == (
+        su.convert_utf8_to_latin1(u8_latin))
+    assert su.convert_valid_utf8_to_utf16le(u8_full) == (
+        su.convert_utf8_to_utf16le(u8_full))
+    assert su.convert_valid_utf16le_to_latin1(u16_latin) == (
+        su.convert_utf16le_to_latin1(u16_latin))
+    assert su.convert_valid_utf16be_to_latin1(
+        su.change_endianness_utf16(u16_latin)) == (
+        su.convert_utf16le_to_latin1(u16_latin))
+    assert su.convert_valid_utf32_to_utf8(u32) == su.convert_utf32_to_utf8(u32)
+    assert su.convert_valid_utf32_to_utf16le(u32) == (
+        su.convert_utf32_to_utf16le(u32))
+    assert su.convert_valid_utf32_to_utf16be(u32) == (
+        su.convert_utf32_to_utf16be(u32))
+    assert su.convert_valid_utf32_to_latin1(u32_latin) == (
+        su.convert_utf32_to_latin1(u32_latin))
+    assert su.convert_valid_utf16le_to_utf8(u16) == (
+        su.convert_utf16le_to_utf8(u16))
