@@ -416,11 +416,23 @@ class XLAImplementation(Implementation):
         eq = ord("=")
         empty = np.zeros(0, dtype=np.uint8)
 
-        def code_at(i: int) -> int:
-            c = int(src[i])
-            if c != (c & 0xFF):
-                return 255
-            return int(tab_np[c & 0xFF])
+        def strip_ws(end: int) -> int:
+            """Largest e <= end with src[e-1] not whitespace — vectorized
+            backward scan in growing chunks, so a whitespace-heavy tail
+            never degenerates to a per-char host loop."""
+            step = 64
+            while end > 0:
+                lo = max(0, end - step)
+                chunk = np.asarray(src[lo:end])
+                vals = np.where(
+                    chunk > 0xFF, 255, tab_np[np.minimum(chunk, 0xFF)]
+                )
+                nonws = np.flatnonzero(vals != 64)
+                if len(nonws):
+                    return lo + int(nonws[-1]) + 1
+                end = lo
+                step *= 4
+            return 0
 
         srclen = int(src.shape[0])
         equallocation = srclen
@@ -428,14 +440,12 @@ class XLAImplementation(Implementation):
         if not garbage:
             # prologue strip (generic/base64.h:50-73): O(trailing chars)
             # backward scan — never classify the whole input on the host
-            while srclen > 0 and code_at(srclen - 1) == 64:
-                srclen -= 1
+            srclen = strip_ws(srclen)
             if srclen > 0 and int(src[srclen - 1]) == eq:
                 equallocation = srclen - 1
                 srclen -= 1
                 equalsigns = 1
-                while srclen > 0 and code_at(srclen - 1) == 64:
-                    srclen -= 1
+                srclen = strip_ws(srclen)
                 if srclen > 0 and int(src[srclen - 1]) == eq:
                     equallocation = srclen - 1
                     srclen -= 1

@@ -389,3 +389,19 @@ def test_convert_valid_matches_validating_on_valid_input(impl_name):
         su.convert_utf32_to_latin1(u32_latin))
     assert su.convert_valid_utf16le_to_utf8(u16) == (
         su.convert_utf16le_to_utf8(u16))
+
+
+def test_length_taking_signatures(impl_name):
+    """latin1_length_from_utf16/utf32 and utf16/utf32_length_from_latin1
+    deliberately take a LENGTH, not data — matching the reference
+    signatures (implementation.h: these counts are the identity function
+    of the unit count). Guard the deliberate difference from their
+    data-taking siblings."""
+    assert su.latin1_length_from_utf16(123) == 123
+    assert su.latin1_length_from_utf32(77) == 77
+    assert su.utf16_length_from_latin1(9) == 9
+    assert su.utf32_length_from_latin1(5) == 5
+    # data-taking siblings accept buffers, not ints
+    data = "abcé".encode()
+    assert su.utf8_length_from_latin1(
+        "abcé".encode("latin-1")) == len(data)

@@ -136,6 +136,12 @@ def _chain_out(body):
 # --- procedure registry --------------------------------------------------
 
 
+def _pad_swar16_arr(a):
+    from simdutf_tpu.kernels.impl import _pad_swar16
+
+    return _pad_swar16(a.view(np.uint16))[0]
+
+
 def build_procedures():
     """Returns [(name, corpus_key, prepare(arr)->(x, n), chained_fn,
     traffic(nbytes)->min_rw_bytes)]. Built lazily so jax imports once."""
@@ -222,6 +228,27 @@ def build_procedures():
 
     add("base64_encode", "binary", lambda a: oi._pad(a, multiple=3),
         _chain_out(b64_enc), lambda nb: nb + nb * 4 // 3)
+
+    # pallas kernel tier (SWAR vs event formulation — VERDICT W3)
+    from simdutf_tpu.kernels import swar as ksw, validate as kv
+    from simdutf_tpu.kernels.impl import _pad2d, _pad_swar
+
+    add("utf8_validate_pallas_swar", "mixed",
+        lambda a: (_pad_swar(a)[0], 0),
+        _chain_scalarish(lambda x, n: ksw.utf8_swar_first_bad_word(x, n)),
+        lambda nb: nb)
+    add("utf8_validate_pallas_event", "mixed",
+        lambda a: _pad2d(a),
+        _chain_scalarish(lambda x, n: kv.utf8_first_event(x)[0] + n * 0),
+        lambda nb: nb)
+    add("utf8_count_pallas", "mixed", lambda a: _pad2d(a),
+        _chain_scalarish(lambda x, n: kv.utf8_count(x, n)),
+        lambda nb: nb)
+    add("utf16_validate_pallas_swar", "utf16",
+        lambda a: (_pad_swar16_arr(a), 0),
+        _chain_scalarish(
+            lambda x, n: ksw.utf16_swar_first_bad_word(x, be=False) + n * 0),
+        lambda nb: nb)
 
     # detection
     import simdutf_tpu.ops.detect as od

@@ -147,8 +147,10 @@ VARIANTS = {
     "blk_uniq16": make_variant(blocked=True, unique=True, u16=True),
     "u16": make_variant(blocked=False, unique=False, u16=True),
     "widen": widen,
-    "gather_rev": make_variant(blocked=True, unique=False, u16=False,
-                               gather_rev=True),
+    # NOTE: gather_rev (searchsorted over the full buffer) crashed the TPU
+    # worker on 2026-08-17 ("kernel fault"); run it explicitly if ever.
+    "_gather_rev": make_variant(blocked=True, unique=False, u16=False,
+                                gather_rev=True),
 }
 
 
@@ -158,7 +160,7 @@ def main():
     for a in sys.argv[1:]:
         if a.startswith("--size"):
             size = int(a.split("=")[1])
-    names = args or list(VARIANTS)
+    names = args or [k for k in VARIANTS if not k.startswith("_")]
     print(f"backend={jax.default_backend()}", file=sys.stderr)
     data = mixed_corpus(size * MB - 4096)
     arr = np.frombuffer(data, np.uint8)
