@@ -324,5 +324,127 @@ def main():
             print(f"{n:10s} ERROR: {type(e).__name__}: {e}")
 
 
+
+# --- full general-transcode cost simulation (no DMA) -------------------------
+
+def _fullpath_kernel(s_ref, x_ref, o_ref):
+    """Everything the general utf8->utf16 tile pays on the VPU: classify +
+    emit (byte-per-lane int32), per-window scan, rotated binary search +
+    gather, A/B masks, and two 9-round sublane butterflies into a (264,128)
+    scratch. Placement values are synthetic but shape/op-accurate."""
+    b = (x_ref[...] ^ s_ref[0]) & 0xFF  # (256,128) "bytes"
+    R, W = b.shape
+    rowi, lane = _iotas(b.shape)
+
+    # classify + unit emission (valid-input path)
+    is_cont = (b & 0xC0) == 0x80
+    lead = ~is_cont
+    ascii_ = b < 0x80
+    lead2 = (b & 0xE0) == 0xC0
+    lead3 = (b & 0xF0) == 0xE0
+    lead4 = (b & 0xF8) == 0xF0
+    b1 = pltpu.roll(b, shift=W - 1, axis=1)
+    b2 = pltpu.roll(b, shift=W - 2, axis=1)
+    b3 = pltpu.roll(b, shift=W - 3, axis=1)
+    cp = jnp.where(ascii_, b, 0)
+    cp = jnp.where(lead2, ((b & 0x1F) << 6) | (b1 & 0x3F), cp)
+    cp = jnp.where(lead3, ((b & 0x0F) << 12) | ((b1 & 0x3F) << 6) | (b2 & 0x3F), cp)
+    cp4 = ((b & 0x07) << 18) | ((b1 & 0x3F) << 12) | ((b2 & 0x3F) << 6) | (b3 & 0x3F)
+    cp = jnp.where(lead4, cp4, cp)
+    cpx = cp - 0x10000
+    unit0 = jnp.where(cp > 0xFFFF, 0xD800 + (cpx >> 10), cp)
+    unit1 = 0xDC00 + (cpx & 0x3FF)
+    after4 = pltpu.roll(lead4.astype(jnp.int32), shift=1, axis=1) == 1
+    keep = lead | after4
+    val = jnp.where(after4, unit1, unit0)
+
+    # per-window inclusive scan
+    k = keep.astype(jnp.int32)
+    inc = k
+    shift = 1
+    while shift < W:
+        rolled = pltpu.roll(inc, shift=shift, axis=1)
+        inc = inc + jnp.where(lane >= shift, rolled, 0)
+        shift *= 2
+    c = inc[:, W - 1 :]  # (R,1) counts
+
+    # row offsets via sublane Hillis-Steele on broadcast counts
+    cb = c * jnp.ones((1, W), jnp.int32)
+    pref = cb
+    shift = 1
+    while shift < R:
+        rolled = jnp.concatenate(
+            [jnp.zeros((shift, W), jnp.int32), pref[:-shift]], axis=0
+        )
+        pref = pref + rolled
+        shift *= 2
+    rowoff = pref - cb  # exclusive
+
+    # rotated binary search + value gather
+    rot = rowoff & 127
+    target = ((lane - rot) & 127) + 1
+    lo = jnp.zeros_like(b)
+    step = 64
+    while step >= 1:
+        probe = jnp.minimum(lo + step - 1, W - 1)
+        pv = jnp.take_along_axis(inc, probe, axis=1)
+        lo = jnp.where(pv < target, lo + step, lo)
+        step //= 2
+    out_rot = jnp.take_along_axis(val, jnp.minimum(lo, W - 1), axis=1)
+    valid = target <= c
+    a_part = jnp.where(valid & (lane >= rot), out_rot, 0)
+    b_part = jnp.where(valid & (lane < rot), out_rot, 0)
+
+    # two 9-round additive butterflies into a 264-row scratch
+    tprime = rowoff >> 7
+    acc = jnp.zeros((264, W), jnp.int32)
+    for part, bias in ((a_part, 0), (b_part, 1)):
+        x = jnp.concatenate([jnp.zeros((8, W), jnp.int32), part], axis=0)
+        d = jnp.concatenate(
+            [jnp.zeros((8, W), jnp.int32), rowi + 8 - tprime - bias], axis=0
+        )
+        for kbit in range(9):
+            move = ((d >> kbit) & 1) == 1
+            xm = jnp.where(move, x, 0)
+            dm = jnp.where(move, d - (1 << kbit), 0)
+            xs = jnp.where(move, 0, x)
+            ds = jnp.where(move, 0, d)
+            sh = 1 << kbit
+            x = xs + jnp.concatenate([xm[sh:], jnp.zeros((sh, W), jnp.int32)], axis=0)
+            d = jnp.maximum(ds, jnp.concatenate([dm[sh:], jnp.zeros((sh, W), jnp.int32)], axis=0))
+        acc = acc + x
+    o_ref[...] = acc[:256] + acc[8:]
+
+
+def probe_fullpath():
+    rows = N_BYTES // 4 // 128
+
+    def one(x, salt):
+        out = pl.pallas_call(
+            _fullpath_kernel,
+            grid=(rows // 256,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((256, 128), lambda i: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec((256, 128), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.int32),
+            interpret=_interpret(),
+        )(jnp.reshape(salt, (1,)), x)
+        return out[0, 0]
+
+    x = jnp.zeros((rows, 128), jnp.int32)
+    dt = _time(_chain(one), x)
+    tiles = rows // 256
+    tile_bytes = 256 * 128
+    print(
+        f"{'fullpath':10s} {dt/tiles*1e9:8.1f} ns/tile  full general "
+        f"transcode VPU cost on (256,128)-byte tiles -> "
+        f"{tile_bytes*tiles/dt/1e9:6.1f} GB/s ceiling"
+    )
+
+
+ALL["fullpath"] = probe_fullpath
+
 if __name__ == "__main__":
     main()
