@@ -20,6 +20,7 @@ from ..runtime import staging_buffer
 from . import validate as kv
 from . import utf16_kernels as k16
 from . import swar as ksw
+from . import transcode as ktr
 
 
 def _tile_layout(n: int, width: int, lead_tiles: int, trail_tiles: int,
@@ -210,6 +211,87 @@ class PallasImplementation(XLAImplementation):
         out = np.asarray(k16.utf16_to_well_formed(x2d, True))
         return out.reshape(-1)[: int(n)]
 
+    # -- transcode (ASCII fused fast path; general path inherits XLA) --------
+    # The reference's per-block is_ascii short-circuit
+    # (generic/utf8_to_utf16/utf8_to_utf16.h:237-240) lifted to corpus
+    # scale: one fused widen kernel whose ASCII flag doubles as the
+    # validity proof. A strided host peek avoids a wasted device pass on
+    # clearly non-ASCII corpora.
+
+    @staticmethod
+    def _peek_ascii8(b) -> bool:
+        n = b.shape[0]
+        if n == 0:
+            return True
+        return int(b[:: max(1, n // 4096)].max()) < 0x80
+
+    def _widen_ascii(self, b, be):
+        """Try the fused ASCII widen; returns uint16 array or None."""
+        if not self._peek_ascii8(b):
+            return None
+        x16, n = _pad_widen(b)
+        out, flag = ktr.ascii_widen_utf16(x16, big_endian=be)
+        if int(flag):
+            return None
+        return np.asarray(out).view(np.uint16).reshape(-1)[: int(n)]
+
+    def convert_valid_utf8_to_utf16le(self, b):
+        out = self._widen_ascii(b, False)
+        return out if out is not None else super().convert_valid_utf8_to_utf16le(b)
+
+    def convert_valid_utf8_to_utf16be(self, b):
+        out = self._widen_ascii(b, True)
+        return out if out is not None else super().convert_valid_utf8_to_utf16be(b)
+
+    def convert_utf8_to_utf16le_with_errors(self, b):
+        out = self._widen_ascii(b, False)
+        if out is not None:  # all-ASCII implies valid UTF-8
+            return Result(ec.SUCCESS, out.shape[0]), out
+        return super().convert_utf8_to_utf16le_with_errors(b)
+
+    def convert_utf8_to_utf16be_with_errors(self, b):
+        out = self._widen_ascii(b, True)
+        if out is not None:
+            return Result(ec.SUCCESS, out.shape[0]), out
+        return super().convert_utf8_to_utf16be_with_errors(b)
+
+    @staticmethod
+    def _peek_ascii16(w, be) -> bool:
+        n = w.shape[0]
+        if n == 0:
+            return True
+        sample = w[:: max(1, n // 2048)]
+        return int(sample.max()) < (0x8000 if be else 0x80)
+
+    def _narrow_ascii(self, w, be):
+        if not self._peek_ascii16(w, be):
+            return None
+        x32, n = _pad_narrow(w)
+        out, flag = ktr.ascii_narrow_utf8(x32, big_endian=be)
+        if int(flag):
+            return None
+        return np.asarray(out).view(np.uint8).reshape(-1)[: int(n)]
+
+    def convert_valid_utf16le_to_utf8(self, w):
+        out = self._narrow_ascii(w, False)
+        return out if out is not None else super().convert_valid_utf16le_to_utf8(w)
+
+    def convert_valid_utf16be_to_utf8(self, w):
+        out = self._narrow_ascii(w, True)
+        return out if out is not None else super().convert_valid_utf16be_to_utf8(w)
+
+    def convert_utf16le_to_utf8_with_errors(self, w):
+        out = self._narrow_ascii(w, False)
+        if out is not None:  # all-ASCII units are trivially valid UTF-16
+            return Result(ec.SUCCESS, out.shape[0]), out
+        return super().convert_utf16le_to_utf8_with_errors(w)
+
+    def convert_utf16be_to_utf8_with_errors(self, w):
+        out = self._narrow_ascii(w, True)
+        if out is not None:
+            return Result(ec.SUCCESS, out.shape[0]), out
+        return super().convert_utf16be_to_utf8_with_errors(w)
+
 
 
 
@@ -220,6 +302,26 @@ def _pad2d16(arr: np.ndarray):
     out, start = _tile_layout(n, k16.W16, 1, 1, np.uint16, "pad2d16")
     out.reshape(-1)[start : start + n] = arr
     return out, np.int32(n)
+
+
+def _pad_widen(arr: np.ndarray):
+    """uint8 -> ((rows, 256) int16 pair view, length): the ASCII widen
+    kernel's layout (2 bytes per lane, no halos)."""
+    n = int(arr.shape[0])
+    buf, start = _tile_layout(n, kv.W, 0, 0, np.uint8, "widen")
+    buf.reshape(-1)[:n] = arr
+    rows = buf.shape[0]
+    return buf.view(np.int16).reshape(rows, ktr.W16), np.int32(n)
+
+
+def _pad_narrow(arr: np.ndarray):
+    """uint16 -> ((rows, 256) int32 pair view, unit length) for the ASCII
+    narrow kernel (2 units per lane, 1 KiB rows)."""
+    n = int(arr.shape[0])
+    buf, start = _tile_layout(n, ktr.W16 * 2, 0, 0, np.uint16, "narrow")
+    buf.reshape(-1)[:n] = arr
+    rows = buf.shape[0]
+    return buf.view(np.int32).reshape(rows, ktr.W16), np.int32(n)
 
 
 def _pad_swar(arr: np.ndarray):

@@ -1,0 +1,100 @@
+"""Pallas ASCII fast-path transcode kernels (interpret mode on CPU).
+
+The fused widen/narrow kernels must (a) produce byte-exact streams on
+all-ASCII input, (b) raise the fallback flag on any non-ASCII content so
+the pallas tier's public entry points stay byte-exact everywhere.
+"""
+
+import numpy as np
+import pytest
+
+import simdutf_tpu as su
+from simdutf_tpu.kernels import transcode as ktr
+from simdutf_tpu.kernels.impl import _pad_narrow, _pad_widen
+
+
+@pytest.fixture(autouse=True)
+def _pallas(monkeypatch):
+    su.set_active_implementation("pallas")
+    yield
+    su.set_active_implementation("fallback")
+
+
+@pytest.mark.parametrize("be", [False, True])
+@pytest.mark.parametrize("n", [0, 1, 7, 511, 512, 4097, 70000])
+def test_widen_ascii_exact(be, n):
+    data = bytes((i * 7 + 13) % 128 for i in range(n))
+    want = data.decode().encode("utf-16-be" if be else "utf-16-le")
+    x16, nn = _pad_widen(np.frombuffer(data, np.uint8))
+    out, flag = ktr.ascii_widen_utf16(x16, big_endian=be)
+    assert int(flag) == 0
+    got = np.asarray(out).view(np.uint16).reshape(-1)[: int(nn)]
+    assert got.tobytes() == want
+
+
+@pytest.mark.parametrize("spot", [0, 1, 510, 511, 512, 513, 9000])
+def test_widen_flags_nonascii(spot):
+    data = bytearray(b"a" * 9001)
+    data[spot] = 0xC3
+    x16, _ = _pad_widen(np.frombuffer(bytes(data), np.uint8))
+    _, flag = ktr.ascii_widen_utf16(x16, big_endian=False)
+    assert int(flag) == 1
+
+
+@pytest.mark.parametrize("be", [False, True])
+@pytest.mark.parametrize("n", [0, 1, 255, 256, 2049, 40000])
+def test_narrow_ascii_exact(be, n):
+    s = "".join(chr((i * 11 + 5) % 128) for i in range(n))
+    data = np.frombuffer(
+        s.encode("utf-16-be" if be else "utf-16-le"), np.uint16
+    )
+    x32, nn = _pad_narrow(data)
+    out, flag = ktr.ascii_narrow_utf8(x32, big_endian=be)
+    assert int(flag) == 0
+    got = np.asarray(out).view(np.uint8).reshape(-1)[: int(nn)]
+    assert got.tobytes() == s.encode()
+
+
+@pytest.mark.parametrize("be", [False, True])
+def test_narrow_flags_nonascii(be):
+    s = "abc" * 1000 + "é"
+    data = np.frombuffer(
+        s.encode("utf-16-be" if be else "utf-16-le"), np.uint16
+    )
+    x32, _ = _pad_narrow(data)
+    _, flag = ktr.ascii_narrow_utf8(x32, big_endian=be)
+    assert int(flag) == 1
+
+
+def test_pallas_tier_ascii_and_fallback_paths():
+    """Public entry points: exact on ASCII (kernel path) and on mixed
+    (fallback path), matching the xla tier byte-for-byte."""
+    ascii_data = b"hello pallas world " * 400
+    mixed = "héllo wörld 日本語 🙂 ".encode() * 100
+    for data in (ascii_data, mixed):
+        su.set_active_implementation("pallas")
+        got16 = su.convert_utf8_to_utf16le(data)
+        gotv = su.convert_valid_utf8_to_utf16le(data)
+        gotbe = su.convert_utf8_to_utf16be(data)
+        su.set_active_implementation("xla")
+        assert got16 == su.convert_utf8_to_utf16le(data)
+        assert gotv == su.convert_valid_utf8_to_utf16le(data)
+        assert gotbe == su.convert_utf8_to_utf16be(data)
+
+    u16_ascii = ("ok " * 900).encode("utf-16-le")
+    u16_mixed = ("日本 ok " * 300).encode("utf-16-le")
+    for data in (u16_ascii, u16_mixed):
+        su.set_active_implementation("pallas")
+        got8 = su.convert_utf16le_to_utf8(data)
+        su.set_active_implementation("xla")
+        assert got8 == su.convert_utf16le_to_utf8(data)
+
+
+def test_pallas_with_errors_result_counts():
+    data = b"abc" * 1000
+    su.set_active_implementation("pallas")
+    r = su.convert_utf8_to_utf16le_with_errors(data)
+    assert r[0].is_ok and r[0].count == len(data)
+    u16 = "xyz".encode("utf-16-le") * 500
+    r = su.convert_utf16le_to_utf8_with_errors(u16)
+    assert r[0].is_ok and r[0].count == len(u16) // 2

@@ -74,10 +74,12 @@ def _corpora(nbytes: int):
     sp = np.random.default_rng(8).random(len(chars)) < (1 / 77.0)
     spaced = chars.copy()
     spaced[sp] = ord(" ")  # overwrite (keeps length; quads break -> forgiving path)
+    ascii_c = (b"The quick brown fox jumps over the lazy dog. " * (
+        nbytes // 46 + 1))[:nbytes]
     return {
         "mixed": mixed,
-        "ascii": (b"The quick brown fox jumps over the lazy dog. " * (
-            nbytes // 46 + 1))[:nbytes],
+        "ascii": ascii_c,
+        "ascii16": ascii_c.decode().encode("utf-16-le")[:nbytes],
         "utf16": u16,
         "b64": b64_clean,
         "b64_spaced": spaced.tobytes(),
@@ -249,6 +251,21 @@ def build_procedures():
         _chain_scalarish(
             lambda x, n: ksw.utf16_swar_first_bad_word(x, be=False) + n * 0),
         lambda nb: nb)
+
+    # pallas ASCII fused transcode fast paths
+    from simdutf_tpu.kernels import transcode as ktr
+    from simdutf_tpu.kernels.impl import _pad_narrow, _pad_widen
+
+    add("utf8_to_utf16_ascii_pallas", "ascii",
+        lambda a: _pad_widen(a),
+        _chain_out(lambda x, n: (
+            ktr.ascii_widen_utf16(x, big_endian=False)[0].reshape(-1), n)),
+        lambda nb: 3 * nb)
+    add("utf16_to_utf8_ascii_pallas", "ascii16",
+        lambda a: _pad_narrow(a.view(np.uint16)),
+        _chain_out(lambda x, n: (
+            ktr.ascii_narrow_utf8(x, big_endian=False)[0].reshape(-1), n)),
+        lambda nb: nb + nb // 2)
 
     # detection
     import simdutf_tpu.ops.detect as od
