@@ -1,0 +1,177 @@
+"""Pallas base64 kernels: clean-input block decode / encode.
+
+The reference's hot base64 loop (generic/base64.h:43-246 + per-arch
+block64 kernels like src/haswell/avx2_base64.cpp) decodes 64-char blocks
+with a whitespace-compaction escape hatch. On TPU the winning split is the
+same one at corpus scale: whitespace-free input (the overwhelmingly common
+case — data URIs, JSON payloads, wire protocols) is a FIXED-RATE 4->3
+repack, which needs no compaction at all; anything else falls back to the
+XLA forgiving path.
+
+The repack avoids dynamic gathers and rolls entirely via phase planes:
+a (R, 512)->(R, 128, 4) minor-dim reshape exposes the stride-4 subsamples
+P[..., i] (= every 4th char word), and each output word is a fixed byte
+mix of phase planes at the SAME lane:
+
+    out words 3s, 3s+1, 3s+2 are built from the decoded byte planes
+    B0/B1/B2 of char words 4s..4s+3 — all phase-plane lookups at lane s.
+
+Classification is pure range compares (no 256-entry table gather),
+matching the repo-wide north star. A (1,1) SMEM flag records "saw
+whitespace/garbage/invalid"; the caller falls back when it fires.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .validate import _interpret
+
+RB = 16  # rows per tile: (16, 512) int32 = 32 KiB of chars
+
+
+def _classify(c, url: bool, both: bool):
+    """Char byte -> 6-bit value; 255 = not a base64 char (whitespace,
+    garbage, padding — all routes to fallback). Range compares only
+    (ops/base64_ops.py:57-74 shares the formulation)."""
+    v = jnp.full_like(c, 255)
+    v = jnp.where((c >= 65) & (c <= 90), c - 65, v)
+    v = jnp.where((c >= 97) & (c <= 122), c - 71, v)
+    v = jnp.where((c >= 48) & (c <= 57), c + 4, v)
+    if both or not url:
+        v = jnp.where(c == 43, 62, v)
+        v = jnp.where(c == 47, 63, v)
+    if both or url:
+        v = jnp.where(c == 45, 62, v)
+        v = jnp.where(c == 95, 63, v)
+    return v
+
+
+def _decode_kernel(n_ref, x_ref, o_ref, f_ref, *, url: bool, both: bool):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        f_ref[0, 0] = 0
+
+    x = x_ref[...]  # (RB, 512) int32: 4 chars per lane
+    R = x.shape[0]
+    # words beyond the logical length decode as 'AAAA' (zeros, no flag)
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    widx = (i * R + row) * 512 + lane
+    x = jnp.where(widx < n_ref[0], x, 0x41414141)
+    lu = jnp.uint32
+    c0 = x & 0xFF
+    c1 = (x.astype(lu) >> 8).astype(jnp.int32) & 0xFF
+    c2 = (x.astype(lu) >> 16).astype(jnp.int32) & 0xFF
+    c3 = (x.astype(lu) >> 24).astype(jnp.int32) & 0xFF
+    v0 = _classify(c0, url, both)
+    v1 = _classify(c1, url, both)
+    v2 = _classify(c2, url, both)
+    v3 = _classify(c3, url, both)
+    notclean = jnp.any((v0 | v1 | v2 | v3) > 63)
+
+    @pl.when(notclean)
+    def _flag():
+        f_ref[0, 0] = 1
+
+    t = (v0 << 18) | (v1 << 12) | (v2 << 6) | v3
+    b0 = (t >> 16) & 0xFF
+    b1 = (t >> 8) & 0xFF
+    b2 = t & 0xFF
+    P0 = b0.reshape(R, 128, 4)
+    P1 = b1.reshape(R, 128, 4)
+    P2 = b2.reshape(R, 128, 4)
+    out0 = P0[..., 0] | (P1[..., 0] << 8) | (P2[..., 0] << 16) | (P0[..., 1] << 24)
+    out1 = P1[..., 1] | (P2[..., 1] << 8) | (P0[..., 2] << 16) | (P1[..., 2] << 24)
+    out2 = P2[..., 2] | (P0[..., 3] << 8) | (P1[..., 3] << 16) | (P2[..., 3] << 24)
+    o_ref[...] = jnp.stack([out0, out1, out2], axis=-1).reshape(R, 384)
+
+
+@functools.partial(jax.jit, static_argnames=("url", "both"))
+def clean_decode(x32: jnp.ndarray, nwords, url: bool = False,
+                 both: bool = False):
+    """x32: (R, 512) int32 view of the padded char buffer (R % RB == 0);
+    ``nwords`` = number of logical 4-char words (the caller slices to full
+    quads). Padding words decode as zeros without raising the flag.
+
+    Returns (out (R, 384) int32 = decoded byte stream, flag)."""
+    grid = x32.shape[0] // RB
+    out, flag = pl.pallas_call(
+        functools.partial(_decode_kernel, url=url, both=both),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((RB, 512), lambda i: (i, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((RB, 384), lambda i: (i, 0)),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((x32.shape[0], 384), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        interpret=_interpret(),
+    )(jnp.reshape(jnp.asarray(nwords, jnp.int32), (1,)), x32)
+    return out, flag[0, 0]
+
+
+def _unclassify(v, url: bool):
+    """6-bit value -> char byte (inverse range mapping, no table)."""
+    c = v + 65
+    c = jnp.where(v >= 26, v + 71, c)
+    c = jnp.where(v >= 52, v - 4, c)
+    c = jnp.where(v == 62, 45 if url else 43, c)
+    c = jnp.where(v == 63, 95 if url else 47, c)
+    return c
+
+
+def _encode_kernel(x_ref, o_ref, *, url: bool):
+    x = x_ref[...]  # (RB, 384) int32: 4 payload bytes per lane
+    R = x.shape[0]
+    lu = jnp.uint32
+    I = x.reshape(R, 128, 3)
+    w0, w1, w2 = I[..., 0], I[..., 1], I[..., 2]
+
+    def byte(w, k):
+        return (w.astype(lu) >> (8 * k)).astype(jnp.int32) & 0xFF
+
+    # triples 4s..4s+3 from words 3s..3s+2 (bytes in stream order)
+    t0 = (byte(w0, 0) << 16) | (byte(w0, 1) << 8) | byte(w0, 2)
+    t1 = (byte(w0, 3) << 16) | (byte(w1, 0) << 8) | byte(w1, 1)
+    t2 = (byte(w1, 2) << 16) | (byte(w1, 3) << 8) | byte(w2, 0)
+    t3 = (byte(w2, 1) << 16) | (byte(w2, 2) << 8) | byte(w2, 3)
+
+    def chars(t):
+        c0 = _unclassify((t >> 18) & 63, url)
+        c1 = _unclassify((t >> 12) & 63, url)
+        c2 = _unclassify((t >> 6) & 63, url)
+        c3 = _unclassify(t & 63, url)
+        return c0 | (c1 << 8) | (c2 << 16) | (c3 << 24)
+
+    o_ref[...] = jnp.stack(
+        [chars(t0), chars(t1), chars(t2), chars(t3)], axis=-1
+    ).reshape(R, 512)
+
+
+@functools.partial(jax.jit, static_argnames=("url",))
+def block_encode(x32: jnp.ndarray, url: bool = False):
+    """x32: (R, 384) int32 view of the padded payload (R % RB == 0; the
+    caller slices to whole 3-byte groups). Returns (R, 512) int32 char
+    stream (4 chars per lane)."""
+    grid = x32.shape[0] // RB
+    return pl.pallas_call(
+        functools.partial(_encode_kernel, url=url),
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((RB, 384), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((RB, 512), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((x32.shape[0], 512), jnp.int32),
+        interpret=_interpret(),
+    )(x32)

@@ -107,6 +107,39 @@ def _cut(arr, out_len) -> np.ndarray:
     return np.asarray(arr)[: int(out_len)]
 
 
+def b64_strip(src, tab_np, garbage: bool):
+    """Prologue strip (generic/base64.h:50-73): trailing whitespace and up
+    to two '=' signs. Returns (srclen, equalsigns, equallocation).
+    Vectorized backward scan in growing chunks — O(trailing)."""
+    eq = ord("=")
+
+    def strip_ws(end: int) -> int:
+        step = 64
+        while end > 0:
+            lo = max(0, end - step)
+            chunk = np.asarray(src[lo:end])
+            vals = np.where(
+                chunk > 0xFF, 255, tab_np[np.minimum(chunk, 0xFF)]
+            )
+            nonws = np.flatnonzero(vals != 64)
+            if len(nonws):
+                return lo + int(nonws[-1]) + 1
+            end = lo
+            step *= 4
+        return 0
+
+    srclen = int(src.shape[0])
+    equallocation, equalsigns = srclen, 0
+    if not garbage:
+        srclen = strip_ws(srclen)
+        if srclen > 0 and int(src[srclen - 1]) == eq:
+            equallocation, srclen, equalsigns = srclen - 1, srclen - 1, 1
+            srclen = strip_ws(srclen)
+            if srclen > 0 and int(src[srclen - 1]) == eq:
+                equallocation, srclen, equalsigns = srclen - 1, srclen - 1, 2
+    return srclen, equalsigns, equallocation
+
+
 def b64_tail_epilogue(
     outlen: int,
     idx: int,
@@ -413,43 +446,9 @@ class XLAImplementation(Implementation):
     def base64_to_binary_details(self, src, options=0, last_chunk=gb.LOOSE):
         garbage = gb.ignore_garbage(options)
         tab_np = gb.value_table(options)
-        eq = ord("=")
         empty = np.zeros(0, dtype=np.uint8)
 
-        def strip_ws(end: int) -> int:
-            """Largest e <= end with src[e-1] not whitespace — vectorized
-            backward scan in growing chunks, so a whitespace-heavy tail
-            never degenerates to a per-char host loop."""
-            step = 64
-            while end > 0:
-                lo = max(0, end - step)
-                chunk = np.asarray(src[lo:end])
-                vals = np.where(
-                    chunk > 0xFF, 255, tab_np[np.minimum(chunk, 0xFF)]
-                )
-                nonws = np.flatnonzero(vals != 64)
-                if len(nonws):
-                    return lo + int(nonws[-1]) + 1
-                end = lo
-                step *= 4
-            return 0
-
-        srclen = int(src.shape[0])
-        equallocation = srclen
-        equalsigns = 0
-        if not garbage:
-            # prologue strip (generic/base64.h:50-73): O(trailing chars)
-            # backward scan — never classify the whole input on the host
-            srclen = strip_ws(srclen)
-            if srclen > 0 and int(src[srclen - 1]) == eq:
-                equallocation = srclen - 1
-                srclen -= 1
-                equalsigns = 1
-                srclen = strip_ws(srclen)
-                if srclen > 0 and int(src[srclen - 1]) == eq:
-                    equallocation = srclen - 1
-                    srclen -= 1
-                    equalsigns = 2
+        srclen, equalsigns, equallocation = b64_strip(src, tab_np, garbage)
         if srclen == 0:
             if not garbage and equalsigns > 0:
                 if last_chunk == gb.STRICT:

@@ -98,3 +98,60 @@ def test_pallas_with_errors_result_counts():
     u16 = "xyz".encode("utf-16-le") * 500
     r = su.convert_utf16le_to_utf8_with_errors(u16)
     assert r[0].is_ok and r[0].count == len(u16) // 2
+
+
+# --- base64 clean-input block kernels ----------------------------------------
+
+
+@pytest.mark.parametrize("url", [False, True])
+@pytest.mark.parametrize("n", [0, 1, 2, 3, 4, 100, 3000, 70000])
+def test_b64_kernel_roundtrip(url, n):
+    import base64 as pyb64
+
+    rng = np.random.default_rng(n + url)
+    raw = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+    su.set_active_implementation("pallas")
+    opts = su.base64_url if url else su.base64_default
+    enc = su.binary_to_base64(raw, opts)
+    want = pyb64.urlsafe_b64encode(raw) if url else pyb64.b64encode(raw)
+    if url:
+        # reference base64_url omits padding by default
+        want = want.rstrip(b"=")
+    assert enc == want
+    res, back = su.base64_to_binary(enc, opts)
+    assert res.is_ok and back == raw
+
+
+def test_b64_kernel_matches_xla_on_curated():
+    cases = [
+        b"aGVsbG8=", b"aGVsbG8", b"" , b"QQ==", b"QUJDRA==", b"A" * 8192,
+        b"QUJD" * 5000, b"TWFu", b"bGlnaHQgdw==", b"bGlnaHQgd28=",
+    ]
+    from simdutf_tpu.golden import base64_impl as gb64
+
+    for data in cases:
+        for lc in (su.loose, su.strict, su.stop_before_partial):
+            su.set_active_implementation("pallas")
+            got = su.base64_to_binary_details(data, last_chunk_handling=lc)
+            su.set_active_implementation("xla")
+            want = su.base64_to_binary_details(data, last_chunk_handling=lc)
+            assert got == want, (data[:20], lc)
+
+
+def test_b64_kernel_fallback_paths():
+    """Whitespace / garbage / invalid input must fall back byte-exactly."""
+    cases = [
+        b"aGVs bG8=",            # interior space
+        b" " * 100 + b"aGVsbG8=",
+        b"aGVsbG8=   ",
+        b"aGVs!bG8=",            # invalid char
+        b"QUJD" * 100 + b"\n" + b"QUJD" * 100,
+    ]
+    for data in cases:
+        for opts in (su.base64_default, su.base64_url_accept_garbage
+                     if hasattr(su, "base64_url_accept_garbage") else su.base64_default):
+            su.set_active_implementation("pallas")
+            got = su.base64_to_binary_details(data, options=opts)
+            su.set_active_implementation("xla")
+            want = su.base64_to_binary_details(data, options=opts)
+            assert got == want, (data, opts)
