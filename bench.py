@@ -236,6 +236,68 @@ def main():
 
         dts = run_chained(f_swar, x32j, 0)
         log(f"pallas utf8 SWAR validate: {nbytes/dts/1e9:.1f} GB/s")
+
+        # SWAR-vs-event comparison (round-1 VERDICT weak #3)
+        @jax.jit
+        def f_event(x, n0):
+            def body(i, acc):
+                pos, code = kv.utf8_first_event(x)
+                return acc + pos + code + i + n0 * 0
+            return lax.fori_loop(0, ITERS, body, jnp.int32(0))
+
+        dte = run_chained(f_event, x2j, int(n2))
+        log(f"pallas utf8 event validate: {nbytes/dte/1e9:.1f} GB/s "
+            f"(SWAR/event speedup {dte/dts:.2f}x)")
+
+        # pallas fused ASCII transcode vs the XLA engine on an ASCII corpus
+        from simdutf_tpu.kernels import transcode as ktr
+        from simdutf_tpu.kernels.impl import _pad_widen
+
+        adata = (b"The quick brown fox jumps over the lazy dog. "
+                 * (CORPUS_BYTES // 46 + 1))[:CORPUS_BYTES]
+        x16, an = _pad_widen(np.frombuffer(adata, np.uint8))
+        x16j = jax.device_put(x16.copy())
+        x16j.block_until_ready()
+
+        @jax.jit
+        def f_widen(x, n0):
+            def body(i, acc):
+                out, flag = ktr.ascii_widen_utf16(x, big_endian=False)
+                probe = out[(acc % 64).astype(jnp.int32), i & 127]
+                return acc + flag + probe + n0 * 0
+            return lax.fori_loop(0, ITERS, body, jnp.int32(0))
+
+        dtw = run_chained(f_widen, x16j, int(an))
+        asol = 3 * len(adata) / hbm / 1e9
+        log(f"pallas ascii fused transcode: {len(adata)/dtw/1e9:.1f} GB/s in "
+            f"({100*asol/dtw:.0f}% of 3N-traffic roofline)")
+
+        # pallas clean-base64 block decode
+        import base64 as pyb64
+        from simdutf_tpu.kernels import base64_kernel as kb64
+        from simdutf_tpu.kernels.impl import _pad_b64c
+
+        braw = np.random.default_rng(3).integers(
+            0, 256, CORPUS_BYTES * 3 // 4, dtype=np.uint8
+        ).tobytes()
+        bchars = pyb64.b64encode(braw)[:CORPUS_BYTES]
+        bchars = bchars[: len(bchars) // 4 * 4]
+        xb, _ = _pad_b64c(np.frombuffer(bchars, np.uint8))
+        xbj = jax.device_put(xb.copy())
+        xbj.block_until_ready()
+
+        @jax.jit
+        def f_b64(x, n0):
+            def body(i, acc):
+                out, flag = kb64.clean_decode(x, n0 - (i & 3) * 0)
+                probe = out[(acc % 64).astype(jnp.int32), i & 127]
+                return acc + flag + probe
+            return lax.fori_loop(0, ITERS, body, jnp.int32(0))
+
+        dtb = run_chained(f_b64, xbj, len(bchars) // 4)
+        bsol = (len(bchars) * 7 // 4) / hbm / 1e9
+        log(f"pallas clean-base64 decode: {len(bchars)/dtb/1e9:.1f} GB/s in "
+            f"({100*bsol/dtb:.0f}% of rw roofline)")
     except Exception as e:  # pragma: no cover
         log(f"pallas bench skipped: {e}")
 

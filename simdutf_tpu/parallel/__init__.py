@@ -10,11 +10,16 @@ single-device run bit-for-bit (first-error = min over shard-local error
 positions offset by shard starts).
 """
 
-from .planner import plan_shards, ShardPlan  # noqa: F401
+from .planner import plan_shards, plan_shards_base64, ShardPlan  # noqa: F401
 from .distributed import (  # noqa: F401
+    base64_to_binary_sharded,
+    count_sharded,
+    gather_units,
     gather_utf16,
     make_mesh,
     stage,
     transcode_utf8_to_utf16_sharded,
+    transcode_utf16_to_utf8_sharded,
     validate_utf8_sharded,
+    validate_utf16_sharded,
 )

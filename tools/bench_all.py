@@ -267,6 +267,22 @@ def build_procedures():
             ktr.ascii_narrow_utf8(x, big_endian=False)[0].reshape(-1), n)),
         lambda nb: nb + nb // 2)
 
+    # pallas clean-base64 block kernels
+    from simdutf_tpu.kernels import base64_kernel as kb64
+    from simdutf_tpu.kernels.impl import _pad_b64c, _pad_b64p
+
+    add("base64_decode_pallas", "b64",
+        lambda a: (_pad_b64c(a)[0], int(a.shape[0]) // 4),
+        _chain_out(lambda x, n: (
+            kb64.clean_decode(x, n)[0].reshape(-1), n * 3)),
+        lambda nb: nb + nb * 3 // 4)
+    add("base64_encode_pallas", "binary",
+        lambda a: (_pad_b64p(a[: a.shape[0] // 3 * 3])[0],
+                   int(a.shape[0]) // 3),
+        _chain_out(lambda x, n: (
+            kb64.block_encode(x).reshape(-1), n * 4)),
+        lambda nb: nb + nb * 4 // 3)
+
     # detection
     import simdutf_tpu.ops.detect as od
 
@@ -364,6 +380,25 @@ def main():
             del xj
         except Exception as e:
             log(f"{name:28s} ERROR {type(e).__name__}: {e}")
+    # batch API (host pack + device): end-to-end wall clock
+    try:
+        import simdutf_tpu.batch as sb
+
+        items = [corp["mixed"][i * 8192 : (i + 1) * 8192] for i in range(512)]
+        items = [it[: len(it)] for it in items if it]
+        tot = sum(len(it) for it in items)
+        sb.validate_utf8_batch(items[:4])  # compile
+        t0 = time.perf_counter()
+        sb.validate_utf8_batch(items)
+        dt = time.perf_counter() - t0
+        rec = {"procedure": "utf8_validate_batch_e2e",
+               "gbps": round(tot / dt / 1e9, 2), "ms": round(dt * 1e3, 2),
+               "bytes": tot}
+        log(f"{rec['procedure']:28s} {rec['gbps']:7.2f} GB/s (end-to-end)")
+        print(json.dumps(rec), flush=True)
+    except Exception as e:
+        log(f"batch bench skipped: {e}")
+
     for rec in host_competitors(corp):
         log(f"{rec['procedure']:28s} {rec['gbps']:7.2f} GB/s (host)")
         print(json.dumps(rec), flush=True)
