@@ -293,6 +293,30 @@ class PallasImplementation(XLAImplementation):
             return Result(ec.SUCCESS, out.shape[0]), out
         return super().convert_utf16be_to_utf8_with_errors(w)
 
+    def _is_ascii_fast(self, b) -> bool:
+        """Host peek + SWAR kernel ASCII check (one device pass)."""
+        if not self._peek_ascii8(b):
+            return False
+        x32, _ = _pad_swar(b)
+        return int(ksw.ascii_swar_first_bad_word(x32)) == ksw.BIG
+
+    def convert_valid_utf8_to_latin1(self, b):
+        # ASCII ⊂ Latin1 with identical bytes: the transcode is a copy
+        # (the reference's latin1 fast path degenerates the same way)
+        if self._is_ascii_fast(b):
+            return np.array(b, copy=True)
+        return super().convert_valid_utf8_to_latin1(b)
+
+    def convert_utf8_to_latin1_with_errors(self, b):
+        if self._is_ascii_fast(b):
+            return Result(ec.SUCCESS, int(b.shape[0])), np.array(b, copy=True)
+        return super().convert_utf8_to_latin1_with_errors(b)
+
+    def convert_latin1_to_utf8(self, b):
+        if self._is_ascii_fast(b):
+            return np.array(b, copy=True)
+        return super().convert_latin1_to_utf8(b)
+
     # -- base64 (clean-input block kernels; forgiving path inherits XLA) -----
     # The reference's per-arch block64 kernels with the whitespace escape
     # hatch (generic/base64.h:103-141) at corpus scale: whitespace-free
