@@ -25,8 +25,11 @@ REFERENCE_GBPS = 4.0  # simdutf headline transcode GB/s per core
 HBM_GBPS = {"v5 lite": 819.0, "v5e": 819.0, "v5p": 2765.0, "v4": 1228.0}
 ITERS = 20
 TRIALS = 5
-# sized so the padding bucket lands exactly on 64 MiB (a power of two)
-CORPUS_BYTES = 64 * 1024 * 1024 - 4096
+# sized so the padding bucket lands exactly on 64 MiB (a power of two);
+# BENCH_CORPUS_MB overrides for CPU smoke tests
+import os as _os
+
+CORPUS_BYTES = int(_os.environ.get("BENCH_CORPUS_MB", "64")) * 1024 * 1024 - 4096
 CACHE_DIR = "/root/.cache/jax_comp"
 # health-probe retry schedule: the tunneled dev chip intermittently falls
 # into a ~50x-degraded state (PERF.md); wait for a healthy window, bounded.
@@ -172,7 +175,7 @@ def main():
         sys.path.insert(0, __file__.rsplit("/", 1)[0] + "/tools")
         import gen_corpus
 
-        for scr in ("ascii", "zh"):
+        for scr in ("ascii", "zh", "zh_pure"):
             block = gen_corpus.generate(
                 gen_corpus.PROFILES[scr], 1 << 20, seed=1
             )
@@ -298,6 +301,35 @@ def main():
         bsol = (len(bchars) * 7 // 4) / hbm / 1e9
         log(f"pallas clean-base64 decode: {len(bchars)/dtb/1e9:.1f} GB/s in "
             f"({100*bsol/dtb:.0f}% of rw roofline)")
+
+        # pallas uniform-3-byte transcode on a pure-CJK corpus (the
+        # reference's wikipedia_mars dataset class) vs the XLA engine
+        from simdutf_tpu.kernels.impl import _pad_u3
+
+        sys.path.insert(0, __file__.rsplit("/", 1)[0] + "/tools")
+        import gen_corpus
+
+        zblock = gen_corpus.generate(
+            gen_corpus.PROFILES["zh_pure"], 1 << 20, seed=2
+        )
+        zdata = (zblock * (CORPUS_BYTES // len(zblock) + 1))[:CORPUS_BYTES]
+        zdata = zdata[: len(zdata) // 3 * 3]
+        xu3, un = _pad_u3(np.frombuffer(zdata, np.uint8))
+        xu3j = jax.device_put(xu3.copy())
+        xu3j.block_until_ready()
+
+        @jax.jit
+        def f_u3(x, n0):
+            def body(i, acc):
+                out, flag = ktr.uniform3_utf8_to_utf16(x, n0 - (i & 3) * 3)
+                probe = out[(acc % 64).astype(jnp.int32), i & 127]
+                return acc + flag + probe
+            return lax.fori_loop(0, ITERS, body, jnp.int32(0))
+
+        dtu3 = run_chained(f_u3, xu3j, int(un))
+        usol = (len(zdata) * 5 // 3) / hbm / 1e9
+        log(f"pallas uniform-3byte transcode: {len(zdata)/dtu3/1e9:.1f} GB/s "
+            f"in ({100*usol/dtu3:.0f}% of rw roofline)")
     except Exception as e:  # pragma: no cover
         log(f"pallas bench skipped: {e}")
 

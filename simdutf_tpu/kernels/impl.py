@@ -236,22 +236,55 @@ class PallasImplementation(XLAImplementation):
             return None
         return np.asarray(out).view(np.uint16).reshape(-1)[: int(n)]
 
+    def _uniform_utf16(self, b, be):
+        """Try the uniform-width kernels (pure 2-byte / pure 3-byte
+        corpora — the reference's wikipedia_mars dataset class). The
+        kernels validate their shape class exactly; a clean flag implies
+        valid UTF-8. Returns uint16 array or None."""
+        n = int(b.shape[0])
+        if n == 0:
+            return None
+        sample = np.asarray(b[:: max(1, n // 2048)])
+        hi = sample & 0xF0
+        conts = (sample & 0xC0) == 0x80
+        lead2 = (hi == 0xC0) | (hi == 0xD0)
+        lead3 = hi == 0xE0
+        if n % 2 == 0 and bool(np.all(conts | lead2)) and bool(np.any(lead2)):
+            x32, nn = _pad_u2(b)
+            out, flag = ktr.uniform2_utf8_to_utf16(x32, nn, big_endian=be)
+            if not int(flag):
+                return np.asarray(out).view(np.uint16).reshape(-1)[: n // 2]
+        elif (
+            n % 3 == 0 and bool(np.all(conts | lead3)) and bool(np.any(lead3))
+        ):
+            x32, nn = _pad_u3(b)
+            out, flag = ktr.uniform3_utf8_to_utf16(x32, nn, big_endian=be)
+            if not int(flag):
+                return np.asarray(out).view(np.uint16).reshape(-1)[: n // 3]
+        return None
+
+    def _u8_to_u16_fast(self, b, be):
+        out = self._widen_ascii(b, be)
+        if out is None:
+            out = self._uniform_utf16(b, be)
+        return out
+
     def convert_valid_utf8_to_utf16le(self, b):
-        out = self._widen_ascii(b, False)
+        out = self._u8_to_u16_fast(b, False)
         return out if out is not None else super().convert_valid_utf8_to_utf16le(b)
 
     def convert_valid_utf8_to_utf16be(self, b):
-        out = self._widen_ascii(b, True)
+        out = self._u8_to_u16_fast(b, True)
         return out if out is not None else super().convert_valid_utf8_to_utf16be(b)
 
     def convert_utf8_to_utf16le_with_errors(self, b):
-        out = self._widen_ascii(b, False)
-        if out is not None:  # all-ASCII implies valid UTF-8
+        out = self._u8_to_u16_fast(b, False)
+        if out is not None:  # fast-path flag-clean implies valid UTF-8
             return Result(ec.SUCCESS, out.shape[0]), out
         return super().convert_utf8_to_utf16le_with_errors(b)
 
     def convert_utf8_to_utf16be_with_errors(self, b):
-        out = self._widen_ascii(b, True)
+        out = self._u8_to_u16_fast(b, True)
         if out is not None:
             return Result(ec.SUCCESS, out.shape[0]), out
         return super().convert_utf8_to_utf16be_with_errors(b)
@@ -408,6 +441,24 @@ def _pad_narrow(arr: np.ndarray):
     buf.reshape(-1)[:n] = arr
     rows = buf.shape[0]
     return buf.view(np.int32).reshape(rows, ktr.W16), np.int32(n)
+
+
+def _pad_u2(arr: np.ndarray):
+    """uint8 -> ((rows, 256) int32 view, length) for the uniform-2-byte
+    transcode kernel (1 KiB of chars per row)."""
+    n = int(arr.shape[0])
+    buf, _ = _tile_layout(n, 1024, 0, 0, np.uint8, "u2")
+    buf.reshape(-1)[:n] = arr
+    return buf.view(np.int32).reshape(buf.shape[0], 256), np.int32(n)
+
+
+def _pad_u3(arr: np.ndarray):
+    """uint8 -> ((rows, 384) int32 view, length) for the uniform-3-byte
+    transcode kernel (1.5 KiB = 512 chars per row)."""
+    n = int(arr.shape[0])
+    buf, _ = _tile_layout(n, 1536, 0, 0, np.uint8, "u3")
+    buf.reshape(-1)[:n] = arr
+    return buf.view(np.int32).reshape(buf.shape[0], 384), np.int32(n)
 
 
 def _pad_b64c(arr: np.ndarray):

@@ -139,3 +139,159 @@ def ascii_narrow_utf8(x32: jnp.ndarray, big_endian: bool = False):
         interpret=_interpret(),
     )(x32)
     return out, flag[0, 0]
+
+
+# --- uniform-width UTF-8 -> UTF-16 kernels -----------------------------------
+#
+# Single-width corpora are the other structured class the reference's own
+# benchmark datasets exercise (benchmarks/dataset/wikipedia_mars is
+# artificially all-3-byte, per its README/convert_to_utf6.py). They need
+# no stream compaction:
+#   * pure 2-byte chars: one int32 word = 2 chars = 2 units — elementwise.
+#   * pure 3-byte chars: 3 words = 4 chars -> 2 out words — the same
+#     phase-plane 3:2 repack as the base64 kernels, on (64, 384) blocks
+#     (384 % 3 == 0 keeps every row group-aligned; no carry, no DMA).
+# Validity is checked exactly for the uniform shape (structure + overlong
+# + surrogate); anything else raises the fallback flag.
+
+RU = 64  # rows per uniform-kernel tile
+
+
+def _u16unit(cp, big_endian: bool):
+    return ((cp >> 8) | ((cp & 0xFF) << 8)) & 0xFFFF if big_endian else cp
+
+
+def _uniform2_kernel(n_ref, x_ref, o_ref, f_ref, *, big_endian: bool):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        f_ref[0, 0] = 0
+
+    x = x_ref[...]  # (RU, 256) int32: two 2-byte chars per lane
+    lu = jnp.uint32
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    wbyte = ((i * x.shape[0] + row) * 256 + lane) * 4
+
+    def half(shift, off):
+        h = (x.astype(lu) >> shift).astype(jnp.int32) & 0xFFFF
+        lead, cont = h & 0xFF, (h >> 8) & 0xFF
+        ok = ((lead & 0xE0) == 0xC0) & ((cont & 0xC0) == 0x80) & (lead >= 0xC2)
+        ok = ok | (wbyte + off >= n_ref[0])  # padding chars never flag
+        cp = ((lead & 0x1F) << 6) | (cont & 0x3F)
+        return cp, ok
+
+    cp0, ok0 = half(0, 0)
+    cp1, ok1 = half(16, 2)
+    bad = jnp.any(~(ok0 & ok1))
+
+    @pl.when(bad)
+    def _flag():
+        f_ref[0, 0] = 1
+
+    u0 = _u16unit(cp0, big_endian)
+    u1 = _u16unit(cp1, big_endian)
+    o_ref[...] = u0 | (u1 << 16)
+
+
+@functools.partial(jax.jit, static_argnames=("big_endian",))
+def uniform2_utf8_to_utf16(x32: jnp.ndarray, n, big_endian: bool = False):
+    """x32: (R, 256) int32 view of the zero-padded byte buffer
+    (R % RU == 0); ``n`` = logical byte length (n % 2 == 0). Bytes at/after
+    ``n`` never flag. Returns (out (R, 256) int32 = u16-pair stream, flag).
+    """
+    grid = x32.shape[0] // RU
+    out, flag = pl.pallas_call(
+        functools.partial(_uniform2_kernel, big_endian=big_endian),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((RU, 256), lambda i: (i, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((RU, 256), lambda i: (i, 0)),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((x32.shape[0], 256), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        interpret=_interpret(),
+    )(jnp.reshape(jnp.asarray(n, jnp.int32), (1,)), x32)
+    return out, flag[0, 0]
+
+
+def _uniform3_kernel(n_ref, x_ref, o_ref, f_ref, *, big_endian: bool):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        f_ref[0, 0] = 0
+
+    x = x_ref[...]  # (RU, 384) int32: 128 groups of 3 words = 4 chars/row
+    R = x.shape[0]
+    lu = jnp.uint32
+    I = x.reshape(R, 128, 3)
+    w0, w1, w2 = I[..., 0], I[..., 1], I[..., 2]
+    row = jax.lax.broadcasted_iota(jnp.int32, w0.shape, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, w0.shape, 1)
+    gbyte = ((i * R + row) * 128 + lane) * 12  # group's first byte
+
+    def byte(w, k):
+        return (w.astype(lu) >> (8 * k)).astype(jnp.int32) & 0xFF
+
+    def char(b0, b1, b2, off):
+        cp = ((b0 & 0x0F) << 12) | ((b1 & 0x3F) << 6) | (b2 & 0x3F)
+        ok = (
+            ((b0 & 0xF0) == 0xE0)
+            & ((b1 & 0xC0) == 0x80)
+            & ((b2 & 0xC0) == 0x80)
+            & (cp >= 0x800)
+            & ((cp < 0xD800) | (cp > 0xDFFF))
+        )
+        ok = ok | (gbyte + off >= n_ref[0])  # padding chars never flag
+        return cp, ok
+
+    c0, k0 = char(byte(w0, 0), byte(w0, 1), byte(w0, 2), 0)
+    c1, k1 = char(byte(w0, 3), byte(w1, 0), byte(w1, 1), 3)
+    c2, k2 = char(byte(w1, 2), byte(w1, 3), byte(w2, 0), 6)
+    c3, k3 = char(byte(w2, 1), byte(w2, 2), byte(w2, 3), 9)
+    bad = jnp.any(~(k0 & k1 & k2 & k3))
+
+    @pl.when(bad)
+    def _flag():
+        f_ref[0, 0] = 1
+
+    u0, u1 = _u16unit(c0, big_endian), _u16unit(c1, big_endian)
+    u2, u3 = _u16unit(c2, big_endian), _u16unit(c3, big_endian)
+    o_ref[...] = jnp.stack(
+        [u0 | (u1 << 16), u2 | (u3 << 16)], axis=-1
+    ).reshape(R, 256)
+
+
+@functools.partial(jax.jit, static_argnames=("big_endian",))
+def uniform3_utf8_to_utf16(x32: jnp.ndarray, n, big_endian: bool = False):
+    """x32: (R, 384) int32 view of the zero-padded byte buffer (1536 bytes
+    = 512 chars per row; R % RU == 0); ``n`` = logical byte length
+    (n % 3 == 0). Bytes at/after ``n`` never flag.
+    Returns (out (R, 256) int32, flag)."""
+    grid = x32.shape[0] // RU
+    out, flag = pl.pallas_call(
+        functools.partial(_uniform3_kernel, big_endian=big_endian),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((RU, 384), lambda i: (i, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((RU, 256), lambda i: (i, 0)),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((x32.shape[0], 256), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        interpret=_interpret(),
+    )(jnp.reshape(jnp.asarray(n, jnp.int32), (1,)), x32)
+    return out, flag[0, 0]

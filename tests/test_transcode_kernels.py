@@ -155,3 +155,63 @@ def test_b64_kernel_fallback_paths():
             su.set_active_implementation("xla")
             want = su.base64_to_binary_details(data, options=opts)
             assert got == want, (data, opts)
+
+
+# --- uniform-width utf8->utf16 kernels ----------------------------------------
+
+
+@pytest.mark.parametrize("be", [False, True])
+@pytest.mark.parametrize("script", ["cyr", "cjk"])
+def test_uniform_transcode_exact(be, script):
+    import random
+
+    rng = random.Random(7)
+    if script == "cyr":
+        s = "".join(chr(rng.randrange(0x400, 0x500)) for _ in range(5000))
+    else:
+        s = "".join(chr(rng.randrange(0x4E00, 0xA000)) for _ in range(5000))
+    data = s.encode()
+    want = s.encode("utf-16-be" if be else "utf-16-le")
+    su.set_active_implementation("pallas")
+    conv = su.convert_utf8_to_utf16be if be else su.convert_utf8_to_utf16le
+    assert conv(data) == want
+    validc = (su.convert_valid_utf8_to_utf16be if be
+              else su.convert_valid_utf8_to_utf16le)
+    assert validc(data) == want
+
+
+def test_uniform_kernel_flags_and_falls_back():
+    # near-uniform corpora with one divergent char must match xla exactly
+    cyr = ("ж" * 4000 + "a" + "ж" * 100).encode()
+    cjk = ("語" * 4000 + "é" + "語" * 100).encode()
+    bad2 = bytearray(("ж" * 3000).encode()); bad2[501] = 0xFF
+    bad3 = bytearray(("語" * 3000).encode()); bad3[300] = 0x80
+    sur3 = "語" * 2000
+    sur_bytes = bytearray(sur3.encode())
+    sur_bytes[99:102] = b"\xed\xa0\x80"  # encoded surrogate: invalid
+    for data in (cyr, cjk, bytes(bad2), bytes(bad3), bytes(sur_bytes)):
+        su.set_active_implementation("pallas")
+        got = su.convert_utf8_to_utf16le_with_errors(data)
+        su.set_active_implementation("xla")
+        want = su.convert_utf8_to_utf16le_with_errors(data)
+        assert got == want
+
+
+def test_uniform_kernel_direct():
+    from simdutf_tpu.kernels.impl import _pad_u2, _pad_u3
+
+    s2 = "абвгд" * 777
+    d2 = np.frombuffer(s2.encode(), np.uint8)
+    x32, n = _pad_u2(d2)
+    out, flag = ktr.uniform2_utf8_to_utf16(x32, n)
+    assert int(flag) == 0
+    got = np.asarray(out).view(np.uint16).reshape(-1)[: len(d2) // 2]
+    assert got.tobytes() == s2.encode("utf-16-le")
+
+    s3 = "一二三四五" * 999
+    d3 = np.frombuffer(s3.encode(), np.uint8)
+    x33, n3 = _pad_u3(d3)
+    out3, flag3 = ktr.uniform3_utf8_to_utf16(x33, n3)
+    assert int(flag3) == 0
+    got3 = np.asarray(out3).view(np.uint16).reshape(-1)[: len(d3) // 3]
+    assert got3.tobytes() == s3.encode("utf-16-le")

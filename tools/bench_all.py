@@ -76,9 +76,19 @@ def _corpora(nbytes: int):
     spaced[sp] = ord(" ")  # overwrite (keeps length; quads break -> forgiving path)
     ascii_c = (b"The quick brown fox jumps over the lazy dog. " * (
         nbytes // 46 + 1))[:nbytes]
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    import gen_corpus
+
+    zh = gen_corpus.generate(gen_corpus.PROFILES["zh_pure"], 1 << 20, seed=2)
+    zh = (zh * (nbytes // len(zh) + 1))[:nbytes]
+    cyr = gen_corpus.generate(
+        gen_corpus.PROFILES["cyrillic_pure"], 1 << 20, seed=2)
+    cyr = (cyr * (nbytes // len(cyr) + 1))[:nbytes]
     return {
         "mixed": mixed,
         "ascii": ascii_c,
+        "zh_pure": zh[: len(zh) // 3 * 3],
+        "cyr_pure": cyr[: len(cyr) // 2 * 2],
         "ascii16": ascii_c.decode().encode("utf-16-le")[:nbytes],
         "utf16": u16,
         "b64": b64_clean,
@@ -266,6 +276,23 @@ def build_procedures():
         _chain_out(lambda x, n: (
             ktr.ascii_narrow_utf8(x, big_endian=False)[0].reshape(-1), n)),
         lambda nb: nb + nb // 2)
+
+    # pallas uniform-width transcode kernels (pure-script corpora)
+    from simdutf_tpu.kernels.impl import _pad_u2, _pad_u3
+
+    add("utf8_to_utf16_cjk_pallas", "zh_pure",
+        lambda a: _pad_u3(a[: a.shape[0] // 3 * 3]),
+        _chain_out(lambda x, n: (
+            ktr.uniform3_utf8_to_utf16(x, n)[0].reshape(-1), n // 3)),
+        lambda nb: nb + nb * 2 // 3)
+    add("utf8_to_utf16_2byte_pallas", "cyr_pure",
+        lambda a: _pad_u2(a[: a.shape[0] // 2 * 2]),
+        _chain_out(lambda x, n: (
+            ktr.uniform2_utf8_to_utf16(x, n)[0].reshape(-1), n // 2)),
+        lambda nb: 2 * nb)
+    add("utf8_to_utf16le_cjk_xla", "zh_pure", pad8,
+        _chain_out(lambda x, n: o8.to_utf16(x, n, False)[2:]),
+        lambda nb: nb + nb * 2 // 3)
 
     # pallas clean-base64 block kernels
     from simdutf_tpu.kernels import base64_kernel as kb64

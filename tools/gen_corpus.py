@@ -24,6 +24,11 @@ PROFILES = {
     "arabic": [((0x20, 0x7E), 0.2), ((0x600, 0x6FF), 0.8)],
     "ja": [((0x20, 0x7E), 0.1), ((0x3040, 0x30FF), 0.45), ((0x4E00, 0x9FFF), 0.45)],
     "zh": [((0x20, 0x7E), 0.05), ((0x4E00, 0x9FFF), 0.95)],
+    # pure single-width profiles: the reference's checked-in wikipedia_mars
+    # files are artificially all-3-byte (benchmarks/dataset/README.md,
+    # convert_to_utf6.py); these are the analogous uniform-width corpora
+    "zh_pure": [((0x4E00, 0x9FFF), 1.0)],
+    "cyrillic_pure": [((0x400, 0x4FF), 1.0)],
     "ko": [((0x20, 0x7E), 0.15), ((0xAC00, 0xD7A3), 0.85)],
     "emoji": [((0x20, 0x7E), 0.5), ((0x1F300, 0x1F64F), 0.5)],
     "mixed": [
