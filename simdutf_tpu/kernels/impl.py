@@ -306,22 +306,50 @@ class PallasImplementation(XLAImplementation):
             return None
         return np.asarray(out).view(np.uint8).reshape(-1)[: int(n)]
 
+    def _uniform_utf8(self, w, be):
+        """Uniform-width utf16->utf8 classes (all units 2-byte-range or all
+        3-byte-range). Flag-clean implies valid UTF-16."""
+        n = int(w.shape[0])
+        if n == 0:
+            return None
+        sample = np.asarray(w[:: max(1, n // 2048)])
+        if be:
+            sample = ((sample >> 8) | (sample << 8)).astype(np.uint16)
+        lo, hi = int(sample.min()), int(sample.max())
+        if 0x80 <= lo and hi <= 0x7FF:
+            x32, nn = _pad_narrow(w)
+            out, flag = ktr.uniform2_utf16_to_utf8(x32, nn, big_endian=be)
+            if not int(flag):
+                return np.asarray(out).view(np.uint8).reshape(-1)[: 2 * n]
+        elif 0x800 <= lo:
+            x32, nn = _pad_narrow(w)
+            out, flag = ktr.uniform3_utf16_to_utf8(x32, nn, big_endian=be)
+            if not int(flag):
+                return np.asarray(out).view(np.uint8).reshape(-1)[: 3 * n]
+        return None
+
+    def _u16_to_u8_fast(self, w, be):
+        out = self._narrow_ascii(w, be)
+        if out is None:
+            out = self._uniform_utf8(w, be)
+        return out
+
     def convert_valid_utf16le_to_utf8(self, w):
-        out = self._narrow_ascii(w, False)
+        out = self._u16_to_u8_fast(w, False)
         return out if out is not None else super().convert_valid_utf16le_to_utf8(w)
 
     def convert_valid_utf16be_to_utf8(self, w):
-        out = self._narrow_ascii(w, True)
+        out = self._u16_to_u8_fast(w, True)
         return out if out is not None else super().convert_valid_utf16be_to_utf8(w)
 
     def convert_utf16le_to_utf8_with_errors(self, w):
-        out = self._narrow_ascii(w, False)
+        out = self._u16_to_u8_fast(w, False)
         if out is not None:  # all-ASCII units are trivially valid UTF-16
             return Result(ec.SUCCESS, out.shape[0]), out
         return super().convert_utf16le_to_utf8_with_errors(w)
 
     def convert_utf16be_to_utf8_with_errors(self, w):
-        out = self._narrow_ascii(w, True)
+        out = self._u16_to_u8_fast(w, True)
         if out is not None:
             return Result(ec.SUCCESS, out.shape[0]), out
         return super().convert_utf16be_to_utf8_with_errors(w)

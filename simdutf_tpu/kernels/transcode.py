@@ -295,3 +295,144 @@ def uniform3_utf8_to_utf16(x32: jnp.ndarray, n, big_endian: bool = False):
         interpret=_interpret(),
     )(jnp.reshape(jnp.asarray(n, jnp.int32), (1,)), x32)
     return out, flag[0, 0]
+
+
+# --- uniform-width UTF-16 -> UTF-8 kernels -----------------------------------
+#
+# The inverse structured classes (reference: per-arch
+# arm_convert_utf16_to_utf8.cpp's 1/2/3-byte classification, here as
+# whole-corpus classes): every unit in [0x80, 0x7FF] -> 2 bytes each
+# (word-elementwise), every unit in [0x800, 0xFFFF] \ surrogates -> 3
+# bytes each (2:3 phase-plane repack). Flag-clean implies valid UTF-16.
+
+
+def _units(w, big_endian):
+    """Split an int32 word into its two u16 units (native values)."""
+    lu = jnp.uint32
+    u0 = w & 0xFFFF
+    u1 = (w.astype(lu) >> 16).astype(jnp.int32) & 0xFFFF
+    if big_endian:
+        u0 = ((u0 >> 8) | (u0 << 8)) & 0xFFFF
+        u1 = ((u1 >> 8) | (u1 << 8)) & 0xFFFF
+    return u0, u1
+
+
+def _rev2_kernel(n_ref, x_ref, o_ref, f_ref, *, big_endian: bool):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        f_ref[0, 0] = 0
+
+    w = x_ref[...]  # (RU, 256) int32: 2 units per lane
+    row = jax.lax.broadcasted_iota(jnp.int32, w.shape, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, w.shape, 1)
+    uidx = ((i * w.shape[0] + row) * 256 + lane) * 2
+    u0, u1 = _units(w, big_endian)
+    ok0 = ((u0 >= 0x80) & (u0 <= 0x7FF)) | (uidx >= n_ref[0])
+    ok1 = ((u1 >= 0x80) & (u1 <= 0x7FF)) | (uidx + 1 >= n_ref[0])
+    bad = jnp.any(~(ok0 & ok1))
+
+    @pl.when(bad)
+    def _flag():
+        f_ref[0, 0] = 1
+
+    b0 = 0xC0 | (u0 >> 6)
+    b1 = 0x80 | (u0 & 0x3F)
+    b2 = 0xC0 | (u1 >> 6)
+    b3 = 0x80 | (u1 & 0x3F)
+    o_ref[...] = b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
+
+
+@functools.partial(jax.jit, static_argnames=("big_endian",))
+def uniform2_utf16_to_utf8(x32: jnp.ndarray, n, big_endian: bool = False):
+    """x32: (R, 256) int32 view of the zero-padded uint16 buffer; ``n`` =
+    logical unit count. Every unit must be in [0x80, 0x7FF] or the flag
+    fires. Returns (out (R, 256) int32 = UTF-8 byte stream, flag)."""
+    grid = x32.shape[0] // RU
+    out, flag = pl.pallas_call(
+        functools.partial(_rev2_kernel, big_endian=big_endian),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((RU, 256), lambda i: (i, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((RU, 256), lambda i: (i, 0)),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((x32.shape[0], 256), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        interpret=_interpret(),
+    )(jnp.reshape(jnp.asarray(n, jnp.int32), (1,)), x32)
+    return out, flag[0, 0]
+
+
+def _rev3_kernel(n_ref, x_ref, o_ref, f_ref, *, big_endian: bool):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        f_ref[0, 0] = 0
+
+    x = x_ref[...]  # (RU, 256) int32: groups of 2 words = 4 units per lane-pair
+    R = x.shape[0]
+    I = x.reshape(R, 128, 2)
+    wa, wb = I[..., 0], I[..., 1]
+    row = jax.lax.broadcasted_iota(jnp.int32, wa.shape, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, wa.shape, 1)
+    gunit = ((i * R + row) * 128 + lane) * 4  # group's first unit index
+    u0, u1 = _units(wa, big_endian)
+    u2, u3 = _units(wb, big_endian)
+
+    def ok(u, off):
+        good = (u >= 0x800) & ((u < 0xD800) | (u > 0xDFFF))
+        return good | (gunit + off >= n_ref[0])
+
+    bad = jnp.any(~(ok(u0, 0) & ok(u1, 1) & ok(u2, 2) & ok(u3, 3)))
+
+    @pl.when(bad)
+    def _flag():
+        f_ref[0, 0] = 1
+
+    def b3(u):  # 3 UTF-8 bytes of a BMP unit
+        return 0xE0 | (u >> 12), 0x80 | ((u >> 6) & 0x3F), 0x80 | (u & 0x3F)
+
+    a0, a1, a2 = b3(u0)
+    c0, c1, c2 = b3(u1)
+    d0, d1, d2 = b3(u2)
+    e0, e1, e2 = b3(u3)
+    # 12 output bytes per group -> 3 out words, stream order
+    o0 = a0 | (a1 << 8) | (a2 << 16) | (c0 << 24)
+    o1 = c1 | (c2 << 8) | (d0 << 16) | (d1 << 24)
+    o2 = d2 | (e0 << 8) | (e1 << 16) | (e2 << 24)
+    o_ref[...] = jnp.stack([o0, o1, o2], axis=-1).reshape(R, 384)
+
+
+@functools.partial(jax.jit, static_argnames=("big_endian",))
+def uniform3_utf16_to_utf8(x32: jnp.ndarray, n, big_endian: bool = False):
+    """x32: (R, 256) int32 view of the zero-padded uint16 buffer; ``n`` =
+    logical unit count (n % 4 == 0 padding-wise is not required — masked).
+    Every unit must be in [0x800, 0xFFFF] minus surrogates.
+    Returns (out (R, 384) int32 = UTF-8 byte stream, flag)."""
+    grid = x32.shape[0] // RU
+    out, flag = pl.pallas_call(
+        functools.partial(_rev3_kernel, big_endian=big_endian),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((RU, 256), lambda i: (i, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((RU, 384), lambda i: (i, 0)),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((x32.shape[0], 384), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        interpret=_interpret(),
+    )(jnp.reshape(jnp.asarray(n, jnp.int32), (1,)), x32)
+    return out, flag[0, 0]

@@ -215,3 +215,30 @@ def test_uniform_kernel_direct():
     assert int(flag3) == 0
     got3 = np.asarray(out3).view(np.uint16).reshape(-1)[: len(d3) // 3]
     assert got3.tobytes() == s3.encode("utf-16-le")
+
+
+@pytest.mark.parametrize("be", [False, True])
+@pytest.mark.parametrize("script", ["cyr", "cjk"])
+def test_uniform_utf16_to_utf8(be, script):
+    import random
+
+    rng = random.Random(9)
+    if script == "cyr":
+        s = "".join(chr(rng.randrange(0x80, 0x800)) for _ in range(4001))
+    else:
+        s = "".join(
+            chr(rng.choice([rng.randrange(0x800, 0xD800),
+                            rng.randrange(0xE000, 0x10000)]))
+            for _ in range(4001)
+        )
+    data = s.encode("utf-16-be" if be else "utf-16-le")
+    su.set_active_implementation("pallas")
+    conv = su.convert_utf16be_to_utf8 if be else su.convert_utf16le_to_utf8
+    assert conv(data) == s.encode()
+    # divergent unit mid-stream must fall back byte-exactly
+    mixed = s[:2000] + "a" + s[2000:]
+    mdata = mixed.encode("utf-16-be" if be else "utf-16-le")
+    su.set_active_implementation("pallas")
+    got = conv(mdata)
+    su.set_active_implementation("xla")
+    assert got == conv(mdata)
