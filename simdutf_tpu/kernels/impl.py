@@ -378,6 +378,82 @@ class PallasImplementation(XLAImplementation):
             return np.array(b, copy=True)
         return super().convert_latin1_to_utf8(b)
 
+    # -- latin1 widens (unconditional) + BMP utf16<->utf32 -------------------
+    def convert_latin1_to_utf16le(self, b):
+        x16, n = _pad_widen(b)
+        out, _ = ktr.ascii_widen_utf16(x16, big_endian=False)
+        return np.asarray(out).view(np.uint16).reshape(-1)[: int(n)]
+
+    def convert_latin1_to_utf16be(self, b):
+        x16, n = _pad_widen(b)
+        out, _ = ktr.ascii_widen_utf16(x16, big_endian=True)
+        return np.asarray(out).view(np.uint16).reshape(-1)[: int(n)]
+
+    def convert_latin1_to_utf32(self, b):
+        x16, n = _pad_widen(b)
+        out = ktr.latin1_widen_utf32(x16)
+        return np.asarray(out).view(np.uint32).reshape(-1)[: int(n)]
+
+    def _bmp_widen(self, w, be):
+        n = int(w.shape[0])
+        if n == 0:
+            return None
+        x32, _ = _pad_narrow(w)
+        out, flag = ktr.bmp_widen_utf32(x32, big_endian=be)
+        if int(flag):
+            return None
+        return np.asarray(out).view(np.uint32).reshape(-1)[:n]
+
+    def convert_valid_utf16le_to_utf32(self, w):
+        out = self._bmp_widen(w, False)
+        return out if out is not None else super().convert_valid_utf16le_to_utf32(w)
+
+    def convert_valid_utf16be_to_utf32(self, w):
+        out = self._bmp_widen(w, True)
+        return out if out is not None else super().convert_valid_utf16be_to_utf32(w)
+
+    def convert_utf16le_to_utf32_with_errors(self, w):
+        out = self._bmp_widen(w, False)
+        if out is not None:  # surrogate-free implies valid UTF-16
+            return Result(ec.SUCCESS, out.shape[0]), out
+        return super().convert_utf16le_to_utf32_with_errors(w)
+
+    def convert_utf16be_to_utf32_with_errors(self, w):
+        out = self._bmp_widen(w, True)
+        if out is not None:
+            return Result(ec.SUCCESS, out.shape[0]), out
+        return super().convert_utf16be_to_utf32_with_errors(w)
+
+    def _bmp_narrow(self, w, be):
+        n = int(w.shape[0])
+        if n == 0:
+            return None
+        x32, _ = _pad_u32k(w)
+        out, flag = ktr.bmp_narrow_utf16(x32, big_endian=be)
+        if int(flag):
+            return None
+        return np.asarray(out).view(np.uint16).reshape(-1)[:n]
+
+    def convert_valid_utf32_to_utf16le(self, w):
+        out = self._bmp_narrow(w, False)
+        return out if out is not None else super().convert_valid_utf32_to_utf16le(w)
+
+    def convert_valid_utf32_to_utf16be(self, w):
+        out = self._bmp_narrow(w, True)
+        return out if out is not None else super().convert_valid_utf32_to_utf16be(w)
+
+    def convert_utf32_to_utf16le_with_errors(self, w):
+        out = self._bmp_narrow(w, False)
+        if out is not None:  # BMP non-surrogate implies valid UTF-32
+            return Result(ec.SUCCESS, out.shape[0]), out
+        return super().convert_utf32_to_utf16le_with_errors(w)
+
+    def convert_utf32_to_utf16be_with_errors(self, w):
+        out = self._bmp_narrow(w, True)
+        if out is not None:
+            return Result(ec.SUCCESS, out.shape[0]), out
+        return super().convert_utf32_to_utf16be_with_errors(w)
+
     # -- base64 (clean-input block kernels; forgiving path inherits XLA) -----
     # The reference's per-arch block64 kernels with the whitespace escape
     # hatch (generic/base64.h:103-141) at corpus scale: whitespace-free
@@ -487,6 +563,15 @@ def _pad_u3(arr: np.ndarray):
     buf, _ = _tile_layout(n, 1536, 0, 0, np.uint8, "u3")
     buf.reshape(-1)[:n] = arr
     return buf.view(np.int32).reshape(buf.shape[0], 384), np.int32(n)
+
+
+def _pad_u32k(arr: np.ndarray):
+    """uint32 -> ((rows, 512) int32 view, length) for the BMP narrow
+    kernel (one codepoint per lane, 2 KiB rows)."""
+    n = int(arr.shape[0])
+    buf, _ = _tile_layout(n, 512, 0, 0, np.uint32, "u32k")
+    buf.reshape(-1)[:n] = arr
+    return buf.view(np.int32).reshape(buf.shape[0], 512), np.int32(n)
 
 
 def _pad_b64c(arr: np.ndarray):

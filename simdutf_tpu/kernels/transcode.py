@@ -436,3 +436,131 @@ def uniform3_utf16_to_utf8(x32: jnp.ndarray, n, big_endian: bool = False):
         interpret=_interpret(),
     )(jnp.reshape(jnp.asarray(n, jnp.int32), (1,)), x32)
     return out, flag[0, 0]
+
+
+# --- widen/narrow families: latin1 -> utf16/utf32, BMP utf16 <-> utf32 -------
+#
+# Latin1 widening is unconditional (every byte is a codepoint); the
+# utf16<->utf32 pair covers the no-astral (BMP, surrogate-free) class,
+# where both directions are fixed-rate 1:2 / 2:1 lane mixes.
+
+
+def _l1_32_kernel(x_ref, o_ref):
+    h = x_ref[...].astype(jnp.int32) & 0xFFFF  # (RU, 256) int16: 2 bytes
+    R = h.shape[0]
+    w0 = h & 0xFF
+    w1 = (h >> 8) & 0xFF
+    o_ref[...] = jnp.stack([w0, w1], axis=-1).reshape(R, 512)
+
+
+@jax.jit
+def latin1_widen_utf32(x16: jnp.ndarray):
+    """x16: (R, 256) int16 byte-pair view. Returns (R, 512) int32 = the
+    UTF-32LE stream (one word per input byte). Always valid."""
+    grid = x16.shape[0] // RU
+    return pl.pallas_call(
+        _l1_32_kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((RU, 256), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((RU, 512), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((x16.shape[0], 512), jnp.int32),
+        interpret=_interpret(),
+    )(x16)
+
+
+def _bmp_widen_kernel(x_ref, o_ref, f_ref, *, big_endian: bool):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        f_ref[0, 0] = 0
+
+    w = x_ref[...]  # (RU, 256) int32: 2 u16 units per lane
+    R = w.shape[0]
+    u0, u1 = _units(w, big_endian)
+    sur = (((u0 & 0xF800) == 0xD800) | ((u1 & 0xF800) == 0xD800))
+    bad = jnp.any(sur)
+
+    @pl.when(bad)
+    def _flag():
+        f_ref[0, 0] = 1
+
+    o_ref[...] = jnp.stack([u0, u1], axis=-1).reshape(R, 512)
+
+
+@functools.partial(jax.jit, static_argnames=("big_endian",))
+def bmp_widen_utf32(x32: jnp.ndarray, big_endian: bool = False):
+    """UTF-16 -> UTF-32 when no surrogates exist (zero-padding is
+    surrogate-free, so no length masking is needed). Returns
+    ((R, 512) int32 UTF-32LE stream, flag)."""
+    grid = x32.shape[0] // RU
+    out, flag = pl.pallas_call(
+        functools.partial(_bmp_widen_kernel, big_endian=big_endian),
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((RU, 256), lambda i: (i, 0))],
+        out_specs=(
+            pl.BlockSpec((RU, 512), lambda i: (i, 0)),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((x32.shape[0], 512), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        interpret=_interpret(),
+    )(x32)
+    return out, flag[0, 0]
+
+
+def _bmp_narrow_kernel(x_ref, o_ref, f_ref, *, big_endian: bool):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        f_ref[0, 0] = 0
+
+    x = x_ref[...]  # (RU, 512) int32: one u32 codepoint per lane
+    R = x.shape[0]
+    I = x.reshape(R, 256, 2)
+    c0, c1 = I[..., 0], I[..., 1]
+    lu = jnp.uint32
+
+    def bad1(c):
+        cu = c.astype(lu)
+        # -2048 == 0xFFFFF800 as int32 (Python-int literal would overflow)
+        return (cu > 0xFFFF) | ((c & (-2048)) == 0xD800)
+
+    bad = jnp.any(bad1(c0) | bad1(c1))
+
+    @pl.when(bad)
+    def _flag():
+        f_ref[0, 0] = 1
+
+    u0 = c0 & 0xFFFF
+    u1 = c1 & 0xFFFF
+    if big_endian:
+        u0 = ((u0 >> 8) | (u0 << 8)) & 0xFFFF
+        u1 = ((u1 >> 8) | (u1 << 8)) & 0xFFFF
+    o_ref[...] = u0 | (u1 << 16)
+
+
+@functools.partial(jax.jit, static_argnames=("big_endian",))
+def bmp_narrow_utf16(x32: jnp.ndarray, big_endian: bool = False):
+    """UTF-32 -> UTF-16 when every codepoint is BMP and non-surrogate
+    (flag-clean implies valid UTF-32; zero padding never flags). Returns
+    ((R, 256) int32 u16-pair stream, flag)."""
+    grid = x32.shape[0] // RU
+    out, flag = pl.pallas_call(
+        functools.partial(_bmp_narrow_kernel, big_endian=big_endian),
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((RU, 512), lambda i: (i, 0))],
+        out_specs=(
+            pl.BlockSpec((RU, 256), lambda i: (i, 0)),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((x32.shape[0], 256), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        interpret=_interpret(),
+    )(x32)
+    return out, flag[0, 0]

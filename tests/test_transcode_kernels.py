@@ -242,3 +242,37 @@ def test_uniform_utf16_to_utf8(be, script):
     got = conv(mdata)
     su.set_active_implementation("xla")
     assert got == conv(mdata)
+
+
+def test_latin1_widen_kernels():
+    data = bytes(range(256)) * 40
+    s = data.decode("latin-1")
+    su.set_active_implementation("pallas")
+    assert su.convert_latin1_to_utf16le(data) == s.encode("utf-16-le")
+    assert su.convert_latin1_to_utf16be(data) == s.encode("utf-16-be")
+    assert su.convert_latin1_to_utf32(data) == s.encode("utf-32-le")
+
+
+@pytest.mark.parametrize("be", [False, True])
+def test_bmp_widen_narrow(be):
+    import random
+
+    rng = random.Random(5)
+    cps = [rng.choice([rng.randrange(1, 0xD800), rng.randrange(0xE000, 0x10000)])
+           for _ in range(3001)]
+    s = "".join(chr(c) for c in cps)
+    u16 = s.encode("utf-16-be" if be else "utf-16-le")
+    u32 = s.encode("utf-32-le")
+    su.set_active_implementation("pallas")
+    conv32 = su.convert_utf16be_to_utf32 if be else su.convert_utf16le_to_utf32
+    assert conv32(u16) == u32
+    conv16 = su.convert_utf32_to_utf16be if be else su.convert_utf32_to_utf16le
+    assert conv16(u32) == u16
+    # astral chars must fall back byte-exactly
+    s2 = s[:100] + "🙂" + s[100:]
+    u16a = s2.encode("utf-16-be" if be else "utf-16-le")
+    u32a = s2.encode("utf-32-le")
+    su.set_active_implementation("pallas")
+    got32, got16 = conv32(u16a), conv16(u32a)
+    su.set_active_implementation("xla")
+    assert got32 == conv32(u16a) and got16 == conv16(u32a)
