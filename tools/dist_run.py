@@ -44,9 +44,11 @@ def main() -> int:
         )
 
     from simdutf_tpu.parallel import (
+        count_sharded,
         make_mesh,
         plan_shards,
         stage,
+        transcode_utf8_to_utf16_sharded,
         validate_utf8_sharded,
     )
 
@@ -63,8 +65,19 @@ def main() -> int:
         code, pos = validate_utf8_sharded(plan, mesh, staged=staged)
     dt = (time.perf_counter() - t0) / args.iters
     gbps = len(data) / dt / 1e9
+
+    # transcode + count over the same staged shards (round-2 surface)
+    tc = transcode_utf8_to_utf16_sharded(plan, mesh, staged=staged)
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        tc = transcode_utf8_to_utf16_sharded(plan, mesh, staged=staged)
+    tdt = (time.perf_counter() - t0) / args.iters
+    n_cp = count_sharded(plan, mesh, "utf8", staged=staged)
+
     if jax.process_index() == 0:
-        print(f"devices={n_dev} result=({code},{pos}) {gbps:.1f} GB/s")
+        print(f"devices={n_dev} result=({code},{pos}) validate {gbps:.1f} GB/s"
+              f" | transcode {len(data)/tdt/1e9:.1f} GB/s"
+              f" (code={tc[0]}, units={tc[1]}) | {n_cp} codepoints")
         if args.baseline_gbps:
             eff = gbps / (args.baseline_gbps * n_dev) * 100
             print(f"scaling efficiency vs {n_dev}x single-chip: {eff:.0f}%")
