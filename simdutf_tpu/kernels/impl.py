@@ -378,6 +378,72 @@ class PallasImplementation(XLAImplementation):
             return np.array(b, copy=True)
         return super().convert_latin1_to_utf8(b)
 
+    # -- utf8 <-> utf32 structured classes ------------------------------------
+    def _u8_to_u32_fast(self, b):
+        n = int(b.shape[0])
+        if n == 0:
+            return None
+        if self._is_ascii_fast(b):
+            x16, _ = _pad_widen(b)
+            out = ktr.latin1_widen_utf32(x16)
+            return np.asarray(out).view(np.uint32).reshape(-1)[:n]
+        sample = np.asarray(b[:: max(1, n // 2048)])
+        hi = sample & 0xF0
+        conts = (sample & 0xC0) == 0x80
+        lead2 = (hi == 0xC0) | (hi == 0xD0)
+        lead3 = hi == 0xE0
+        if n % 2 == 0 and bool(np.all(conts | lead2)) and bool(np.any(lead2)):
+            x32, nn = _pad_u2(b)
+            out, flag = ktr.uniform2_utf8_to_utf32(x32, nn)
+            if not int(flag):
+                return np.asarray(out).view(np.uint32).reshape(-1)[: n // 2]
+        elif (
+            n % 3 == 0 and bool(np.all(conts | lead3)) and bool(np.any(lead3))
+        ):
+            x32, nn = _pad_u3(b)
+            out, flag = ktr.uniform3_utf8_to_utf32(x32, nn)
+            if not int(flag):
+                return np.asarray(out).view(np.uint32).reshape(-1)[: n // 3]
+        return None
+
+    def convert_valid_utf8_to_utf32(self, b):
+        out = self._u8_to_u32_fast(b)
+        return out if out is not None else super().convert_valid_utf8_to_utf32(b)
+
+    def convert_utf8_to_utf32_with_errors(self, b):
+        out = self._u8_to_u32_fast(b)
+        if out is not None:
+            return Result(ec.SUCCESS, out.shape[0]), out
+        return super().convert_utf8_to_utf32_with_errors(b)
+
+    def _u32_to_u8_fast(self, w):
+        n = int(w.shape[0])
+        if n == 0:
+            return None
+        sample = np.asarray(w[:: max(1, n // 2048)])
+        lo, hi = int(sample.min()), int(sample.max())
+        if 0x80 <= lo and hi <= 0x7FF:
+            x32, nn = _pad_u32k(w)
+            out, flag = ktr.uniform2_utf32_to_utf8(x32, nn)
+            if not int(flag):
+                return np.asarray(out).view(np.uint8).reshape(-1)[: 2 * n]
+        elif 0x800 <= lo and hi <= 0xFFFF:
+            x32, nn = _pad_u32k(w)
+            out, flag = ktr.uniform3_utf32_to_utf8(x32, nn)
+            if not int(flag):
+                return np.asarray(out).view(np.uint8).reshape(-1)[: 3 * n]
+        return None
+
+    def convert_valid_utf32_to_utf8(self, w):
+        out = self._u32_to_u8_fast(w)
+        return out if out is not None else super().convert_valid_utf32_to_utf8(w)
+
+    def convert_utf32_to_utf8_with_errors(self, w):
+        out = self._u32_to_u8_fast(w)
+        if out is not None:  # uniform-class flag-clean implies valid UTF-32
+            return Result(ec.SUCCESS, out.shape[0]), out
+        return super().convert_utf32_to_utf8_with_errors(w)
+
     # -- latin1 widens (unconditional) + BMP utf16<->utf32 -------------------
     def convert_latin1_to_utf16le(self, b):
         x16, n = _pad_widen(b)

@@ -564,3 +564,249 @@ def bmp_narrow_utf16(x32: jnp.ndarray, big_endian: bool = False):
         interpret=_interpret(),
     )(x32)
     return out, flag[0, 0]
+
+
+# --- uniform-width UTF-8 <-> UTF-32 ------------------------------------------
+
+
+def _u2_32_kernel(n_ref, x_ref, o_ref, f_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        f_ref[0, 0] = 0
+
+    x = x_ref[...]  # (RU, 256) int32: two 2-byte chars per lane
+    R = x.shape[0]
+    lu = jnp.uint32
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    wbyte = ((i * R + row) * 256 + lane) * 4
+
+    def half(shift, off):
+        h = (x.astype(lu) >> shift).astype(jnp.int32) & 0xFFFF
+        lead, cont = h & 0xFF, (h >> 8) & 0xFF
+        ok = ((lead & 0xE0) == 0xC0) & ((cont & 0xC0) == 0x80) & (lead >= 0xC2)
+        ok = ok | (wbyte + off >= n_ref[0])
+        return ((lead & 0x1F) << 6) | (cont & 0x3F), ok
+
+    cp0, ok0 = half(0, 0)
+    cp1, ok1 = half(16, 2)
+    bad = jnp.any(~(ok0 & ok1))
+
+    @pl.when(bad)
+    def _flag():
+        f_ref[0, 0] = 1
+
+    o_ref[...] = jnp.stack([cp0, cp1], axis=-1).reshape(R, 512)
+
+
+@jax.jit
+def uniform2_utf8_to_utf32(x32: jnp.ndarray, n):
+    """Pure 2-byte UTF-8 -> UTF-32: (R, 256) int32 in, ((R, 512) int32
+    UTF-32LE stream, flag) out; ``n`` = logical byte length (n % 2 == 0)."""
+    grid = x32.shape[0] // RU
+    out, flag = pl.pallas_call(
+        _u2_32_kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((RU, 256), lambda i: (i, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((RU, 512), lambda i: (i, 0)),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((x32.shape[0], 512), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        interpret=_interpret(),
+    )(jnp.reshape(jnp.asarray(n, jnp.int32), (1,)), x32)
+    return out, flag[0, 0]
+
+
+def _rev2_32_kernel(n_ref, x_ref, o_ref, f_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        f_ref[0, 0] = 0
+
+    x = x_ref[...]  # (RU, 512) int32: one u32 codepoint per lane
+    R = x.shape[0]
+    I = x.reshape(R, 256, 2)
+    c0, c1 = I[..., 0], I[..., 1]
+    row = jax.lax.broadcasted_iota(jnp.int32, c0.shape, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, c0.shape, 1)
+    cidx = ((i * R + row) * 256 + lane) * 2
+
+    def ok(c, off):
+        return ((c >= 0x80) & (c <= 0x7FF)) | (cidx + off >= n_ref[0])
+
+    bad = jnp.any(~(ok(c0, 0) & ok(c1, 1)))
+
+    @pl.when(bad)
+    def _flag():
+        f_ref[0, 0] = 1
+
+    def two(c):  # 2 UTF-8 bytes, low byte first
+        return (0xC0 | (c >> 6)) | ((0x80 | (c & 0x3F)) << 8)
+
+    o_ref[...] = two(c0) | (two(c1) << 16)
+
+
+@jax.jit
+def uniform2_utf32_to_utf8(x32: jnp.ndarray, n):
+    """Pure 2-byte-range UTF-32 -> UTF-8: (R, 512) int32 codepoints in,
+    ((R, 256) int32 byte stream, flag) out; ``n`` = logical codepoints."""
+    grid = x32.shape[0] // RU
+    out, flag = pl.pallas_call(
+        _rev2_32_kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((RU, 512), lambda i: (i, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((RU, 256), lambda i: (i, 0)),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((x32.shape[0], 256), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        interpret=_interpret(),
+    )(jnp.reshape(jnp.asarray(n, jnp.int32), (1,)), x32)
+    return out, flag[0, 0]
+
+
+def _u3_32_kernel(n_ref, x_ref, o_ref, f_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        f_ref[0, 0] = 0
+
+    x = x_ref[...]  # (RU, 384) int32: 128 groups of 3 words = 4 chars/row
+    R = x.shape[0]
+    lu = jnp.uint32
+    I = x.reshape(R, 128, 3)
+    w0, w1, w2 = I[..., 0], I[..., 1], I[..., 2]
+    row = jax.lax.broadcasted_iota(jnp.int32, w0.shape, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, w0.shape, 1)
+    gbyte = ((i * R + row) * 128 + lane) * 12
+
+    def byte(w, k):
+        return (w.astype(lu) >> (8 * k)).astype(jnp.int32) & 0xFF
+
+    def char(b0, b1, b2, off):
+        cp = ((b0 & 0x0F) << 12) | ((b1 & 0x3F) << 6) | (b2 & 0x3F)
+        ok = (
+            ((b0 & 0xF0) == 0xE0)
+            & ((b1 & 0xC0) == 0x80)
+            & ((b2 & 0xC0) == 0x80)
+            & (cp >= 0x800)
+            & ((cp < 0xD800) | (cp > 0xDFFF))
+        ) | (gbyte + off >= n_ref[0])
+        return cp, ok
+
+    c0, k0 = char(byte(w0, 0), byte(w0, 1), byte(w0, 2), 0)
+    c1, k1 = char(byte(w0, 3), byte(w1, 0), byte(w1, 1), 3)
+    c2, k2 = char(byte(w1, 2), byte(w1, 3), byte(w2, 0), 6)
+    c3, k3 = char(byte(w2, 1), byte(w2, 2), byte(w2, 3), 9)
+    bad = jnp.any(~(k0 & k1 & k2 & k3))
+
+    @pl.when(bad)
+    def _flag():
+        f_ref[0, 0] = 1
+
+    o_ref[...] = jnp.stack([c0, c1, c2, c3], axis=-1).reshape(R, 512)
+
+
+@jax.jit
+def uniform3_utf8_to_utf32(x32: jnp.ndarray, n):
+    """Pure 3-byte UTF-8 -> UTF-32: (R, 384) int32 in (512 chars per row),
+    ((R, 512) int32 UTF-32LE stream, flag); ``n`` = byte length (n%3==0)."""
+    grid = x32.shape[0] // RU
+    out, flag = pl.pallas_call(
+        _u3_32_kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((RU, 384), lambda i: (i, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((RU, 512), lambda i: (i, 0)),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((x32.shape[0], 512), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        interpret=_interpret(),
+    )(jnp.reshape(jnp.asarray(n, jnp.int32), (1,)), x32)
+    return out, flag[0, 0]
+
+
+def _rev3_32_kernel(n_ref, x_ref, o_ref, f_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        f_ref[0, 0] = 0
+
+    x = x_ref[...]  # (RU, 512) int32: one u32 per lane
+    R = x.shape[0]
+    I = x.reshape(R, 128, 4)
+    cs = [I[..., k] for k in range(4)]
+    row = jax.lax.broadcasted_iota(jnp.int32, cs[0].shape, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, cs[0].shape, 1)
+    gidx = ((i * R + row) * 128 + lane) * 4
+
+    oks = []
+    for k, c in enumerate(cs):
+        good = (c >= 0x800) & (c <= 0xFFFF) & ((c < 0xD800) | (c > 0xDFFF))
+        oks.append(good | (gidx + k >= n_ref[0]))
+    bad = jnp.any(~(oks[0] & oks[1] & oks[2] & oks[3]))
+
+    @pl.when(bad)
+    def _flag():
+        f_ref[0, 0] = 1
+
+    def b3(c):
+        return 0xE0 | (c >> 12), 0x80 | ((c >> 6) & 0x3F), 0x80 | (c & 0x3F)
+
+    a0, a1, a2 = b3(cs[0])
+    c0, c1, c2 = b3(cs[1])
+    d0, d1, d2 = b3(cs[2])
+    e0, e1, e2 = b3(cs[3])
+    o0 = a0 | (a1 << 8) | (a2 << 16) | (c0 << 24)
+    o1 = c1 | (c2 << 8) | (d0 << 16) | (d1 << 24)
+    o2 = d2 | (e0 << 8) | (e1 << 16) | (e2 << 24)
+    o_ref[...] = jnp.stack([o0, o1, o2], axis=-1).reshape(R, 384)
+
+
+@jax.jit
+def uniform3_utf32_to_utf8(x32: jnp.ndarray, n):
+    """Pure 3-byte-range UTF-32 -> UTF-8: (R, 512) int32 codepoints in,
+    ((R, 384) int32 byte stream, flag); ``n`` = logical codepoints."""
+    grid = x32.shape[0] // RU
+    out, flag = pl.pallas_call(
+        _rev3_32_kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((RU, 512), lambda i: (i, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((RU, 384), lambda i: (i, 0)),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((x32.shape[0], 384), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        interpret=_interpret(),
+    )(jnp.reshape(jnp.asarray(n, jnp.int32), (1,)), x32)
+    return out, flag[0, 0]

@@ -276,3 +276,31 @@ def test_bmp_widen_narrow(be):
     got32, got16 = conv32(u16a), conv16(u32a)
     su.set_active_implementation("xla")
     assert got32 == conv32(u16a) and got16 == conv16(u32a)
+
+
+@pytest.mark.parametrize("script", ["cyr", "cjk", "ascii"])
+def test_uniform_utf8_utf32_roundtrip(script):
+    import random
+
+    rng = random.Random(11)
+    if script == "cyr":
+        s = "".join(chr(rng.randrange(0x80, 0x800)) for _ in range(3001))
+    elif script == "cjk":
+        s = "".join(chr(rng.randrange(0x800, 0xD800)) for _ in range(3001))
+    else:
+        s = "".join(chr(rng.randrange(0x20, 0x7F)) for _ in range(3001))
+    data, u32 = s.encode(), s.encode("utf-32-le")
+    su.set_active_implementation("pallas")
+    assert su.convert_utf8_to_utf32(data) == u32
+    assert su.convert_valid_utf8_to_utf32(data) == u32
+    if script != "ascii":
+        assert su.convert_utf32_to_utf8(u32) == data
+        assert su.convert_valid_utf32_to_utf8(u32) == data
+    # divergence falls back byte-exactly
+    s2 = s[:50] + ("x" if script != "ascii" else "é") + s[50:]
+    d2, u2 = s2.encode(), s2.encode("utf-32-le")
+    su.set_active_implementation("pallas")
+    got_a, got_b = su.convert_utf8_to_utf32(d2), su.convert_utf32_to_utf8(u2)
+    su.set_active_implementation("xla")
+    assert got_a == su.convert_utf8_to_utf32(d2)
+    assert got_b == su.convert_utf32_to_utf8(u2)
