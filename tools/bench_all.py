@@ -349,6 +349,29 @@ def host_competitors(corp):
     t("cpython_base64_encode",
       lambda: pyb64.b64encode(corp["binary"][: 8 * MB]),
       len(corp["binary"][: 8 * MB]))
+
+    # our own host tiers as competitors (the reference benches its
+    # fallback backend the same way)
+    try:
+        from simdutf_tpu.registry import get_available_implementations
+
+        impls = get_available_implementations()
+        m2 = mixed[: 2 * MB]
+        import simdutf_tpu as su
+
+        m2 = m2[: su.trim_partial_utf8(m2)]
+        arr2 = np.frombuffer(m2, np.uint8)
+        for tier in ("cnative", "fallback"):
+            if tier not in impls:
+                continue
+            impl = impls[tier]
+            t(f"{tier}_utf8_validate",
+              lambda impl=impl: impl.validate_utf8(arr2), len(m2))
+            t(f"{tier}_utf8_to_utf16le",
+              lambda impl=impl: impl.convert_utf8_to_utf16le_with_errors(
+                  arr2), len(m2))
+    except Exception:
+        pass
     return out
 
 
