@@ -124,6 +124,47 @@ def _codec_fallback(data: bytes, src: str, dst: str) -> bytes:
     return data.decode(src).encode(dst)
 
 
+_TRIM = {
+    "utf8": api.trim_partial_utf8,
+    "utf16le": lambda d: 2 * api.trim_partial_utf16le(d),
+    "utf16be": lambda d: 2 * api.trim_partial_utf16be(d),
+    "utf32": lambda d: len(d) // 4 * 4,
+    "latin1": len,
+    "ascii": len,
+}
+
+
+def _stream_convert(path: str, src: str, dst: str, out_f, chunk_bytes: int):
+    """Transcode a file in bounded memory: mmap + trim_partial chunking so
+    no codepoint straddles a chunk joint (the reference's streaming pattern,
+    benchmarks/stream.cpp + implementation.h:2690-2716). Error positions
+    are reported as global file offsets."""
+    import mmap
+
+    with open(path, "rb") as f:
+        size = f.seek(0, 2)
+        if size == 0:
+            return
+        with mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ) as mm:
+            pos = 0
+            while pos < size:
+                end = min(pos + chunk_bytes, size)
+                chunk = bytes(mm[pos:end])
+                if end < size:
+                    k = _TRIM[src](chunk)
+                    if k == 0:
+                        raise ValueError(
+                            f"invalid {src} input: no codepoint boundary in "
+                            f"chunk at offset {pos}"
+                        )
+                    chunk = chunk[:k]
+                try:
+                    out_f.write(_convert(chunk, src, dst))
+                except ValueError as e:
+                    raise ValueError(f"{e} (chunk starting at byte {pos})")
+                pos += len(chunk)
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="sutf", description="Unicode transcoder (simdutf_tpu)"
@@ -142,8 +183,39 @@ def main(argv=None) -> int:
     ap.add_argument(
         "--url", action="store_true", help="use the base64url alphabet"
     )
+    ap.add_argument(
+        "--stream-mb", type=int, metavar="MB",
+        help="transcode files in bounded memory (mmap, MB-sized chunks cut "
+             "on codepoint boundaries); charset conversions only",
+    )
     ap.add_argument("files", nargs="*")
     args = ap.parse_args(argv)
+
+    if args.stream_mb:
+        if args.base64_encode or args.base64_decode:
+            print("sutf: --stream-mb supports charset conversion only",
+                  file=sys.stderr)
+            return 2
+        src, dst = _canon(args.src), _canon(args.dst)
+        if src is None or dst is None or not args.files:
+            print("sutf: --stream-mb needs Unicode charsets and file inputs",
+                  file=sys.stderr)
+            return 2
+        try:
+            out_f = (open(args.output, "wb") if args.output
+                     else sys.stdout.buffer)
+            try:
+                for path in args.files:
+                    _stream_convert(
+                        path, src, dst, out_f, args.stream_mb * 1024 * 1024
+                    )
+            finally:
+                if args.output:
+                    out_f.close()
+        except (ValueError, OSError) as e:
+            print(f"sutf: {e}", file=sys.stderr)
+            return 1
+        return 0
 
     chunks = []
     if args.files:

@@ -76,3 +76,30 @@ def test_base64_encode_decode_modes(tmp_path):
     assert r.returncode == 0 and r.stdout == b"-_8"
     r = run_cli(["--base64-decode"], b"abc$")
     assert r.returncode == 1 and b"INVALID_BASE64_CHARACTER" in r.stderr
+
+
+def test_cli_stream_mode(tmp_path):
+    from simdutf_tpu.cli import main
+
+    s = ("héllo wörld 日本語 🙂 " * 40000)
+    src = tmp_path / "in.txt"
+    src.write_bytes(s.encode())
+    out = tmp_path / "out.bin"
+    rc = main(["-f", "UTF-8", "-t", "UTF-16LE", "--stream-mb", "1",
+               "-o", str(out), str(src)])
+    assert rc == 0
+    assert out.read_bytes() == s.encode("utf-16-le")
+
+
+def test_cli_stream_error_offset(tmp_path, capsys):
+    from simdutf_tpu.cli import main
+
+    data = bytearray(("x" * 3_000_000).encode())
+    data[2_500_000] = 0xFF
+    src = tmp_path / "bad.txt"
+    src.write_bytes(bytes(data))
+    rc = main(["-f", "UTF-8", "-t", "UTF-16LE", "--stream-mb", "1",
+               "-o", str(src) + ".out", str(src)])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "chunk starting at byte" in err
