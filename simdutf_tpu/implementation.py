@@ -47,6 +47,13 @@ class Implementation:
         """Whether best-pick auto-selection may choose this tier."""
         return True
 
+    def internal_tests(self) -> list:
+        """Developer tests of private helpers, exposed through the public
+        registry like the reference's ``implementation::internal_tests()``
+        (implementation.h:5019-5037; only its ppc64 backend registers any).
+        Returns [(name, zero-arg callable that raises on failure), ...]."""
+        return []
+
     # -- ASCII ---------------------------------------------------------------
     def validate_ascii(self, b: np.ndarray) -> bool:
         return not bool((b & 0x80).any())

@@ -73,6 +73,45 @@ class PallasImplementation(XLAImplementation):
         except Exception:  # pragma: no cover
             return False
 
+    def internal_tests(self):
+        """Kernel-invariant checks run through the registry (the
+        reference's internal_tests mechanism, implementation.h:5019-5037):
+        private formulations validated against tiny oracles."""
+
+        def swar_formula():
+            from ..golden import utf8 as g8
+
+            for bad in (b"\x80abc", b"\xc2", b"\xe0\x80\x80", b"\xf5\x80\x80\x80",
+                        b"\xed\xa0\x80", b"\xc0\xaf"):
+                data = b"ok " + bad + b" tail"
+                arr = np.frombuffer(data, np.uint8)
+                x32, _ = _pad_swar(arr)
+                flagged = int(ksw.utf8_swar_first_bad_word(x32)) != ksw.BIG
+                assert flagged == g8.validate_with_errors(arr).is_err, bad
+
+        def phase_planes():
+            import base64 as pyb64
+
+            raw = bytes(range(256)) * 24
+            chars = pyb64.b64encode(raw)
+            x32, _ = _pad_b64c(np.frombuffer(chars, np.uint8))
+            out, flag = kb64.clean_decode(x32, len(chars) // 4)
+            assert int(flag) == 0
+            got = np.asarray(out).view(np.uint8).reshape(-1)[: len(raw)]
+            assert got.tobytes() == raw
+
+        def widen_image():
+            data = bytes(range(128)) * 8
+            x16, n = _pad_widen(np.frombuffer(data, np.uint8))
+            out, flag = ktr.ascii_widen_utf16(x16)
+            assert int(flag) == 0
+            got = np.asarray(out).view(np.uint16).reshape(-1)[: int(n)]
+            assert got.tobytes() == data.decode().encode("utf-16-le")
+
+        return [("swar_formula", swar_formula),
+                ("b64_phase_planes", phase_planes),
+                ("ascii_widen_image", widen_image)]
+
     # -- validation ----------------------------------------------------------
     def validate_utf8(self, b):
         """Hot path: SWAR any-error check (4 bytes/lane). Exact error
