@@ -18,6 +18,8 @@ from .distributed import (  # noqa: F401
     gather_utf16,
     make_mesh,
     stage,
+    plan_unit_for,
+    transcode_sharded,
     transcode_utf8_to_utf16_sharded,
     transcode_utf16_to_utf8_sharded,
     validate_utf8_sharded,

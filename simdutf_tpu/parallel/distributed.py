@@ -35,6 +35,8 @@ except ImportError:  # pragma: no cover - older jax
 
 from ..ops import utf8 as o8
 from ..ops import utf16 as o16
+from ..ops import utf32 as o32
+from ..ops import latin1 as ol1
 from ..ops import base64_ops
 from ..ops.common import BIG
 from .planner import ShardPlan
@@ -235,6 +237,92 @@ def transcode_utf16_to_utf8_sharded(
     win, wpos, wcode, total, outs, out_lens = _transcode16_step(
         mesh, axis, big_endian
     )(shards, lengths)
+    code, pos = _combine(plan, int(win), int(wpos), int(wcode))
+    if code == 0:
+        return 0, int(total), outs, np.asarray(out_lens)
+    return code, pos, outs, np.asarray(out_lens)
+
+
+# --- the full 12-way conversion matrix, sharded -------------------------------
+#
+# One generic builder covers every direction (BASELINE config 5). Each op
+# entry: (plan unit in bytes, local fn(shard, length) -> (code, pos, out,
+# out_len)). Latin1 sources are always valid; their out_len is the known
+# identity, wrapped to the common shape.
+
+
+def _wrap_plain(fn, out_len_of):
+    def local(s, l):
+        out = fn(s, l)
+        return jnp.int32(0), l, out, out_len_of(l)
+
+    return local
+
+
+_MATRIX_OPS = {
+    "utf8_to_utf16le": (1, lambda s, l: o8.to_utf16(s, l, False)),
+    "utf8_to_utf16be": (1, lambda s, l: o8.to_utf16(s, l, True)),
+    "utf8_to_utf32": (1, o8.to_utf32),
+    "utf8_to_latin1": (1, o8.to_latin1),
+    "utf16le_to_utf8": (2, lambda s, l: o16.to_utf8(s, l, False)),
+    "utf16be_to_utf8": (2, lambda s, l: o16.to_utf8(s, l, True)),
+    "utf16le_to_utf32": (2, lambda s, l: o16.to_utf32(s, l, False)),
+    "utf16be_to_utf32": (2, lambda s, l: o16.to_utf32(s, l, True)),
+    "utf16le_to_latin1": (2, lambda s, l: o16.to_latin1(s, l, False)),
+    "utf16be_to_latin1": (2, lambda s, l: o16.to_latin1(s, l, True)),
+    "utf32_to_utf8": (4, o32.to_utf8),
+    "utf32_to_utf16le": (4, lambda s, l: o32.to_utf16(s, l, False)),
+    "utf32_to_utf16be": (4, lambda s, l: o32.to_utf16(s, l, True)),
+    "utf32_to_latin1": (4, o32.to_latin1),
+    "latin1_to_utf8": (1, lambda s, l: (
+        jnp.int32(0), l, *ol1.to_utf8(s, l))),
+    "latin1_to_utf16le": (1, _wrap_plain(
+        lambda s, l: ol1.to_utf16(s, l, False), lambda l: l)),
+    "latin1_to_utf16be": (1, _wrap_plain(
+        lambda s, l: ol1.to_utf16(s, l, True), lambda l: l)),
+    "latin1_to_utf32": (1, _wrap_plain(ol1.to_utf32, lambda l: l)),
+}
+
+
+def plan_unit_for(op: str) -> int:
+    """Shard-planner ``unit`` for a matrix op name."""
+    return _MATRIX_OPS[op][0]
+
+
+@functools.lru_cache(maxsize=64)
+def _matrix_step(mesh: Mesh, axis: str, op: str):
+    _, fn = _MATRIX_OPS[op]
+
+    def local(shards, lengths):
+        code, pos, out, out_len = fn(shards[0], lengths[0])
+        win, wpos, wcode, total = _local_reduce(code, pos, out_len, axis)
+        return (win[None], wpos[None], wcode[None], total[None],
+                out[None], out_len[None])
+
+    f = shard_map(
+        local, mesh=mesh, in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis),) * 4 + (P(axis), P(axis)),
+    )
+
+    @jax.jit
+    def step(shards, lengths):
+        win, wpos, wcode, total, outs, out_lens = f(shards, lengths)
+        return win[0], wpos[0], wcode[0], total[0], outs, out_lens
+
+    return step
+
+
+def transcode_sharded(
+    plan: ShardPlan, mesh: Mesh, op: str, axis: str = "data", staged=None
+):
+    """Any direction of the 12-way matrix over shards. ``plan`` must come
+    from plan_shards(..., unit=plan_unit_for(op), big_endian=...). Returns
+    (err_code, err_pos_or_total_units, per-shard outputs, per-shard unit
+    counts); first-error positions are global input code-unit indices."""
+    shards, lengths = staged if staged is not None else stage(plan, mesh, axis)
+    win, wpos, wcode, total, outs, out_lens = _matrix_step(mesh, axis, op)(
+        shards, lengths
+    )
     code, pos = _combine(plan, int(win), int(wpos), int(wcode))
     if code == 0:
         return 0, int(total), outs, np.asarray(out_lens)

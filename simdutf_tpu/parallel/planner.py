@@ -45,8 +45,8 @@ def plan_shards(
     """
     if not isinstance(data, np.ndarray):
         data = np.frombuffer(bytes(data), dtype=np.uint8)
-    if data.dtype == np.uint16:
-        assert unit == 2
+    if data.dtype in (np.dtype(np.uint16), np.dtype(np.uint32)):
+        assert unit == data.dtype.itemsize
         data = data.view(np.uint8) if data.flags["C_CONTIGUOUS"] else (
             np.ascontiguousarray(data).view(np.uint8)
         )
@@ -70,12 +70,13 @@ def plan_shards(
     shards = np.zeros((n_shards, cap), dtype=np.uint8)
     for i in range(n_shards):
         shards[i, : lengths[i]] = data[cuts[i] : cuts[i + 1]]
-    if unit == 2:
+    if unit in (2, 4):
+        dt = np.uint16 if unit == 2 else np.uint32
         return ShardPlan(
-            shards.view(np.uint16).reshape(n_shards, cap // 2),
-            (lengths // 2).astype(np.int32),
-            offsets // 2,
-            n // 2,
+            shards.view(dt).reshape(n_shards, cap // unit),
+            (lengths // unit).astype(np.int32),
+            offsets // unit,
+            n // unit,
         )
     return ShardPlan(shards, lengths.astype(np.int32), offsets, n)
 

@@ -250,3 +250,73 @@ def test_sharded_base64_last_chunk_modes():
                      for i in range(len(out_lens))] + [extra]
                 ).tobytes()
                 assert got == want_out, (s, lc)
+
+
+def test_sharded_full_matrix():
+    """Every direction of the 12-way matrix sharded == single-buffer result
+    (BASELINE config 5)."""
+    from simdutf_tpu.parallel.distributed import (
+        _MATRIX_OPS, plan_unit_for, transcode_sharded,
+    )
+    import simdutf_tpu as su
+
+    rng = np.random.default_rng(3)
+    u8 = helpers.random_utf8(31, 2500, 3, 2, 2, 1)
+    latin1_u8 = "héllo wörld ÿñ æøå ".encode() * 150  # latin1-range utf8
+    u16 = helpers.random_utf16(32, 2000, 3, 1)
+    u16_l1 = ("héllo ÿ " * 300).encode("utf-16-le")
+    u32 = helpers.random_utf32(33, 1500, 0.2)
+    u32_l1 = ("héllo ÿ " * 300).encode("utf-32-le")
+    l1 = bytes(rng.integers(0, 256, 2000, dtype=np.uint8))
+
+    srcs = {
+        "utf8_to_utf16le": u8, "utf8_to_utf16be": u8, "utf8_to_utf32": u8,
+        "utf8_to_latin1": latin1_u8,
+        "utf16le_to_utf8": u16, "utf16le_to_utf32": u16,
+        "utf16le_to_latin1": u16_l1,
+        "utf16be_to_utf8": su.change_endianness_utf16(u16),
+        "utf16be_to_utf32": su.change_endianness_utf16(u16),
+        "utf16be_to_latin1": su.change_endianness_utf16(u16_l1),
+        "utf32_to_utf8": u32, "utf32_to_utf16le": u32,
+        "utf32_to_utf16be": u32, "utf32_to_latin1": u32_l1,
+        "latin1_to_utf8": l1, "latin1_to_utf16le": l1,
+        "latin1_to_utf16be": l1, "latin1_to_utf32": l1,
+    }
+    single = {
+        "utf8_to_utf16le": su.convert_utf8_to_utf16le,
+        "utf8_to_utf16be": su.convert_utf8_to_utf16be,
+        "utf8_to_utf32": su.convert_utf8_to_utf32,
+        "utf8_to_latin1": su.convert_utf8_to_latin1,
+        "utf16le_to_utf8": su.convert_utf16le_to_utf8,
+        "utf16le_to_utf32": su.convert_utf16le_to_utf32,
+        "utf16le_to_latin1": su.convert_utf16le_to_latin1,
+        "utf16be_to_utf8": su.convert_utf16be_to_utf8,
+        "utf16be_to_utf32": su.convert_utf16be_to_utf32,
+        "utf16be_to_latin1": su.convert_utf16be_to_latin1,
+        "utf32_to_utf8": su.convert_utf32_to_utf8,
+        "utf32_to_utf16le": su.convert_utf32_to_utf16le,
+        "utf32_to_utf16be": su.convert_utf32_to_utf16be,
+        "utf32_to_latin1": su.convert_utf32_to_latin1,
+        "latin1_to_utf8": su.convert_latin1_to_utf8,
+        "latin1_to_utf16le": su.convert_latin1_to_utf16le,
+        "latin1_to_utf16be": su.convert_latin1_to_utf16be,
+        "latin1_to_utf32": su.convert_latin1_to_utf32,
+    }
+    mesh = _mesh()
+    n_dev = len(jax.devices())
+    for op in _MATRIX_OPS:
+        data = srcs[op]
+        unit = plan_unit_for(op)
+        be = "utf16be_to" in op
+        arr = np.frombuffer(data, np.uint8)
+        if unit == 2:
+            plan = plan_shards(arr, n_dev, unit=2, big_endian=be)
+        elif unit == 4:
+            plan = plan_shards(arr, n_dev, unit=4)
+        else:
+            plan = plan_shards(arr, n_dev)
+        code, total, outs, out_lens = transcode_sharded(plan, mesh, op)
+        want = single[op](data)
+        assert code == 0, op
+        got = gather_units(outs, out_lens)
+        assert got.tobytes() == want, op
