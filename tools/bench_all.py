@@ -84,6 +84,12 @@ def _corpora(nbytes: int):
     cyr = gen_corpus.generate(
         gen_corpus.PROFILES["cyrillic_pure"], 1 << 20, seed=2)
     cyr = (cyr * (nbytes // len(cyr) + 1))[:nbytes]
+    u32 = mixed.decode("utf-8").encode("utf-32-le")[:nbytes]
+    u32 = u32[: len(u32) // 4 * 4]
+    lat_text = ("Grüße aus München - ¡señor! àéîõû ÆØÅ ÷ × ¤ "
+                "plain ASCII interleaved for a realistic byte mix. ")
+    latin1 = (lat_text.encode("latin-1") * (
+        nbytes // len(lat_text.encode("latin-1")) + 1))[:nbytes]
     return {
         "mixed": mixed,
         "ascii": ascii_c,
@@ -91,6 +97,9 @@ def _corpora(nbytes: int):
         "cyr_pure": cyr[: len(cyr) // 2 * 2],
         "ascii16": ascii_c.decode().encode("utf-16-le")[:nbytes],
         "utf16": u16,
+        "utf32": u32,
+        "latin1": latin1,
+        "latin1_utf8": _trim8(latin1.decode("latin-1").encode("utf-8")[:nbytes]),
         "b64": b64_clean,
         "b64_spaced": spaced.tobytes(),
         "binary": raw[:nbytes],
@@ -310,6 +319,29 @@ def build_procedures():
             kb64.block_encode(x).reshape(-1), n * 4)),
         lambda nb: nb + nb * 4 // 3)
 
+    # utf32 / latin1 families (completes the 12-way matrix coverage)
+    import simdutf_tpu.ops.utf32 as o32
+    import simdutf_tpu.ops.latin1 as ol1
+
+    def pad32(arr):
+        return oi._pad(arr.view(np.uint32))
+
+    add("utf32_validate", "utf32", pad32,
+        _chain_scalarish(lambda x, n: o32.validate_with_errors(x, n)[1]),
+        lambda nb: nb)
+    add("utf32_to_utf8", "utf32", pad32,
+        _chain_out(lambda x, n: o32.to_utf8(x, n)[2:]),
+        lambda nb: nb + int(nb * 0.45))
+    add("utf32_to_utf16le", "utf32", pad32,
+        _chain_out(lambda x, n: o32.to_utf16(x, n, False)[2:]),
+        lambda nb: nb + nb // 2)
+    add("latin1_to_utf8", "latin1", pad8,
+        _chain_out(lambda x, n: ol1.to_utf8(x, n)),
+        lambda nb: nb + int(nb * 1.1))
+    add("utf8_to_latin1", "latin1_utf8", pad8,
+        _chain_out(lambda x, n: o8.to_latin1(x, n)[2:]),
+        lambda nb: nb + int(nb * 0.9))
+
     # detection
     import simdutf_tpu.ops.detect as od
 
@@ -448,6 +480,34 @@ def main():
         print(json.dumps(rec), flush=True)
     except Exception as e:
         log(f"batch bench skipped: {e}")
+
+    # streaming chunked transcode (the reference's benchmarks/stream.cpp
+    # microstudy): bounded-memory chunks with trim_partial joints through
+    # the public API — measures the chunking/staging overhead end-to-end
+    try:
+        import simdutf_tpu as su
+
+        data = corp["mixed"][: 16 * MB]
+        chunk_sz = 1 * MB
+        su.convert_utf8_to_utf16le(data[:chunk_sz])  # compile
+        t0 = time.perf_counter()
+        pos = total_units = 0
+        while pos < len(data):
+            chunk = data[pos : pos + chunk_sz]
+            keep = su.trim_partial_utf8(chunk) if pos + chunk_sz < len(data) \
+                else len(chunk)
+            out = su.convert_utf8_to_utf16le(chunk[:keep])
+            total_units += len(out) // 2
+            pos += keep
+        dt = time.perf_counter() - t0
+        rec = {"procedure": "utf8_to_utf16le_stream_e2e",
+               "gbps": round(len(data) / dt / 1e9, 2),
+               "ms": round(dt * 1e3, 2), "bytes": len(data),
+               "chunk_bytes": chunk_sz, "units": total_units}
+        log(f"{rec['procedure']:28s} {rec['gbps']:7.2f} GB/s (end-to-end)")
+        print(json.dumps(rec), flush=True)
+    except Exception as e:
+        log(f"stream bench skipped: {e}")
 
     for rec in host_competitors(corp):
         log(f"{rec['procedure']:28s} {rec['gbps']:7.2f} GB/s (host)")
