@@ -192,7 +192,10 @@ def _b64(data):
 
 
 def oracle_check(data: bytes) -> list[str]:
-    """Cross-check the active tier against the independent oracle."""
+    """Cross-check the active tier against the independent oracle AND
+    CPython's codecs (a second, fully independent implementation:
+    UnicodeDecodeError.start is the first-error offset and must equal our
+    result.count; valid-input transcodes must match codecs byte-for-byte)."""
     bad = []
     if su.validate_utf8_with_errors(data) != oracle.validate_utf8_with_errors(data):
         bad.append("validate_utf8_with_errors")
@@ -200,6 +203,29 @@ def oracle_check(data: bytes) -> list[str]:
     want = oracle.base64_to_binary(data, 0, 0)
     if (got[0], _norm(got[1])) != (want[0], bytes(want[1])):
         bad.append("base64_to_binary_details")
+    # CPython second oracle: utf-8
+    r = su.validate_utf8_with_errors(data)
+    try:
+        text = data.decode("utf-8")
+        if not r.is_ok or r.count != len(data):
+            bad.append("cpython_utf8_valid_disagrees")
+        elif _norm(su.convert_utf8_to_utf16le(data)) != text.encode("utf-16-le"):
+            bad.append("cpython_utf8_to_utf16le_bytes")
+        elif _norm(su.convert_utf8_to_utf32(data)) != text.encode("utf-32-le"):
+            bad.append("cpython_utf8_to_utf32_bytes")
+    except UnicodeDecodeError as e:
+        if r.is_ok or r.count != e.start:
+            bad.append(f"cpython_utf8_first_error({e.start}!={r.count})")
+    # CPython second oracle: utf-16-le (unit-aligned slice)
+    w = data[: len(data) // 2 * 2]
+    r16 = su.validate_utf16le_with_errors(w)
+    try:
+        w.decode("utf-16-le")
+        if not r16.is_ok:
+            bad.append("cpython_utf16_valid_disagrees")
+    except UnicodeDecodeError as e:
+        if r16.is_ok or r16.count != e.start // 2:
+            bad.append(f"cpython_utf16_first_error({e.start//2}!={r16.count})")
     return bad
 
 
