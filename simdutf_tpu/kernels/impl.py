@@ -177,6 +177,36 @@ class PallasImplementation(XLAImplementation):
         x2d, n = _pad2d(b)
         return int(kv.utf8_utf16_length(x2d, n))
 
+    def utf32_length_from_utf8(self, b):
+        # code-point count (golden/utf8.py utf32_length == count)
+        x2d, n = _pad2d(b)
+        return int(kv.utf8_count(x2d, n))
+
+    def latin1_length_from_utf8(self, b):
+        x2d, n = _pad2d(b)
+        return int(kv.utf8_count(x2d, n))
+
+    def utf8_length_from_latin1(self, b):
+        x2d, n = _pad2d(b)
+        return int(kv.latin1_utf8_length(x2d, n))
+
+    def utf8_length_from_utf32(self, w):
+        x32, n = _pad_u32k(w)
+        return int(kv.utf32_reduce(x32, n, "utf8len"))
+
+    def utf16_length_from_utf32(self, w):
+        x32, n = _pad_u32k(w)
+        return int(kv.utf32_reduce(x32, n, "utf16len"))
+
+    def utf32_length_from_utf16le(self, w):
+        # == code-point count (golden/utf16.py utf32_length)
+        x2d, n = _pad2d16(w)
+        return int(k16.utf16_reduce(x2d, n, False, "count"))
+
+    def utf32_length_from_utf16be(self, w):
+        x2d, n = _pad2d16(w)
+        return int(k16.utf16_reduce(x2d, n, True, "count"))
+
     # -- UTF-16 (pallas kernels) ---------------------------------------------
     def _v16(self, w, be):
         """SWAR check (2 units/word) + exact position from a tiny host

@@ -191,10 +191,14 @@ def _count_kernel(len_ref, x_ref, out_ref, *, what: str):
     b = x_ref[...].astype(jnp.int32)
     row, lane = _iotas(b.shape)
     in_r = (i * (BR * W) + row * W + lane) < len_ref[0]
-    noncont = ((b & 0xC0) != 0x80) & in_r
-    part = jnp.sum(noncont.astype(jnp.int32))
-    if what == "utf16":  # + 4-byte leads (one extra unit each)
-        part = part + jnp.sum(((b >= 0xF0) & in_r).astype(jnp.int32))
+    if what == "latin1":  # utf8_length_from_latin1: N + high bytes
+        part = jnp.sum(in_r.astype(jnp.int32))
+        part = part + jnp.sum(((b >= 0x80) & in_r).astype(jnp.int32))
+    else:
+        noncont = ((b & 0xC0) != 0x80) & in_r
+        part = jnp.sum(noncont.astype(jnp.int32))
+        if what == "utf16":  # + 4-byte leads (one extra unit each)
+            part = part + jnp.sum(((b >= 0xF0) & in_r).astype(jnp.int32))
     out_ref[0, 0] = out_ref[0, 0] + part
 
 
@@ -260,3 +264,50 @@ def utf8_count(x2d: jnp.ndarray, length):
 @jax.jit
 def utf8_utf16_length(x2d: jnp.ndarray, length):
     return _count_call(x2d, length, "utf16")
+
+
+@jax.jit
+def latin1_utf8_length(x2d: jnp.ndarray, length):
+    """utf8_length_from_latin1: N + count of high bytes
+    (scalar/latin1.h:9-19)."""
+    return _count_call(x2d, length, "latin1")
+
+
+def _utf32_len_kernel(len_ref, x_ref, out_ref, *, what: str):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        out_ref[0, 0] = 0
+        out_ref[0, 1] = 0
+
+    w = x_ref[...]  # int32 lanes, one code point per lane
+    row, lane = _iotas(w.shape)
+    in_r = (i * (BR * W) + row * W + lane) < len_ref[0]
+    # int32 lanes: negatives are >= 2^31 unsigned, above every threshold
+    neg = w < 0
+    part = jnp.sum(in_r.astype(jnp.int32))
+    part = part + jnp.sum((((w > 0xFFFF) | neg) & in_r).astype(jnp.int32))
+    if what == "utf8len":  # scalar/utf32.h length ladder
+        part = part + jnp.sum((((w > 0x7F) | neg) & in_r).astype(jnp.int32))
+        part = part + jnp.sum((((w > 0x7FF) | neg) & in_r).astype(jnp.int32))
+    out_ref[0, 0] = out_ref[0, 0] + part
+
+
+@functools.partial(jax.jit, static_argnames=("what",))
+def utf32_reduce(x2d: jnp.ndarray, length, what: str):
+    """x2d: (rows, 512) int32, one UTF-32 code point per lane (the
+    _pad_u32k layout). what: 'utf8len' | 'utf16len'. length in units."""
+    grid = x2d.shape[0] // BR
+    out = pl.pallas_call(
+        functools.partial(_utf32_len_kernel, what=what),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((BR, W), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 2), jnp.int32),
+        interpret=_interpret(),
+    )(jnp.reshape(length, (1,)).astype(jnp.int32), x2d)
+    return out[0, 0]
