@@ -13,10 +13,58 @@ semantically safe: generic/utf8_validation/utf8_validator.h:18-22).
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 
 from ..errors import error_code as ec
 from .common import BIG, positions, shift_left, shift_right, zero_tail
+
+# Transcode-engine variants (promotable via on-device probes,
+# tools/probe_transcode.py). '+'-separated combination of:
+#   blkscan — blocked cumsum (row-wise scan + tiny row-offset scan)
+#   uniq    — scatter with unique_indices=True (drop targets made distinct)
+#   u16     — scatter uint16 values instead of int32
+# Read once at import: the choice is baked into jit caches like the
+# reference's one-time backend pick (src/implementation.cpp:1290).
+_ENGINE = frozenset(
+    filter(None, os.environ.get("SIMDUTF_TPU_TRANSCODE_ENGINE", "").split("+"))
+)
+_BLK = 2048  # blkscan row width (divides every padded bucket size)
+
+
+def _excl_scan(k32, n):
+    """Exclusive prefix sum of k32 (int32[n]) -> (off, inclusive).
+    'blkscan' engine: cumsum within (R, 2048) rows + an R-length scan of
+    row totals — shrinks the sequential dependence XLA must lower."""
+    if "blkscan" in _ENGINE and n % _BLK == 0 and n > _BLK:
+        x2 = k32.reshape(-1, _BLK)
+        row_inc = jnp.cumsum(x2, axis=1)
+        row_tot = row_inc[:, -1]
+        row_off = jnp.cumsum(row_tot) - row_tot
+        inc = (row_inc + row_off[:, None]).reshape(-1)
+    else:
+        inc = jnp.cumsum(k32)
+    return inc - k32, inc
+
+
+def _scatter_units(val, keep, off, n, out_dtype):
+    """out[off[i]] = val[i] where keep[i]; one scatter, mode='drop'.
+    'uniq' gives every dropped element its own out-of-bounds target so
+    unique_indices=True is semantically safe; 'u16' scatters 16-bit values."""
+    if out_dtype == jnp.uint16 and "u16" in _ENGINE:
+        vals = val.astype(jnp.uint16)
+        zeros = jnp.zeros(n, dtype=jnp.uint16)
+    else:
+        vals = val
+        zeros = jnp.zeros(n, dtype=val.dtype)
+    if "uniq" in _ENGINE:
+        idx = positions(n)
+        tgt = jnp.where(keep, off, n + idx)  # distinct OOB per dropped elem
+        out = zeros.at[tgt].set(vals, mode="drop", unique_indices=True)
+    else:
+        out = zeros.at[jnp.where(keep, off, n)].set(vals, mode="drop")
+    return out.astype(out_dtype)
 
 # plain ints (not jnp scalars): device constants at import time would pin
 # the default backend and slow every lowering
@@ -189,12 +237,10 @@ def _emit_utf16_units(cp, lead, lead4, n, big_endian: bool):
     keep = lead | after_lead4
     val = jnp.where(after_lead4, shift_right(unit1, 1), unit0)
     k32 = keep.astype(jnp.int32)
-    off_inc = jnp.cumsum(k32)
-    off = off_inc - k32
+    off, off_inc = _excl_scan(k32, n)
     total = off_inc[n - 1]
-    out = jnp.zeros(n, dtype=jnp.int32)
-    out = out.at[jnp.where(keep, off, n)].set(val, mode="drop")
-    return out.astype(jnp.uint16), off, total
+    out = _scatter_units(val, keep, off, n, jnp.uint16)
+    return out, off, total
 
 def to_utf16(b: jnp.ndarray, length, big_endian: bool):
     """Validating transcode, classify -> scan -> scatter.
