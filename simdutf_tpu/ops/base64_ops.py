@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..golden import base64_impl as gb
-from .common import BIG, positions
+from .common import BIG, excl_scan, positions, scatter_writes
 
 
 def _tables():
@@ -91,18 +91,13 @@ def decode_bulk(chars: jnp.ndarray, length, url: bool, both: bool):
     first_bad = jnp.min(bad_positions)
 
     vmask = valid.astype(jnp.int32)
-    rank_inc = jnp.cumsum(vmask)
-    rank = rank_inc - vmask  # exclusive: rank of each valid char
+    rank, rank_inc = excl_scan(vmask, n)
     nvalid = rank_inc[n - 1]
     clamped_bad = jnp.minimum(first_bad, n - 1)
     nvalid_at_bad = jnp.where(first_bad == 0, 0, rank[clamped_bad])
 
-    vals = jnp.zeros(n, dtype=jnp.int32).at[jnp.where(valid, rank, n)].set(
-        codes, mode="drop"
-    )
-    srcpos = jnp.zeros(n, dtype=jnp.int32).at[jnp.where(valid, rank, n)].set(
-        idx, mode="drop"
-    )
+    vals = scatter_writes(n, jnp.int32, [(valid, rank, codes)])
+    srcpos = scatter_writes(n, jnp.int32, [(valid, rank, idx)])
 
     q = vals.reshape(n // 4, 4)
     t = (q[:, 0] << 18) | (q[:, 1] << 12) | (q[:, 2] << 6) | q[:, 3]

@@ -40,3 +40,55 @@ def zero_tail(b: jnp.ndarray, length) -> jnp.ndarray:
     idx = positions(b.shape[0])
     return jnp.where(idx < length, b, 0)
 
+
+# --- transcode-engine variants (promotable via on-device probes, ----------
+# tools/probe_transcode.py; see also bench records in perf_records/).
+# SIMDUTF_TPU_TRANSCODE_ENGINE is a '+'-separated combination of:
+#   blkscan — blocked cumsum (row-wise scan + tiny row-offset scan)
+#   uniq    — scatters pass unique_indices=True (drop targets made distinct)
+#   nat     — scatter values in the OUTPUT dtype ("u16" accepted as alias),
+#             eliminating the post-scatter astype pass (a full read+write
+#             of the capacity buffer when the output is narrower than i32)
+# Read once at import: the choice is baked into jit caches like the
+# reference's one-time backend pick (src/implementation.cpp:1290).
+
+import os as _os
+
+ENGINE = frozenset(
+    filter(None, _os.environ.get("SIMDUTF_TPU_TRANSCODE_ENGINE", "").split("+"))
+)
+_NAT = "nat" in ENGINE or "u16" in ENGINE
+_BLK = 2048  # blkscan row width (divides every padded bucket size)
+
+
+def excl_scan(k32: jnp.ndarray, n: int):
+    """Exclusive prefix sum of int32[n] -> (off, inclusive)."""
+    if "blkscan" in ENGINE and n % _BLK == 0 and n > _BLK:
+        x2 = k32.reshape(-1, _BLK)
+        row_inc = jnp.cumsum(x2, axis=1)
+        row_tot = row_inc[:, -1]
+        row_off = jnp.cumsum(row_tot) - row_tot
+        inc = (row_inc + row_off[:, None]).reshape(-1)
+    else:
+        inc = jnp.cumsum(k32)
+    return inc - k32, inc
+
+
+def scatter_writes(cap: int, out_dtype, writes):
+    """Chained compaction scatters: out[off] = vals where mask, capacity
+    ``cap``, others dropped. ``writes`` is a list of (mask, off, vals).
+    Every transcode direction funnels through here so the engine variants
+    above apply uniformly."""
+    dt = out_dtype if _NAT else writes[0][2].dtype
+    out = jnp.zeros(cap, dtype=dt)
+    for mask, off, vals in writes:
+        if _NAT:
+            vals = vals.astype(dt)
+        if "uniq" in ENGINE:
+            idx = positions(mask.shape[0])
+            tgt = jnp.where(mask, off, cap + idx)  # distinct OOB per drop
+            out = out.at[tgt].set(vals, mode="drop", unique_indices=True)
+        else:
+            out = out.at[jnp.where(mask, off, cap)].set(vals, mode="drop")
+    return out.astype(out_dtype)
+

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .common import positions, zero_tail
+from .common import excl_scan, positions, scatter_writes, zero_tail
 
 
 def utf8_length(b: jnp.ndarray, length):
@@ -22,15 +22,15 @@ def to_utf8(b: jnp.ndarray, length):
     in_r = idx < length
     hi = (w >= 0x80) & in_r
     width = jnp.where(in_r, 1, 0) + hi.astype(jnp.int32)
-    off_inc = jnp.cumsum(width)
-    off = off_inc - width
+    off, off_inc = excl_scan(width, n)
     total = off_inc[n - 1]
     cap = 2 * n
     b0 = jnp.where(hi, (w >> 6) | 0xC0, w)
-    out = jnp.zeros(cap, dtype=jnp.int32)
-    out = out.at[jnp.where(in_r, off, cap)].set(b0, mode="drop")
-    out = out.at[jnp.where(hi, off + 1, cap)].set((w & 0x3F) | 0x80, mode="drop")
-    return out.astype(jnp.uint8), total
+    out = scatter_writes(cap, jnp.uint8, [
+        (in_r, off, b0),
+        (hi, off + 1, (w & 0x3F) | 0x80),
+    ])
+    return out, total
 
 
 def to_utf16(b: jnp.ndarray, length, big_endian: bool):

@@ -10,7 +10,14 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..errors import error_code as ec
-from .common import BIG, positions, shift_left, zero_tail
+from .common import (
+    BIG,
+    excl_scan,
+    positions,
+    scatter_writes,
+    shift_left,
+    zero_tail,
+)
 
 _SURROGATE = int(ec.SURROGATE)
 _TOO_LARGE = int(ec.TOO_LARGE)
@@ -103,8 +110,7 @@ def _codepoints(w: jnp.ndarray, length):
 def _emit_utf8(cp, start, width, n):
     """Scatter UTF-8 bytes for per-unit codepoints: shared by the
     validating and valid-only converters. Returns (out u8[3n], total)."""
-    off_inc = jnp.cumsum(width)
-    off = off_inc - width
+    off, off_inc = excl_scan(width, n)
     total = off_inc[n - 1]
     cap = 3 * n
     w1, w2, w3, w4 = width == 1, width == 2, width == 3, width == 4
@@ -118,12 +124,13 @@ def _emit_utf8(cp, start, width, n):
     b2 = jnp.where(w3, (cp & 0x3F) | 0x80, 0)
     b2 = jnp.where(w4, ((cp >> 6) & 0x3F) | 0x80, b2)
     b3 = (cp & 0x3F) | 0x80
-    out = jnp.zeros(cap, dtype=jnp.int32)
-    out = out.at[jnp.where(start, off, cap)].set(b0, mode="drop")
-    out = out.at[jnp.where(start & (width >= 2), off + 1, cap)].set(b1, mode="drop")
-    out = out.at[jnp.where(start & (width >= 3), off + 2, cap)].set(b2, mode="drop")
-    out = out.at[jnp.where(start & (width >= 4), off + 3, cap)].set(b3, mode="drop")
-    return out.astype(jnp.uint8), off, total
+    out = scatter_writes(cap, jnp.uint8, [
+        (start, off, b0),
+        (start & (width >= 2), off + 1, b1),
+        (start & (width >= 3), off + 2, b2),
+        (start & (width >= 4), off + 3, b3),
+    ])
+    return out, off, total
 
 
 def _utf8_widths(cp, start):
@@ -161,18 +168,15 @@ def to_utf32(words: jnp.ndarray, length, big_endian: bool):
     ok = err_pos == BIG
     cp, start = _codepoints(w, length)
     width = start.astype(jnp.int32)
-    off_inc = jnp.cumsum(width)
-    off = off_inc - width
+    off, off_inc = excl_scan(width, n)
     total = off_inc[n - 1]
-    out = jnp.zeros(n, dtype=jnp.int32).at[jnp.where(start, off, n)].set(
-        cp, mode="drop"
-    )
+    out = scatter_writes(n, jnp.uint32, [(start, off, cp)])
     clamped = jnp.minimum(err_pos, n - 1)
     out_len = jnp.where(ok, total, jnp.where(err_pos == 0, 0, off[clamped]))
     return (
         jnp.where(ok, 0, err_code),
         jnp.where(ok, length, err_pos),
-        out.astype(jnp.uint32),
+        out,
         out_len,
     )
 
@@ -219,10 +223,7 @@ def to_utf32_valid(words: jnp.ndarray, length, big_endian: bool):
     w = native(words, length, big_endian)
     cp, start = _codepoints(w, length)
     width = start.astype(jnp.int32)
-    off_inc = jnp.cumsum(width)
-    off = off_inc - width
+    off, off_inc = excl_scan(width, n)
     total = off_inc[n - 1]
-    out = jnp.zeros(n, dtype=jnp.int32).at[jnp.where(start, off, n)].set(
-        cp, mode="drop"
-    )
-    return out.astype(jnp.uint32), total
+    out = scatter_writes(n, jnp.uint32, [(start, off, cp)])
+    return out, total

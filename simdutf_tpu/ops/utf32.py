@@ -6,7 +6,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..errors import error_code as ec
-from .common import BIG, positions, zero_tail
+from .common import BIG, excl_scan, positions, scatter_writes, zero_tail
 
 _SURROGATE = int(ec.SURROGATE)
 _TOO_LARGE = int(ec.TOO_LARGE)
@@ -66,8 +66,7 @@ def _emit_utf8(w64, length, n):
     width += jnp.where(in_r & (cp > 0x7F), 1, 0)
     width += jnp.where(in_r & (cp > 0x7FF), 1, 0)
     width += jnp.where(in_r & (cp > 0xFFFF), 1, 0)
-    off_inc = jnp.cumsum(width)
-    off = off_inc - width
+    off, off_inc = excl_scan(width, n)
     total = off_inc[n - 1]
     cap = 4 * n
     w1, w2, w3, w4 = width == 1, width == 2, width == 3, width == 4
@@ -81,12 +80,13 @@ def _emit_utf8(w64, length, n):
     b2 = jnp.where(w3, (cp & 0x3F) | 0x80, 0)
     b2 = jnp.where(w4, ((cp >> 6) & 0x3F) | 0x80, b2)
     b3 = (cp & 0x3F) | 0x80
-    out = jnp.zeros(cap, dtype=jnp.int32)
-    out = out.at[jnp.where(in_r, off, cap)].set(b0, mode="drop")
-    out = out.at[jnp.where(in_r & (width >= 2), off + 1, cap)].set(b1, mode="drop")
-    out = out.at[jnp.where(in_r & (width >= 3), off + 2, cap)].set(b2, mode="drop")
-    out = out.at[jnp.where(in_r & (width >= 4), off + 3, cap)].set(b3, mode="drop")
-    return out.astype(jnp.uint8), off, total
+    out = scatter_writes(cap, jnp.uint8, [
+        (in_r, off, b0),
+        (in_r & (width >= 2), off + 1, b1),
+        (in_r & (width >= 3), off + 2, b2),
+        (in_r & (width >= 4), off + 3, b3),
+    ])
+    return out, off, total
 
 
 def _emit_utf16(w64, length, n, big_endian):
@@ -96,8 +96,7 @@ def _emit_utf16(w64, length, n, big_endian):
     cp = jnp.where(w64 > 0x10FFFF, 0, w64).astype(jnp.int32)
     is4 = (cp > 0xFFFF) & in_r
     width = jnp.where(in_r, 1, 0) + is4.astype(jnp.int32)
-    off_inc = jnp.cumsum(width)
-    off = off_inc - width
+    off, off_inc = excl_scan(width, n)
     total = off_inc[n - 1]
     cap = 2 * n
     cpx = cp - 0x10000
@@ -106,10 +105,11 @@ def _emit_utf16(w64, length, n, big_endian):
     if big_endian:
         unit0 = ((unit0 << 8) | (unit0 >> 8)) & 0xFFFF
         unit1 = ((unit1 << 8) | (unit1 >> 8)) & 0xFFFF
-    out = jnp.zeros(cap, dtype=jnp.int32)
-    out = out.at[jnp.where(in_r, off, cap)].set(unit0, mode="drop")
-    out = out.at[jnp.where(is4, off + 1, cap)].set(unit1, mode="drop")
-    return out.astype(jnp.uint16), off, total
+    out = scatter_writes(cap, jnp.uint16, [
+        (in_r, off, unit0),
+        (is4, off + 1, unit1),
+    ])
+    return out, off, total
 
 
 def to_utf8(words: jnp.ndarray, length):

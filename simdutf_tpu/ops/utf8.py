@@ -13,58 +13,18 @@ semantically safe: generic/utf8_validation/utf8_validator.h:18-22).
 
 from __future__ import annotations
 
-import os
-
 import jax.numpy as jnp
 
 from ..errors import error_code as ec
-from .common import BIG, positions, shift_left, shift_right, zero_tail
-
-# Transcode-engine variants (promotable via on-device probes,
-# tools/probe_transcode.py). '+'-separated combination of:
-#   blkscan — blocked cumsum (row-wise scan + tiny row-offset scan)
-#   uniq    — scatter with unique_indices=True (drop targets made distinct)
-#   u16     — scatter uint16 values instead of int32
-# Read once at import: the choice is baked into jit caches like the
-# reference's one-time backend pick (src/implementation.cpp:1290).
-_ENGINE = frozenset(
-    filter(None, os.environ.get("SIMDUTF_TPU_TRANSCODE_ENGINE", "").split("+"))
+from .common import (
+    BIG,
+    excl_scan,
+    positions,
+    scatter_writes,
+    shift_left,
+    shift_right,
+    zero_tail,
 )
-_BLK = 2048  # blkscan row width (divides every padded bucket size)
-
-
-def _excl_scan(k32, n):
-    """Exclusive prefix sum of k32 (int32[n]) -> (off, inclusive).
-    'blkscan' engine: cumsum within (R, 2048) rows + an R-length scan of
-    row totals — shrinks the sequential dependence XLA must lower."""
-    if "blkscan" in _ENGINE and n % _BLK == 0 and n > _BLK:
-        x2 = k32.reshape(-1, _BLK)
-        row_inc = jnp.cumsum(x2, axis=1)
-        row_tot = row_inc[:, -1]
-        row_off = jnp.cumsum(row_tot) - row_tot
-        inc = (row_inc + row_off[:, None]).reshape(-1)
-    else:
-        inc = jnp.cumsum(k32)
-    return inc - k32, inc
-
-
-def _scatter_units(val, keep, off, n, out_dtype):
-    """out[off[i]] = val[i] where keep[i]; one scatter, mode='drop'.
-    'uniq' gives every dropped element its own out-of-bounds target so
-    unique_indices=True is semantically safe; 'u16' scatters 16-bit values."""
-    if out_dtype == jnp.uint16 and "u16" in _ENGINE:
-        vals = val.astype(jnp.uint16)
-        zeros = jnp.zeros(n, dtype=jnp.uint16)
-    else:
-        vals = val
-        zeros = jnp.zeros(n, dtype=val.dtype)
-    if "uniq" in _ENGINE:
-        idx = positions(n)
-        tgt = jnp.where(keep, off, n + idx)  # distinct OOB per dropped elem
-        out = zeros.at[tgt].set(vals, mode="drop", unique_indices=True)
-    else:
-        out = zeros.at[jnp.where(keep, off, n)].set(vals, mode="drop")
-    return out.astype(out_dtype)
 
 # plain ints (not jnp scalars): device constants at import time would pin
 # the default backend and slow every lowering
@@ -237,9 +197,9 @@ def _emit_utf16_units(cp, lead, lead4, n, big_endian: bool):
     keep = lead | after_lead4
     val = jnp.where(after_lead4, shift_right(unit1, 1), unit0)
     k32 = keep.astype(jnp.int32)
-    off, off_inc = _excl_scan(k32, n)
+    off, off_inc = excl_scan(k32, n)
     total = off_inc[n - 1]
-    out = _scatter_units(val, keep, off, n, jnp.uint16)
+    out = scatter_writes(n, jnp.uint16, [(keep, off, val)])
     return out, off, total
 
 def to_utf16(b: jnp.ndarray, length, big_endian: bool):
@@ -275,17 +235,15 @@ def to_utf32(b: jnp.ndarray, length):
 
     lead = cls["lead"] & (idx < length)
     width = lead.astype(jnp.int32)
-    off_inc = jnp.cumsum(width)
-    off = off_inc - width
+    off, off_inc = excl_scan(width, n)
     total = off_inc[n - 1]
-    tgt = jnp.where(lead, off, n)
-    out = jnp.zeros(n, dtype=jnp.int32).at[tgt].set(cls["cp"], mode="drop")
+    out = scatter_writes(n, jnp.uint32, [(lead, off, cls["cp"])])
     clamped = jnp.minimum(err_pos, n - 1)
     out_len = jnp.where(ok, total, jnp.where(err_pos == 0, 0, off[clamped]))
     return (
         jnp.where(ok, 0, err_code),
         jnp.where(ok, length, err_pos),
-        out.astype(jnp.uint32),
+        out,
         out_len,
     )
 
@@ -328,18 +286,16 @@ def to_latin1(b: jnp.ndarray, length):
     ok = err_pos == BIG
 
     width = lead.astype(jnp.int32)
-    off_inc = jnp.cumsum(width)
-    off = off_inc - width
+    off, off_inc = excl_scan(width, n)
     total = off_inc[n - 1]
     vals = jnp.where(ascii_, bb, cp2)
-    tgt = jnp.where(lead, off, n)
-    out = jnp.zeros(n, dtype=jnp.int32).at[tgt].set(vals, mode="drop")
+    out = scatter_writes(n, jnp.uint8, [(lead, off, vals)])
     clamped = jnp.minimum(err_pos, n - 1)
     out_len = jnp.where(ok, total, jnp.where(err_pos == 0, 0, off[clamped]))
     return (
         jnp.where(ok, 0, err_code),
         jnp.where(ok, length, err_pos),
-        out.astype(jnp.uint8),
+        out,
         out_len,
     )
 
@@ -355,13 +311,10 @@ def to_latin1_valid(b: jnp.ndarray, length):
     lead = ((bb & 0xC0) != 0x80) & (idx < length)
     vals = jnp.where(bb < 0x80, bb, ((bb & 0x1F) << 6) | (b1 & 0x3F))
     k32 = lead.astype(jnp.int32)
-    off_inc = jnp.cumsum(k32)
-    off = off_inc - k32
+    off, off_inc = excl_scan(k32, n)
     total = off_inc[n - 1]
-    out = jnp.zeros(n, dtype=jnp.int32).at[jnp.where(lead, off, n)].set(
-        vals, mode="drop"
-    )
-    return out.astype(jnp.uint8), total
+    out = scatter_writes(n, jnp.uint8, [(lead, off, vals)])
+    return out, total
 
 
 def to_utf16_valid(b: jnp.ndarray, length, big_endian: bool):
@@ -384,10 +337,7 @@ def to_utf32_valid(b: jnp.ndarray, length):
     cls = classify(b, length)
     lead = cls["lead"] & (idx < length)
     width = lead.astype(jnp.int32)
-    off_inc = jnp.cumsum(width)
-    off = off_inc - width
+    off, off_inc = excl_scan(width, n)
     total = off_inc[n - 1]
-    out = jnp.zeros(n, dtype=jnp.int32).at[jnp.where(lead, off, n)].set(
-        cls["cp"], mode="drop"
-    )
-    return out.astype(jnp.uint32), total
+    out = scatter_writes(n, jnp.uint32, [(lead, off, cls["cp"])])
+    return out, total
