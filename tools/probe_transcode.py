@@ -118,10 +118,14 @@ def _emit_variant(b, length, *, blocked, unique, u16, gather_rev=False):
     else:
         out = jnp.zeros(n, dtype=jnp.int32)
         vv = val
-    tgt = jnp.where(keep, off, n)
     if unique:
+        # distinct OOB target per dropped element: duplicate drop indices
+        # under unique_indices=True are UB (same hazard class that crashed
+        # the worker on gather_rev); this also matches ops.common's engine
+        tgt = jnp.where(keep, off, n + idx)
         out = out.at[tgt].set(vv, mode="drop", unique_indices=True)
     else:
+        tgt = jnp.where(keep, off, n)
         out = out.at[tgt].set(vv, mode="drop")
     return out.astype(jnp.uint16), total
 
