@@ -179,6 +179,45 @@ def _utf32(data):
     )
 
 
+@op("batch_vs_single")
+def _batch(data):
+    """Batch API must agree item-for-item with the single-buffer API."""
+    import simdutf_tpu.batch as sb
+
+    items = [data[i::3] for i in range(3)] + [b"", data]
+    got = list(sb.validate_utf8_batch(items))
+    want = [su.validate_utf8_with_errors(it) for it in items]
+    assert got == want, f"batch validate diverges: {got} vs {want}"
+    cnt = [int(c) for c in sb.count_utf8_batch(items)]
+    wcnt = [su.count_utf8(it) for it in items]
+    assert cnt == wcnt, f"batch count diverges: {cnt} vs {wcnt}"
+    return (tuple(want), tuple(wcnt))
+
+
+@op("properties")
+def _props(data):
+    """Cross-function invariants (fuzz/roundtrip.cpp spirit); violations
+    raise (asserted per tier, not just compared across tiers)."""
+    w = data[: len(data) // 2 * 2]
+    wf = su.to_well_formed_utf16le(w)
+    assert su.validate_utf16le(wf), "to_well_formed output must validate"
+    assert _norm(su.to_well_formed_utf16le(wf)) == _norm(wf), \
+        "to_well_formed must be idempotent"
+    assert _norm(su.change_endianness_utf16(
+        su.change_endianness_utf16(w))) == w, \
+        "change_endianness must be an involution"
+    t = su.trim_partial_utf8(data)
+    assert len(data) - 3 <= t <= len(data), "trim backs off at most 3 bytes"
+    if su.validate_utf8(data):
+        assert t == len(data), "trim_partial must keep whole valid buffers"
+        assert su.trim_partial_utf8(data[:t]) == t, \
+            "trim must be idempotent on valid data"
+    # (on garbage, the reference itself re-trims: 0xFF then 0xFE both
+    # trigger scalar/utf8.h:279-288's >=0xC0 test — no idempotence there)
+    return (_norm(wf), t, su.detect_encodings(data),
+            su.autodetect_encoding(data))
+
+
 @op("base64_family")
 def _b64(data):
     out = []
@@ -278,7 +317,12 @@ def main():
                 per_tier[name] = f"EXCEPTION: {type(e).__name__}: {e}"
         su.set_active_implementation(impls[0])
         vals = set(map(repr, per_tier.values()))
-        if len(vals) != 1:
+        # identical exceptions across tiers are still findings (a masked
+        # invariant violation), not agreement
+        if len(vals) != 1 or any(
+            isinstance(v, str) and v.startswith("EXCEPTION")
+            for v in per_tier.values()
+        ):
             deviations += 1
             p = dump_repro(op_name, data, per_tier)
             print(f"DEVIATION #{deviations} at case {i}: {op_name} -> {p}",
