@@ -22,6 +22,7 @@ from . import utf16_kernels as k16
 from . import swar as ksw
 from . import transcode as ktr
 from . import base64_kernel as kb64
+from . import detect_kernel as kdet
 
 
 def _tile_layout(n: int, width: int, lead_tiles: int, trail_tiles: int,
@@ -280,6 +281,28 @@ class PallasImplementation(XLAImplementation):
         x2d, n = _pad2d16(w)
         out = np.asarray(k16.utf16_to_well_formed(x2d, True))
         return out.reshape(-1)[: int(n)]
+
+    # -- detection (fused one-pass kernel) ------------------------------------
+    def detect_encodings(self, b):
+        """One corpus read for all three validators — the reference's
+        one-pass detect (haswell/implementation.cpp:152-260) as a Pallas
+        kernel; BOM stays on the host like the XLA tier."""
+        from ..encodings import check_bom, encoding_type
+
+        bom = check_bom(b[:4].tobytes())
+        if bom != encoding_type.unspecified:
+            return int(bom)
+        n = int(b.shape[0])
+        x2d, nn = _pad2d(b)
+        ok8, ok16, ok32 = (int(x) for x in kdet.detect_fused(x2d, nn))
+        out = 0
+        if ok8:
+            out |= int(encoding_type.UTF8)
+        if n % 2 == 0 and ok16:
+            out |= int(encoding_type.UTF16_LE)
+        if n % 4 == 0 and ok32:
+            out |= int(encoding_type.UTF32_LE)
+        return out
 
     # -- transcode (ASCII fused fast path; general path inherits XLA) --------
     # The reference's per-block is_ascii short-circuit

@@ -74,10 +74,11 @@ def _shifts(b, halo):
     return outs
 
 
-def _utf8_events(b, nxt, base):
+def _utf8_events(b, nxt, base, shifts=None):
     """Min event (pos, code) for one int32 tile; ``base`` = global byte
-    index of the tile's first byte."""
-    b1, b2, b3, b4 = _shifts(b, nxt)
+    index of the tile's first byte. ``shifts`` lets fused callers (the
+    one-pass detect kernel) share the b1..b4 halo shifts."""
+    b1, b2, b3, b4 = _shifts(b, nxt) if shifts is None else shifts
 
     is_cont = (b & 0xC0) == 0x80
     c1 = (b1 & 0xC0) == 0x80

@@ -304,3 +304,45 @@ def test_uniform_utf8_utf32_roundtrip(script):
     su.set_active_implementation("xla")
     assert got_a == su.convert_utf8_to_utf32(d2)
     assert got_b == su.convert_utf32_to_utf8(u2)
+
+
+# --- fused one-pass detect kernel -------------------------------------------
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_detect_fused_differential(seed):
+    """The pallas one-pass detect must agree with the XLA fused pass on
+    every input class (valid text of each encoding, mutations, soup,
+    surrogate edges). Ref: haswell/implementation.cpp:152-260."""
+    import random
+    import sys
+
+    import helpers
+
+    rng = random.Random(seed)
+    cases = []
+    for i in range(40):
+        k = i % 5
+        if k == 0:
+            cases.append(helpers.random_utf8(seed * 99 + i, rng.randrange(0, 700), 2, 1, 1, 1))
+        elif k == 1:
+            cases.append(helpers.random_utf16(seed * 99 + i, rng.randrange(0, 350), 2, 1))
+        elif k == 2:
+            cps = [c for c in (rng.randrange(0, 0x110000) for _ in range(rng.randrange(0, 170)))
+                   if not (0xD800 <= c <= 0xDFFF)]
+            cases.append(np.array(cps, np.uint32).tobytes())
+        elif k == 3:
+            cases.append(helpers.random_bytes(seed * 99 + i, rng.randrange(0, 700)))
+        else:
+            cases.append(helpers.mutate(
+                helpers.random_utf8(seed * 99 + i, 150, 1, 1, 1, 1), i, 3))
+    cases += [b"\xff\xfeab", b"\xef\xbb\xbfxy", b"\x00\xd8\x00\xdc",
+              b"\x00\xdc\x00\xd8", b"\x00\xd8", b"\x00\xdc", b"",
+              b"\x00\xd8\x00\xd8\x00\xdc\x00\xdc", b"\x00\xdcrest"]
+    for data in cases:
+        su.set_active_implementation("xla")
+        want = su.detect_encodings(data)
+        want_auto = su.autodetect_encoding(data)
+        su.set_active_implementation("pallas")
+        assert su.detect_encodings(data) == want, data.hex()
+        assert su.autodetect_encoding(data) == want_auto, data.hex()

@@ -351,6 +351,14 @@ def build_procedures():
             for c in od.detect_encodings(x, n))),
         lambda nb: nb)
 
+    from simdutf_tpu.kernels import detect_kernel as kdet
+
+    add("detect_encodings_pallas", "mixed", lambda a: _pad2d(a),
+        _chain_scalarish(lambda x, n: sum(
+            jnp.asarray(c).astype(jnp.int32)
+            for c in kdet.detect_fused(x, n))),
+        lambda nb: nb)
+
     return P
 
 
