@@ -199,6 +199,22 @@ class PallasImplementation(XLAImplementation):
         x32, n = _pad_u32k(w)
         return int(kv.utf32_reduce(x32, n, "utf16len"))
 
+    def validate_utf32_with_errors(self, w):
+        """Pallas range scan; the error code (TOO_LARGE vs SURROGATE) is
+        read off the flagged word from the host copy."""
+        x32, n = _pad_u32k(w)
+        pos = int(kv.utf32_first_bad(x32, n))
+        n = int(n)
+        if pos >= n:
+            return Result(ec.SUCCESS, n)
+        word = int(w[pos])
+        code = ec.SURROGATE if 0xD800 <= word <= 0xDFFF else ec.TOO_LARGE
+        return Result(code, pos)
+
+    def validate_utf32(self, w):
+        x32, n = _pad_u32k(w)
+        return int(kv.utf32_first_bad(x32, n)) >= int(n)
+
     def utf32_length_from_utf16le(self, w):
         # == code-point count (golden/utf16.py utf32_length)
         x2d, n = _pad2d16(w)

@@ -295,6 +295,48 @@ def _utf32_len_kernel(len_ref, x_ref, out_ref, *, what: str):
     out_ref[0, 0] = out_ref[0, 0] + part
 
 
+def _utf32_validate_kernel(len_ref, x_ref, out_ref):
+    """Min bad-word position for UTF-32 range validation
+    (scalar/utf32.h: > 0x10FFFF or surrogate)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        out_ref[0, 0] = BIG
+        out_ref[0, 1] = 0
+
+    w = x_ref[...]  # int32 lanes, one code point per lane
+    row, lane = _iotas(w.shape)
+    gpos = i * (BR * W) + row * W + lane
+    in_r = gpos < len_ref[0]
+    neg = w < 0  # >= 2^31 unsigned
+    bad = (neg | (w > 0x10FFFF) | ((w >= 0xD800) & (w <= 0xDFFF))) & in_r
+    pos = jnp.min(jnp.where(bad, gpos, BIG))
+
+    @pl.when(pos < out_ref[0, 0])
+    def _update():
+        out_ref[0, 0] = pos
+
+
+@jax.jit
+def utf32_first_bad(x2d: jnp.ndarray, length):
+    """x2d: (rows, 512) int32, one UTF-32 word per lane (_pad_u32k layout).
+    Returns min invalid-word index (BIG when valid)."""
+    grid = x2d.shape[0] // BR
+    out = pl.pallas_call(
+        _utf32_validate_kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((BR, W), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 2), jnp.int32),
+        interpret=_interpret(),
+    )(jnp.reshape(length, (1,)).astype(jnp.int32), x2d)
+    return out[0, 0]
+
+
 @functools.partial(jax.jit, static_argnames=("what",))
 def utf32_reduce(x2d: jnp.ndarray, length, what: str):
     """x2d: (rows, 512) int32, one UTF-32 code point per lane (the
