@@ -357,6 +357,42 @@ static PyObject *py_validate_utf16(PyObject *self, PyObject *args) {
   return Py_BuildValue("(in)", code, i);
 }
 
+/* U+FFFD substitution of ill-formed surrogates (utf16fix; local rule:
+   bad = (high & !next_low) | (low & !prev_high), scalar/utf16.h:141-166) */
+static PyObject *py_to_well_formed_utf16(PyObject *self, PyObject *args) {
+  Py_buffer buf;
+  int be;
+  if (!PyArg_ParseTuple(args, "y*p", &buf, &be)) return NULL;
+  const uint8_t *d = (const uint8_t *)buf.buf;
+  Py_ssize_t n = buf.len / 2;
+  PyObject *out = PyBytes_FromStringAndSize(NULL, 2 * n);
+  if (!out) {
+    PyBuffer_Release(&buf);
+    return NULL;
+  }
+  uint8_t *o = (uint8_t *)PyBytes_AS_STRING(out);
+  int prev_high = 0;
+  for (Py_ssize_t i = 0; i < n; i++) {
+    uint16_t w = load16(d + 2 * i, be);
+    int is_high = (w & 0xFC00) == 0xD800;
+    int is_low = (w & 0xFC00) == 0xDC00;
+    int next_low =
+        (i + 1 < n) && ((load16(d + 2 * (i + 1), be) & 0xFC00) == 0xDC00);
+    uint16_t v = ((is_high && !next_low) || (is_low && !prev_high)) ? 0xFFFD
+                                                                    : w;
+    if (be) {
+      o[2 * i] = (uint8_t)(v >> 8);
+      o[2 * i + 1] = (uint8_t)v;
+    } else {
+      o[2 * i] = (uint8_t)v;
+      o[2 * i + 1] = (uint8_t)(v >> 8);
+    }
+    prev_high = is_high;
+  }
+  PyBuffer_Release(&buf);
+  return out;
+}
+
 static PyObject *py_count_utf16(PyObject *self, PyObject *args) {
   Py_buffer buf;
   int be;
@@ -895,6 +931,7 @@ static PyMethodDef Methods[] = {
     {"latin1_to_utf8", py_latin1_to_utf8, METH_VARARGS, NULL},
     {"latin1_to_utf16", py_latin1_to_utf16, METH_VARARGS, NULL},
     {"latin1_to_utf32", py_latin1_to_utf32, METH_VARARGS, NULL},
+    {"to_well_formed_utf16", py_to_well_formed_utf16, METH_VARARGS, NULL},
     {"b64_encode", py_b64_encode, METH_VARARGS, NULL},
     {"b64_decode", py_b64_decode, METH_VARARGS, NULL},
     {NULL, NULL, 0, NULL}};
