@@ -27,6 +27,13 @@ from .api import (  # explicit re-exports for the registry / enums
     set_active_implementation,
 )
 from .errors import Result, FullResult, error_code
+from .stream import (
+    StreamingError,
+    StreamTranscoder,
+    StreamValidator,
+    Base64StreamDecoder,
+    Base64StreamEncoder,
+)
 from .features import features, FEATURES
 from .encodings import (
     encoding_type,

@@ -20,28 +20,7 @@ from . import api
 from .errors import error_code
 
 
-_CANON = {
-    "utf8": "utf8",
-    "utf-8": "utf8",
-    "utf16": "utf16le",
-    "utf-16": "utf16le",
-    "utf16le": "utf16le",
-    "utf-16le": "utf16le",
-    "utf16be": "utf16be",
-    "utf-16be": "utf16be",
-    "utf32": "utf32",
-    "utf-32": "utf32",
-    "utf32le": "utf32",
-    "utf-32le": "utf32",
-    "latin1": "latin1",
-    "iso-8859-1": "latin1",
-    "iso8859-1": "latin1",
-    "ascii": "ascii",
-    "us-ascii": "ascii",
-}
-
-def _canon(name: str) -> str | None:
-    return _CANON.get(name.lower().strip())
+from .stream import canonical_encoding as _canon  # iconv spellings
 
 
 def _convert(data: bytes, src: str, dst: str) -> bytes:
@@ -124,45 +103,43 @@ def _codec_fallback(data: bytes, src: str, dst: str) -> bytes:
     return data.decode(src).encode(dst)
 
 
-_TRIM = {
-    "utf8": api.trim_partial_utf8,
-    "utf16le": lambda d: 2 * api.trim_partial_utf16le(d),
-    "utf16be": lambda d: 2 * api.trim_partial_utf16be(d),
-    "utf32": lambda d: len(d) // 4 * 4,
-    "latin1": len,
-    "ascii": len,
-}
-
-
 def _stream_convert(path: str, src: str, dst: str, out_f, chunk_bytes: int):
-    """Transcode a file in bounded memory: mmap + trim_partial chunking so
-    no codepoint straddles a chunk joint (the reference's streaming pattern,
+    """Transcode a file in bounded memory via the streaming API (stream.py:
+    mmap chunks pushed through a StreamTranscoder, which owns the
+    trim_partial carry discipline — the reference's streaming pattern,
     benchmarks/stream.cpp + implementation.h:2690-2716). Error positions
-    are reported as global file offsets."""
+    are exact global input-unit offsets."""
     import mmap
+
+    from . import stream as st
+
+    check_ascii_out = dst == "ascii"
+    t = st.StreamTranscoder(src, "utf8" if check_ascii_out else dst)
+
+    def emit(out: bytes) -> None:
+        if check_ascii_out and out:
+            r = api.validate_ascii_with_errors(out)
+            if r.is_err:
+                raise ValueError("input not representable in ASCII")
+        out_f.write(out)
 
     with open(path, "rb") as f:
         size = f.seek(0, 2)
         if size == 0:
             return
         with mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ) as mm:
-            pos = 0
-            while pos < size:
-                end = min(pos + chunk_bytes, size)
-                chunk = bytes(mm[pos:end])
-                if end < size:
-                    k = _TRIM[src](chunk)
-                    if k == 0:
-                        raise ValueError(
-                            f"invalid {src} input: no codepoint boundary in "
-                            f"chunk at offset {pos}"
-                        )
-                    chunk = chunk[:k]
-                try:
-                    out_f.write(_convert(chunk, src, dst))
-                except ValueError as e:
-                    raise ValueError(f"{e} (chunk starting at byte {pos})")
-                pos += len(chunk)
+            try:
+                pos = 0
+                while pos < size:
+                    end = min(pos + chunk_bytes, size)
+                    emit(t.push(mm[pos:end]))
+                    pos = end
+                emit(t.finish())
+            except st.StreamingError as e:
+                raise ValueError(
+                    f"invalid {src} input: {e.error.name} at input unit "
+                    f"{e.count}"
+                )
 
 
 def main(argv=None) -> int:

@@ -102,4 +102,5 @@ def test_cli_stream_error_offset(tmp_path, capsys):
                "-o", str(src) + ".out", str(src)])
     assert rc == 1
     err = capsys.readouterr().err
-    assert "chunk starting at byte" in err
+    # exact global offset of the injected bad byte
+    assert "at input unit 2500000" in err

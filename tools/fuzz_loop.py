@@ -35,6 +35,14 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)) + "/../tests")
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)) + "/..")
 
+if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+    # The axon sitecustomize snapshots JAX_PLATFORMS at its own import, so
+    # the env var alone is not enough to force CPU (tests/conftest.py does
+    # the same dance).
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import helpers  # noqa: E402  (tests/helpers.py generators)
 import oracle  # noqa: E402
 import simdutf_tpu as su  # noqa: E402
@@ -216,6 +224,67 @@ def _props(data):
     # trigger scalar/utf8.h:279-288's >=0xC0 test — no idempotence there)
     return (_norm(wf), t, su.detect_encodings(data),
             su.autodetect_encoding(data))
+
+
+@op("stream_family")
+def _stream(data):
+    """Chunked streaming vs one-shot (stream.py): same output bytes, same
+    error code, same global first-error offset — for a pseudo-random but
+    input-determined chunking."""
+    from simdutf_tpu import stream as st
+
+    rng = random.Random(len(data) * 2654435761 % (1 << 31))
+    parts, pos = [], 0
+    while pos < len(data):
+        step = rng.randrange(1, max(2, len(data) // 3))
+        parts.append(data[pos:pos + step])
+        pos += step
+    def split(buf):
+        r, pos2, ps = random.Random(len(buf) ^ 0x5F3759DF), 0, []
+        while pos2 < len(buf):
+            step = r.randrange(1, max(2, len(buf) // 3))
+            ps.append(buf[pos2:pos2 + step])
+            pos2 += step
+        return ps
+
+    out = []
+    for src, dst in (("utf8", "utf16le"), ("utf8", "utf32"),
+                     ("utf16le", "utf8")):
+        feed = data if src == "utf8" else data[: len(data) // 2 * 2]
+        t = st.StreamTranscoder(src, dst)
+        try:
+            got = b"".join([t.push(p) for p in split(feed)]) + t.finish()
+            err = None
+        except st.StreamingError as e:
+            got, err = e.partial, (int(e.error), e.count)
+        if src == "utf8":
+            res, want = su.convert_utf8_to_utf16le_with_errors(data) \
+                if dst == "utf16le" else \
+                su.convert_utf8_to_utf32_with_errors(data)
+        else:
+            res, want = su.convert_utf16le_to_utf8_with_errors(feed)
+        if res.is_ok:
+            assert err is None and got == want, \
+                f"stream {src}->{dst} diverges on valid input"
+        else:
+            assert err == (int(res.error), res.count), \
+                f"stream {src}->{dst} error mismatch: {err} vs {res}"
+        out.append((err, got if err is None else got[:64]))
+    d = st.Base64StreamDecoder(0, 0)
+    try:
+        bout = b"".join([d.push(p) for p in parts]) + d.finish()
+        berr = None
+    except st.StreamingError as e:
+        bout, berr = e.partial, int(e.error)
+    full, bwant = su.base64_to_binary_details(data, 0, 0)
+    if full.is_ok:
+        assert berr is None and bout == bwant, "stream base64 diverges"
+    else:
+        assert berr == int(full.error) and \
+            d.result.input_count == full.input_count, \
+            f"stream base64 error mismatch {berr} vs {full}"
+    out.append((berr, bout[:64]))
+    return tuple(out)
 
 
 @op("base64_family")
