@@ -6,16 +6,19 @@
 # /root/repo/perf_records/<utc-stamp>/ so healthy-window numbers become
 # repo-committed records (bench.py surfaces the best one in its JSON line).
 #
-# Battery: tools/probe_transcode.py (XLA scatter variants),
-# tools/probe_vpu.py (VPU op-cost anchors incl. the full compaction path),
-# bench.py (the official headline harness).
+# Battery (ordered most->least important so a short window still captures
+# the headline): bench.py (official JSON), tools/probe_transcode.py (XLA
+# scatter-engine variants -> promotion evidence), tools/bench_all.py (the
+# full procedure table incl. SWAR-vs-event and pallas-vs-xla rows),
+# tools/probe_vpu.py (VPU op-cost anchors). Each step is preceded by a
+# fresh probe reading recorded next to its artifact so a mid-battery
+# degradation is visible in the record.
 export PYTHONPATH=/root/.axon_site:/root/repo
 cd /root/repo
 LOG=/tmp/watch_log.txt
 LASTRUN=0
-echo "=== watcher start $(date -u)" >> $LOG
-for i in $(seq 1 400); do
-  GBPS=$(timeout 120 python - <<'PY' 2>/dev/null
+probe_gbps() {
+  timeout 120 python - <<'PY' 2>/dev/null
 import time, jax, jax.numpy as jnp
 from jax import lax
 x = jnp.ones(4*1024*1024, jnp.float32)
@@ -29,7 +32,10 @@ t0 = time.perf_counter()
 jax.device_get(probe(x, jnp.float32(1.)))
 print(round(16/1024/((time.perf_counter()-t0)/10), 1))
 PY
-)
+}
+echo "=== watcher start $(date -u)" >> $LOG
+for i in $(seq 1 500); do
+  GBPS=$(probe_gbps)
   NOW=$(date +%s)
   echo "--- attempt $i probe=${GBPS:-fail} GB/s $(date -u)" >> $LOG
   if [ -n "$GBPS" ] && python -c "exit(0 if float('$GBPS') >= 50 else 1)" 2>/dev/null; then
@@ -40,12 +46,19 @@ PY
       mkdir -p "$REC"
       echo "$GBPS" > "$REC/probe_gbps.txt"
       echo "=== HEALTHY ($GBPS GB/s) at $(date -u); battery -> $REC" >> $LOG
-      timeout 1500 python tools/probe_transcode.py > "$REC/probe_transcode.log" 2>&1
-      echo "=== transcode probe rc=$? $(date -u)" >> $LOG
-      timeout 900 python tools/probe_vpu.py ew32 ew16 ew8 gather roll_st compact fullpath b64dec > "$REC/probe_vpu.log" 2>&1
-      echo "=== vpu probe rc=$? $(date -u)" >> $LOG
       timeout 1500 python bench.py > "$REC/bench.json" 2> "$REC/bench.stderr"
       echo "=== bench rc=$? $(date -u): $(cat "$REC/bench.json")" >> $LOG
+      probe_gbps > "$REC/probe_before_transcode.txt"
+      timeout 1500 python tools/probe_transcode.py > "$REC/probe_transcode.log" 2>&1
+      echo "=== transcode probe rc=$? $(date -u)" >> $LOG
+      probe_gbps > "$REC/probe_before_bench_all.txt"
+      timeout 2400 python tools/bench_all.py --size 32 > "$REC/bench_all.jsonl" 2> "$REC/bench_all.stderr"
+      echo "=== bench_all rc=$? $(date -u)" >> $LOG
+      probe_gbps > "$REC/probe_before_vpu.txt"
+      timeout 900 python tools/probe_vpu.py ew32 ew16 ew8 gather roll_st compact fullpath b64dec > "$REC/probe_vpu.log" 2>&1
+      echo "=== vpu probe rc=$? $(date -u)" >> $LOG
+      probe_gbps > "$REC/probe_after.txt"
+      echo "=== battery done $(date -u)" >> $LOG
     fi
   fi
   sleep 90
