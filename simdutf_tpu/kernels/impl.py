@@ -357,6 +357,7 @@ class PallasImplementation(XLAImplementation):
         conts = (sample & 0xC0) == 0x80
         lead2 = (hi == 0xC0) | (hi == 0xD0)
         lead3 = hi == 0xE0
+        lead4 = hi == 0xF0
         if n % 2 == 0 and bool(np.all(conts | lead2)) and bool(np.any(lead2)):
             x32, nn = _pad_u2(b)
             out, flag = ktr.uniform2_utf8_to_utf16(x32, nn, big_endian=be)
@@ -369,6 +370,16 @@ class PallasImplementation(XLAImplementation):
             out, flag = ktr.uniform3_utf8_to_utf16(x32, nn, big_endian=be)
             if not int(flag):
                 return np.asarray(out).view(np.uint16).reshape(-1)[: n // 3]
+        elif (
+            n % 4 == 0 and bool(np.all(conts | lead4)) and bool(np.any(lead4))
+        ):
+            # astral-only class (emoji streams): 4 bytes -> 1 surrogate
+            # pair, an elementwise word map
+            x32, nn = _pad_u2(b)
+            out, flag = ktr.astral_wordmap(x32, nn, "u8_to_u16",
+                                           big_endian=be)
+            if not int(flag):
+                return np.asarray(out).view(np.uint16).reshape(-1)[: n // 2]
         return None
 
     def _u8_to_u16_fast(self, b, be):
@@ -512,6 +523,15 @@ class PallasImplementation(XLAImplementation):
             out, flag = ktr.uniform3_utf8_to_utf32(x32, nn)
             if not int(flag):
                 return np.asarray(out).view(np.uint32).reshape(-1)[: n // 3]
+        elif (
+            n % 4 == 0
+            and bool(np.all(conts | (hi == 0xF0)))
+            and bool(np.any(hi == 0xF0))
+        ):
+            x32, nn = _pad_u2(b)
+            out, flag = ktr.astral_wordmap(x32, nn, "u8_to_u32")
+            if not int(flag):
+                return np.asarray(out).view(np.uint32).reshape(-1)[: n // 4]
         return None
 
     def convert_valid_utf8_to_utf32(self, b):
@@ -540,6 +560,12 @@ class PallasImplementation(XLAImplementation):
             out, flag = ktr.uniform3_utf32_to_utf8(x32, nn)
             if not int(flag):
                 return np.asarray(out).view(np.uint8).reshape(-1)[: 3 * n]
+        elif 0x10000 <= lo and hi <= 0x10FFFF:
+            # astral-only: 1 codepoint -> 4 UTF-8 bytes, elementwise
+            x32, nn = _pad_word32(w)
+            out, flag = ktr.astral_wordmap(x32, nn, "u32_to_u8")
+            if not int(flag):
+                return np.asarray(out).view(np.uint8).reshape(-1)[: 4 * n]
         return None
 
     def convert_valid_utf32_to_utf8(self, w):
@@ -572,6 +598,18 @@ class PallasImplementation(XLAImplementation):
         n = int(w.shape[0])
         if n == 0:
             return None
+        sample = np.asarray(w[:: max(1, n // 2048)])
+        if be:
+            sample = ((sample >> 8) | (sample << 8)).astype(np.uint16)
+        if n % 2 == 0 and bool(np.all((sample & 0xF800) == 0xD800)):
+            # astral-only: every word is one surrogate pair -> one
+            # codepoint, elementwise (kernel validates hi/lo order)
+            x32, nn = _pad_narrow(w)
+            out, flag = ktr.astral_wordmap(x32, nn, "u16pair_to_u32",
+                                           big_endian=be)
+            if not int(flag):
+                return np.asarray(out).view(np.uint32).reshape(-1)[: n // 2]
+            return None
         x32, _ = _pad_narrow(w)
         out, flag = ktr.bmp_widen_utf32(x32, big_endian=be)
         if int(flag):
@@ -601,6 +639,16 @@ class PallasImplementation(XLAImplementation):
     def _bmp_narrow(self, w, be):
         n = int(w.shape[0])
         if n == 0:
+            return None
+        sample = np.asarray(w[:: max(1, n // 2048)])
+        lo, hi = int(sample.min()), int(sample.max())
+        if 0x10000 <= lo and hi <= 0x10FFFF:
+            # astral-only: one codepoint -> one surrogate pair, elementwise
+            x32, nn = _pad_word32(w)
+            out, flag = ktr.astral_wordmap(x32, nn, "u32_to_u16pair",
+                                           big_endian=be)
+            if not int(flag):
+                return np.asarray(out).view(np.uint16).reshape(-1)[: 2 * n]
             return None
         x32, _ = _pad_u32k(w)
         out, flag = ktr.bmp_narrow_utf16(x32, big_endian=be)
@@ -746,6 +794,15 @@ def _pad_u32k(arr: np.ndarray):
     buf, _ = _tile_layout(n, 512, 0, 0, np.uint32, "u32k")
     buf.reshape(-1)[:n] = arr
     return buf.view(np.int32).reshape(buf.shape[0], 512), np.int32(n)
+
+
+def _pad_word32(arr: np.ndarray):
+    """uint32 -> ((rows, 256) int32 view, unit length) for the astral
+    wordmap kernels (one codepoint per lane, 1 KiB rows)."""
+    n = int(arr.shape[0])
+    buf, _ = _tile_layout(n, 256, 0, 0, np.uint32, "w32map")
+    buf.reshape(-1)[:n] = arr
+    return buf.view(np.int32).reshape(buf.shape[0], 256), np.int32(n)
 
 
 def _pad_b64c(arr: np.ndarray):

@@ -810,3 +810,127 @@ def uniform3_utf32_to_utf8(x32: jnp.ndarray, n):
         interpret=_interpret(),
     )(jnp.reshape(jnp.asarray(n, jnp.int32), (1,)), x32)
     return out, flag[0, 0]
+
+
+# --- uniform 4-byte / astral classes (elementwise 1:1 word maps) --------------
+#
+# The remaining single-width corpus class: astral-only text (emoji streams,
+# musical/math symbols, CJK extension blocks). Every representation of one
+# supplementary codepoint is exactly 4 bytes — a 4-byte UTF-8 sequence, a
+# UTF-16 surrogate pair, or one UTF-32 word — so every direction between
+# them is a pure per-int32-word map: no repack, no carry, no compaction.
+# (Reference counterpart: the 4-byte arm of the per-arch masked converters,
+# e.g. haswell/avx2_convert_utf8_to_utf16.cpp's 2x2-word path; here the
+# whole corpus is that arm.) Validity is checked exactly for the class;
+# anything else raises the fallback flag.
+
+
+def _astral_pair(cp, big_endian):
+    """Surrogate pair of a supplementary codepoint, packed LE-unit-order."""
+    cpp = cp - 0x10000
+    hi = _u16unit(0xD800 | (cpp >> 10), big_endian)
+    lo = _u16unit(0xDC00 | (cpp & 0x3FF), big_endian)
+    return hi | (lo << 16)
+
+
+def _u8_4byte_cp(w):
+    """Decode one 4-byte UTF-8 char from an int32 word (stream order);
+    returns (cp, structurally_ok)."""
+    lu = jnp.uint32
+    b0 = w & 0xFF
+    b1 = (w >> 8) & 0xFF
+    b2 = (w >> 16) & 0xFF
+    b3 = (w.astype(lu) >> 24).astype(jnp.int32) & 0xFF
+    cp = ((b0 & 0x07) << 18) | ((b1 & 0x3F) << 12) | \
+        ((b2 & 0x3F) << 6) | (b3 & 0x3F)
+    ok = (
+        ((b0 & 0xF8) == 0xF0)
+        & ((b1 & 0xC0) == 0x80)
+        & ((b2 & 0xC0) == 0x80)
+        & ((b3 & 0xC0) == 0x80)
+        & (cp >= 0x10000)
+        & (cp <= 0x10FFFF)
+    )
+    return cp, ok
+
+
+def _wordmap_kernel(n_ref, x_ref, o_ref, f_ref, *, variant: str,
+                    units_per_word: int, big_endian: bool):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        f_ref[0, 0] = 0
+
+    w = x_ref[...]  # (RU, 256) int32: one codepoint per word
+    lu = jnp.uint32
+    row = jax.lax.broadcasted_iota(jnp.int32, w.shape, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, w.shape, 1)
+    widx = ((i * w.shape[0] + row) * 256 + lane) * units_per_word
+
+    if variant in ("u8_to_u16", "u8_to_u32"):
+        cp, ok = _u8_4byte_cp(w)
+        out = _astral_pair(cp, big_endian) if variant == "u8_to_u16" else cp
+    elif variant == "u16pair_to_u32":
+        u0, u1 = _units(w, big_endian)
+        ok = ((u0 & 0xFC00) == 0xD800) & ((u1 & 0xFC00) == 0xDC00)
+        out = 0x10000 + ((u0 & 0x3FF) << 10) + (u1 & 0x3FF)
+    else:  # u32 source
+        cu = w.astype(lu)
+        ok = (cu >= 0x10000) & (cu <= 0x10FFFF)
+        if variant == "u32_to_u16pair":
+            out = _astral_pair(w, big_endian)
+        else:  # u32_to_u8: the 4-byte UTF-8 sequence, stream order
+            out = (
+                (0xF0 | (w >> 18))
+                | ((0x80 | ((w >> 12) & 0x3F)) << 8)
+                | ((0x80 | ((w >> 6) & 0x3F)) << 16)
+                | ((0x80 | (w & 0x3F)) << 24)
+            )
+
+    bad = jnp.any(~(ok | (widx >= n_ref[0])))
+
+    @pl.when(bad)
+    def _flag():
+        f_ref[0, 0] = 1
+
+    o_ref[...] = out
+
+
+_WORDMAP_UNITS = {
+    "u8_to_u16": 4,  # n in bytes; 4 bytes per word
+    "u8_to_u32": 4,
+    "u16pair_to_u32": 2,  # n in u16 units; 2 per word
+    "u32_to_u16pair": 1,  # n in codepoints
+    "u32_to_u8": 1,
+}
+
+
+@functools.partial(jax.jit, static_argnames=("variant", "big_endian"))
+def astral_wordmap(x32: jnp.ndarray, n, variant: str,
+                   big_endian: bool = False):
+    """One codepoint per int32 word in, one int32 word out (see module
+    comment). x32: (R, 256), R % RU == 0; ``n`` = logical input length in
+    the variant's input units (zero padding never flags). Returns
+    ((R, 256) int32 output stream, flag)."""
+    grid = x32.shape[0] // RU
+    out, flag = pl.pallas_call(
+        functools.partial(
+            _wordmap_kernel, variant=variant,
+            units_per_word=_WORDMAP_UNITS[variant], big_endian=big_endian),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((RU, 256), lambda i: (i, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((RU, 256), lambda i: (i, 0)),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((x32.shape[0], 256), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        interpret=_interpret(),
+    )(jnp.reshape(jnp.asarray(n, jnp.int32), (1,)), x32)
+    return out, flag[0, 0]

@@ -346,3 +346,108 @@ def test_detect_fused_differential(seed):
         su.set_active_implementation("pallas")
         assert su.detect_encodings(data) == want, data.hex()
         assert su.autodetect_encoding(data) == want_auto, data.hex()
+
+
+# --- astral (uniform 4-byte / surrogate-pair) wordmap kernels ------------------
+
+
+def _astral_string(n, seed=13):
+    import random
+
+    rng = random.Random(seed)
+    return "".join(chr(rng.randrange(0x10000, 0x110000)) for _ in range(n))
+
+
+@pytest.mark.parametrize("be", [False, True])
+def test_astral_utf8_to_utf16_and_utf32(be):
+    s = _astral_string(3001)
+    data = s.encode()
+    su.set_active_implementation("pallas")
+    conv = su.convert_utf8_to_utf16be if be else su.convert_utf8_to_utf16le
+    assert conv(data) == s.encode("utf-16-be" if be else "utf-16-le")
+    if not be:
+        assert su.convert_utf8_to_utf32(data) == s.encode("utf-32-le")
+        r, out = su.convert_utf8_to_utf16le_with_errors(data)
+        assert r.is_ok and r.count == 2 * len(s)
+
+
+@pytest.mark.parametrize("be", [False, True])
+def test_astral_utf16_utf32_pair_maps(be):
+    s = _astral_string(2501, seed=17)
+    u16 = s.encode("utf-16-be" if be else "utf-16-le")
+    u32 = s.encode("utf-32-le")
+    su.set_active_implementation("pallas")
+    conv32 = su.convert_utf16be_to_utf32 if be else su.convert_utf16le_to_utf32
+    conv16 = su.convert_utf32_to_utf16be if be else su.convert_utf32_to_utf16le
+    assert conv32(u16) == u32
+    assert conv16(u32) == u16
+    if not be:
+        assert su.convert_utf32_to_utf8(u32) == s.encode()
+
+
+def test_astral_divergence_falls_back_exactly():
+    s = _astral_string(2001, seed=23)
+    # one BMP char / one lone surrogate / one bad byte, mid-stream
+    variants = []
+    s_mixed = s[:700] + "x" + s[700:]
+    variants.append(("u8", s_mixed.encode()))
+    bad8 = bytearray(s.encode())
+    bad8[1001] = 0x2A  # breaks a 4-byte sequence
+    variants.append(("u8", bytes(bad8)))
+    lone = np.frombuffer(s.encode("utf-16-le"), np.uint16).copy()
+    lone[501] = 0xD800  # low half replaced by a high surrogate
+    variants.append(("u16", lone.tobytes()))
+    bad32 = np.frombuffer(s.encode("utf-32-le"), np.uint32).copy()
+    bad32[301] = 0x110000
+    variants.append(("u32", bad32.tobytes()))
+    for kind, data in variants:
+        su.set_active_implementation("pallas")
+        if kind == "u8":
+            got = (su.convert_utf8_to_utf16le_with_errors(data),
+                   su.convert_utf8_to_utf32_with_errors(data))
+        elif kind == "u16":
+            got = (su.convert_utf16le_to_utf32_with_errors(data),)
+        else:
+            got = (su.convert_utf32_to_utf16le_with_errors(data),
+                   su.convert_utf32_to_utf8_with_errors(data))
+        su.set_active_implementation("xla")
+        if kind == "u8":
+            want = (su.convert_utf8_to_utf16le_with_errors(data),
+                    su.convert_utf8_to_utf32_with_errors(data))
+        elif kind == "u16":
+            want = (su.convert_utf16le_to_utf32_with_errors(data),)
+        else:
+            want = (su.convert_utf32_to_utf16le_with_errors(data),
+                    su.convert_utf32_to_utf8_with_errors(data))
+        assert got == want, (kind, data[:20])
+
+
+def test_astral_wordmap_direct():
+    from simdutf_tpu.kernels.impl import _pad_u2, _pad_narrow, _pad_word32
+
+    s = "🙂🚀🌍" * 1000
+    data = np.frombuffer(s.encode(), np.uint8)
+    x32, n = _pad_u2(data)
+    out, flag = ktr.astral_wordmap(x32, n, "u8_to_u16")
+    assert int(flag) == 0
+    got = np.asarray(out).view(np.uint16).reshape(-1)[: len(data) // 2]
+    assert got.tobytes() == s.encode("utf-16-le")
+
+    u16 = np.frombuffer(s.encode("utf-16-le"), np.uint16)
+    p32, np16 = _pad_narrow(u16)
+    out2, flag2 = ktr.astral_wordmap(p32, np16, "u16pair_to_u32")
+    assert int(flag2) == 0
+    got2 = np.asarray(out2).view(np.uint32).reshape(-1)[: len(u16) // 2]
+    assert got2.tobytes() == s.encode("utf-32-le")
+
+    u32 = np.frombuffer(s.encode("utf-32-le"), np.uint32)
+    w32, n32 = _pad_word32(u32)
+    out3, flag3 = ktr.astral_wordmap(w32, n32, "u32_to_u8")
+    assert int(flag3) == 0
+    got3 = np.asarray(out3).view(np.uint8).reshape(-1)[: 4 * len(u32)]
+    assert got3.tobytes() == s.encode()
+
+    out4, flag4 = ktr.astral_wordmap(w32, n32, "u32_to_u16pair")
+    assert int(flag4) == 0
+    got4 = np.asarray(out4).view(np.uint16).reshape(-1)[: 2 * len(u32)]
+    assert got4.tobytes() == s.encode("utf-16-le")

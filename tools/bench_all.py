@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import statistics
+import os
 import sys
 import time
 
@@ -90,11 +91,13 @@ def _corpora(nbytes: int):
                 "plain ASCII interleaved for a realistic byte mix. ")
     latin1 = (lat_text.encode("latin-1") * (
         nbytes // len(lat_text.encode("latin-1")) + 1))[:nbytes]
+    emoji = ("🙂🚀🌍💡🎉😀🥳🤖".encode() * (nbytes // 32 + 1))[:nbytes]
     return {
         "mixed": mixed,
         "ascii": ascii_c,
         "zh_pure": zh[: len(zh) // 3 * 3],
         "cyr_pure": cyr[: len(cyr) // 2 * 2],
+        "emoji_pure": emoji[: len(emoji) // 4 * 4],
         "ascii16": ascii_c.decode().encode("utf-16-le")[:nbytes],
         "utf16": u16,
         "utf32": u32,
@@ -302,6 +305,16 @@ def build_procedures():
     add("utf8_to_utf16le_cjk_xla", "zh_pure", pad8,
         _chain_out(lambda x, n: o8.to_utf16(x, n, False)[2:]),
         lambda nb: nb + nb * 2 // 3)
+    add("utf8_to_utf16_emoji_pallas", "emoji_pure",
+        lambda a: _pad_u2(a[: a.shape[0] // 4 * 4]),
+        _chain_out(lambda x, n: (
+            ktr.astral_wordmap(x, n, "u8_to_u16")[0].reshape(-1), n // 2)),
+        lambda nb: 2 * nb)
+    add("utf8_to_utf32_emoji_pallas", "emoji_pure",
+        lambda a: _pad_u2(a[: a.shape[0] // 4 * 4]),
+        _chain_out(lambda x, n: (
+            ktr.astral_wordmap(x, n, "u8_to_u32")[0].reshape(-1), n // 4)),
+        lambda nb: 2 * nb)
 
     # pallas clean-base64 block kernels
     from simdutf_tpu.kernels import base64_kernel as kb64
@@ -418,12 +431,21 @@ def host_competitors(corp):
 def main():
     size = 64
     filt = ""
-    for i, a in enumerate(sys.argv[1:]):
+    argv = sys.argv[1:]
+    for i, a in enumerate(argv):
+        # accept both --opt=value and --opt value
+        def val():
+            return a.split("=", 1)[1] if "=" in a else argv[i + 1]
+
         if a.startswith("--size"):
-            size = int(a.split("=")[1])
+            size = int(val())
         if a.startswith("--filter"):
-            filt = a.split("=")[1]
+            filt = val()
     import jax
+
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        # the axon sitecustomize snapshots JAX_PLATFORMS at its own import
+        jax.config.update("jax_platforms", "cpu")
 
     try:
         jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
