@@ -164,3 +164,103 @@ def convert_utf16le_to_utf8_batch(
         else:
             results.append((Result(ec(code), int(poss[i])), payload))
     return results
+
+
+# --- base64 batch --------------------------------------------------------------
+
+import functools  # noqa: E402
+
+from .errors import FullResult  # noqa: E402
+from .golden import base64_impl as gb  # noqa: E402
+from .ops import base64_ops  # noqa: E402
+from .ops.impl import b64_finish, b64_strip  # noqa: E402
+
+
+@functools.partial(jax.jit, static_argnames=("url", "both"))
+def _j_b64dec_batch(chars, lens, url, both):
+    return jax.vmap(
+        lambda c, n: base64_ops.decode_bulk(c, n, url, both)
+    )(chars, lens)
+
+
+@jax.jit
+def _j_b64enc_batch(data, alpha):
+    return jax.vmap(lambda d: base64_ops.encode_bulk(d, 0, alpha))(data)
+
+
+def base64_to_binary_batch(
+    items: Sequence[bytes], options: int = 0, last_chunk: int = gb.LOOSE
+) -> list[tuple[FullResult, bytes]]:
+    """Per-item forgiving-base64 decode, one device launch for the bulk
+    classify/compact/repack of the whole batch; the per-item prologue
+    (trailing strip) and tail epilogue stay on host exactly like the
+    one-shot path, so results match base64_to_binary_details item by item.
+    """
+    if not items:
+        return []
+    garbage = gb.ignore_garbage(options)
+    tab = gb.value_table(options)
+    arrs = [
+        a if isinstance(a, np.ndarray) and a.dtype == np.uint8
+        else np.frombuffer(memoryview(a), np.uint8)
+        for a in items
+    ]
+    strips = [b64_strip(a, tab, garbage) for a in arrs]
+    maxlen = max((s[0] for s in strips), default=1)
+    L = 1 << (max(maxlen + 8, _MIN_L) - 1).bit_length()  # L % 4 == 0
+    B = len(arrs)
+    lens = np.array([s[0] for s in strips], dtype=np.int32)
+    buf = staging_buffer((B, L), np.uint8, fill_len=B * L, tag="batch64")
+    for i, a in enumerate(arrs):
+        k = int(lens[i])
+        buf[i, :k] = a[:k]
+        buf[i, k:] = 0
+    first_bad, nvalid, nvalid_at_bad, packed, tail_vals, tail_start = (
+        np.asarray(x) for x in _j_b64dec_batch(
+            buf, lens,
+            bool(options & gb.BASE64_URL),
+            bool(options & gb.BASE64_DEFAULT_OR_URL),
+        )
+    )
+    out = []
+    for i, (srclen, equalsigns, equallocation) in enumerate(strips):
+        full, payload = b64_finish(
+            srclen, equalsigns, equallocation, garbage, last_chunk,
+            int(first_bad[i]), int(nvalid[i]), int(nvalid_at_bad[i]),
+            packed[i], tail_vals[i], int(tail_start[i]),
+        )
+        out.append((full, payload.tobytes() if srclen else b""))
+    return out
+
+
+def binary_to_base64_batch(
+    items: Sequence[bytes], options: int = 0
+) -> list[bytes]:
+    """Per-item base64 encode, one device launch for all whole 3-byte
+    groups; <=2-byte tails + padding are appended on host per item."""
+    if not items:
+        return []
+    arrs = [
+        a if isinstance(a, np.ndarray) and a.dtype == np.uint8
+        else np.frombuffer(memoryview(a), np.uint8)
+        for a in items
+    ]
+    maxlen = max((int(a.shape[0]) for a in arrs), default=1)
+    L = 1 << (max(maxlen + 8, _MIN_L) - 1).bit_length()
+    L += (3 - L % 3) % 3  # encode_bulk reshapes rows into 3-byte groups
+    B = len(arrs)
+    lens = np.array([a.shape[0] for a in arrs], dtype=np.int32)
+    buf = staging_buffer((B, L), np.uint8, fill_len=B * L, tag="batch64e")
+    for i, a in enumerate(arrs):
+        k = a.shape[0]
+        buf[i, :k] = a
+        buf[i, k:] = 0
+    alpha = base64_ops.alphabet_for(options)
+    quads = np.asarray(_j_b64enc_batch(buf, alpha))
+    out = []
+    for i, a in enumerate(arrs):
+        nfull = int(lens[i]) // 3 * 3
+        body = quads[i, : nfull // 3 * 4]
+        tail = gb.encode(a[nfull:], options)
+        out.append(body.tobytes() + tail.tobytes())
+    return out

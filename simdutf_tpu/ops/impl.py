@@ -203,6 +203,55 @@ def b64_tail_epilogue(
     return FullResult(ec.SUCCESS, srclen, w), extra
 
 
+def b64_finish(
+    srclen: int,
+    equalsigns: int,
+    equallocation: int,
+    garbage: bool,
+    last_chunk: int,
+    first_bad: int,
+    nvalid: int,
+    nvalid_at_bad: int,
+    packed: np.ndarray,
+    tail_vals: np.ndarray,
+    tail_start: int,
+):
+    """Host epilogue shared by the one-shot and batch decoders: turns one
+    device decode's raw outputs into the (FullResult, bytes) contract."""
+    empty = np.zeros(0, dtype=np.uint8)
+    if srclen == 0:
+        if not garbage and equalsigns > 0:
+            if last_chunk == gb.STRICT:
+                return FullResult(ec.BASE64_INPUT_REMAINDER, 0, 0), empty
+            if last_chunk == gb.STOP_BEFORE_PARTIAL:
+                return FullResult(ec.SUCCESS, 0, 0), empty
+            return (
+                FullResult(ec.INVALID_BASE64_CHARACTER, equallocation, 0),
+                empty,
+            )
+        return FullResult(ec.SUCCESS, 0, 0), empty
+
+    if not garbage and first_bad < srclen:
+        nb = int(nvalid_at_bad)
+        outlen = nb // 4 * 3
+        return (
+            FullResult(ec.INVALID_BASE64_CHARACTER, first_bad, outlen),
+            np.asarray(packed)[:outlen],
+        )
+
+    nfull = nvalid // 4 * 4
+    out = np.asarray(packed)[: nfull // 4 * 3]
+    idx = nvalid - nfull
+    tail = [int(t) for t in np.asarray(tail_vals)[:idx]]
+    full, extra = b64_tail_epilogue(
+        len(out), idx, tail, int(tail_start), srclen,
+        equalsigns, equallocation, garbage, last_chunk,
+    )
+    if len(extra):
+        out = np.concatenate([out, extra])
+    return full, out
+
+
 class XLAImplementation(Implementation):
     name = "xla"
     description = "jax.numpy ops lowered by XLA (TPU/CPU/GPU)"
@@ -446,20 +495,11 @@ class XLAImplementation(Implementation):
     def base64_to_binary_details(self, src, options=0, last_chunk=gb.LOOSE):
         garbage = gb.ignore_garbage(options)
         tab_np = gb.value_table(options)
-        empty = np.zeros(0, dtype=np.uint8)
 
         srclen, equalsigns, equallocation = b64_strip(src, tab_np, garbage)
         if srclen == 0:
-            if not garbage and equalsigns > 0:
-                if last_chunk == gb.STRICT:
-                    return FullResult(ec.BASE64_INPUT_REMAINDER, 0, 0), empty
-                if last_chunk == gb.STOP_BEFORE_PARTIAL:
-                    return FullResult(ec.SUCCESS, 0, 0), empty
-                return (
-                    FullResult(ec.INVALID_BASE64_CHARACTER, equallocation, 0),
-                    empty,
-                )
-            return FullResult(ec.SUCCESS, 0, 0), empty
+            return b64_finish(0, equalsigns, equallocation, garbage,
+                              last_chunk, 0, 0, 0, None, None, 0)
 
         p, _ = _pad(src[:srclen])
         first_bad, nvalid, nvalid_at_bad, packed, tail_vals, tail_start = (
@@ -470,28 +510,11 @@ class XLAImplementation(Implementation):
                 both=bool(options & gb.BASE64_DEFAULT_OR_URL),
             )
         )
-        first_bad = int(first_bad)
-        nvalid = int(nvalid)
-
-        if not garbage and first_bad < srclen:
-            nb = int(nvalid_at_bad)
-            outlen = nb // 4 * 3
-            return (
-                FullResult(ec.INVALID_BASE64_CHARACTER, first_bad, outlen),
-                np.asarray(packed)[:outlen],
-            )
-
-        nfull = nvalid // 4 * 4
-        out = np.asarray(packed)[: nfull // 4 * 3]
-        idx = nvalid - nfull
-        tail = [int(t) for t in np.asarray(tail_vals)[:idx]]
-        full, extra = b64_tail_epilogue(
-            len(out), idx, tail, int(tail_start), srclen,
-            equalsigns, equallocation, garbage, last_chunk,
+        return b64_finish(
+            srclen, equalsigns, equallocation, garbage, last_chunk,
+            int(first_bad), int(nvalid), int(nvalid_at_bad),
+            packed, tail_vals, int(tail_start),
         )
-        if len(extra):
-            out = np.concatenate([out, extra])
-        return full, out
 
     def binary_to_base64(self, src, options=0):
         n = int(src.shape[0])

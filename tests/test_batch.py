@@ -82,3 +82,43 @@ def test_utf16_batch(seed):
     for item, (r, out) in zip(items, pairs):
         exp_r, exp_out = oracle.convert_utf16_to_utf8_with_errors(item, False)
         assert (r, out) == (exp_r, exp_out)
+
+
+@pytest.mark.parametrize("options", [0, 1, 4, 8])
+@pytest.mark.parametrize("last", [0, 1, 2])
+def test_base64_batch_matches_one_shot(options, last):
+    import base64 as pyb64
+    import random
+
+    import simdutf_tpu as su
+
+    rng = random.Random(options * 7 + last)
+    items = [b"", b"aGVsbG8=", b"====", b"aGVsbG8", b"a"]
+    for k in range(10):
+        payload = helpers.random_bytes(rng.randrange(1 << 30),
+                                       rng.randrange(0, 150))
+        enc = pyb64.b64encode(payload)
+        if k % 3 == 1:  # whitespace
+            enc = b" ".join(enc[i:i + 7] for i in range(0, len(enc), 7))
+        elif k % 3 == 2:  # mutate
+            enc = helpers.mutate(enc, rng.randrange(1 << 30), 2)
+        items.append(enc)
+    got = batch.base64_to_binary_batch(items, options, last)
+    for item, (full, out) in zip(items, got):
+        wf, wo = su.base64_to_binary_details(item, options, last)
+        assert (full, out) == (wf, wo), item
+
+
+def test_base64_encode_batch_matches_one_shot():
+    import random
+
+    import simdutf_tpu as su
+
+    rng = random.Random(3)
+    items = [b"", b"f", b"fo", b"foo", b"foob"]
+    items += [helpers.random_bytes(rng.randrange(1 << 30),
+                                   rng.randrange(0, 300)) for _ in range(8)]
+    for options in (0, 1, 2, 3):
+        got = batch.binary_to_base64_batch(items, options)
+        for item, enc in zip(items, got):
+            assert enc == su.binary_to_base64(item, options), (item, options)

@@ -196,6 +196,13 @@ def _batch(data):
     got = list(sb.validate_utf8_batch(items))
     want = [su.validate_utf8_with_errors(it) for it in items]
     assert got == want, f"batch validate diverges: {got} vs {want}"
+    gb64 = sb.base64_to_binary_batch(items)
+    wb64 = [su.base64_to_binary_details(it) for it in items]
+    assert [(f, o) for f, o in gb64] == [(f, _norm(o)) for f, o in wb64], \
+        "batch base64 decode diverges"
+    ge = sb.binary_to_base64_batch(items)
+    we = [_norm(su.binary_to_base64(it)) for it in items]
+    assert ge == we, "batch base64 encode diverges"
     cnt = [int(c) for c in sb.count_utf8_batch(items)]
     wcnt = [su.count_utf8(it) for it in items]
     assert cnt == wcnt, f"batch count diverges: {cnt} vs {wcnt}"
