@@ -142,6 +142,35 @@ def _stream_convert(path: str, src: str, dst: str, out_f, chunk_bytes: int):
                 )
 
 
+def _stream_base64(path: str, encode: bool, url: bool, out_f,
+                   chunk_bytes: int):
+    """Base64 encode/decode a file in bounded memory via the streaming API
+    (fastbase64 parity at any file size)."""
+    import mmap
+
+    from . import stream as st
+
+    options = 1 if url else 0
+    s = (st.Base64StreamEncoder(options) if encode
+         else st.Base64StreamDecoder(options))
+    with open(path, "rb") as f:
+        size = f.seek(0, 2)
+        if size == 0:
+            return
+        with mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ) as mm:
+            try:
+                pos = 0
+                while pos < size:
+                    end = min(pos + chunk_bytes, size)
+                    out_f.write(s.push(mm[pos:end]))
+                    pos = end
+                out_f.write(s.finish())
+            except st.StreamingError as e:
+                raise ValueError(
+                    f"{e.error.name} at input char {e.count}"
+                )
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="sutf", description="Unicode transcoder (simdutf_tpu)"
@@ -170,9 +199,25 @@ def main(argv=None) -> int:
 
     if args.stream_mb:
         if args.base64_encode or args.base64_decode:
-            print("sutf: --stream-mb supports charset conversion only",
-                  file=sys.stderr)
-            return 2
+            if not args.files:
+                print("sutf: --stream-mb needs file inputs", file=sys.stderr)
+                return 2
+            try:
+                out_f = (open(args.output, "wb") if args.output
+                         else sys.stdout.buffer)
+                try:
+                    for path in args.files:
+                        _stream_base64(
+                            path, args.base64_encode, args.url, out_f,
+                            args.stream_mb * 1024 * 1024,
+                        )
+                finally:
+                    if args.output:
+                        out_f.close()
+            except (ValueError, OSError) as e:
+                print(f"sutf: {e}", file=sys.stderr)
+                return 1
+            return 0
         src, dst = _canon(args.src), _canon(args.dst)
         if src is None or dst is None or not args.files:
             print("sutf: --stream-mb needs Unicode charsets and file inputs",

@@ -104,3 +104,35 @@ def test_cli_stream_error_offset(tmp_path, capsys):
     err = capsys.readouterr().err
     # exact global offset of the injected bad byte
     assert "at input unit 2500000" in err
+
+
+def test_cli_stream_base64_roundtrip(tmp_path):
+    import base64 as pyb64
+
+    from simdutf_tpu.cli import main
+
+    payload = bytes(range(256)) * 5000 + b"tail"
+    src = tmp_path / "payload.bin"
+    src.write_bytes(payload)
+    enc = tmp_path / "enc.b64"
+    rc = main(["--base64-encode", "--stream-mb", "1",
+               "-o", str(enc), str(src)])
+    assert rc == 0
+    assert enc.read_bytes() == pyb64.b64encode(payload)
+    dec = tmp_path / "dec.bin"
+    rc = main(["--base64-decode", "--stream-mb", "1",
+               "-o", str(dec), str(enc)])
+    assert rc == 0
+    assert dec.read_bytes() == payload
+
+
+def test_cli_stream_base64_error(tmp_path, capsys):
+    from simdutf_tpu.cli import main
+
+    src = tmp_path / "bad.b64"
+    src.write_bytes(b"aGVs" * 1000 + b"!" + b"aGVs" * 10)
+    rc = main(["--base64-decode", "--stream-mb", "1",
+               "-o", str(src) + ".out", str(src)])
+    assert rc == 1
+    assert "INVALID_BASE64_CHARACTER at input char 4000" in \
+        capsys.readouterr().err
