@@ -105,3 +105,42 @@ def test_null_safety(impl_name):
     assert su.base64_to_binary(b"")[0].is_ok
     assert su.binary_to_base64(b"") == b""
     assert su.to_well_formed_utf16le(b"") == b""
+
+
+def test_whole_repertoire_transcode_matrix(impl_name):
+    """Every Unicode scalar value (all 1,112,064 codepoints) in one buffer:
+    the full transcode matrix must agree with CPython's codecs
+    byte-for-byte, and counts/lengths must be exact. The reference
+    approximates this with all_utf16_combinations windows
+    (transcode_test_base.h:10-11); one corpus-sized buffer covers the
+    whole repertoire in a handful of device launches."""
+    import simdutf_tpu as su
+
+    cps = list(range(0, 0xD800)) + list(range(0xE000, 0x110000))
+    s = "".join(map(chr, cps))
+    u8 = s.encode()
+    u16le = s.encode("utf-16-le")
+    u16be = s.encode("utf-16-be")
+    u32 = s.encode("utf-32-le")
+
+    assert su.validate_utf8(u8)
+    assert su.validate_utf16le(u16le)
+    assert su.validate_utf16be(u16be)
+    assert su.validate_utf32(u32)
+
+    assert su.count_utf8(u8) == len(cps)
+    assert su.count_utf16le(u16le) == len(cps)
+    assert su.utf16_length_from_utf8(u8) == len(u16le) // 2
+    assert su.utf8_length_from_utf16le(u16le) == len(u8)
+    assert su.utf32_length_from_utf8(u8) == len(cps)
+    assert su.utf8_length_from_utf32(u32) == len(u8)
+
+    assert su.convert_utf8_to_utf16le(u8) == u16le
+    assert su.convert_utf8_to_utf16be(u8) == u16be
+    assert su.convert_utf8_to_utf32(u8) == u32
+    assert su.convert_utf16le_to_utf8(u16le) == u8
+    assert su.convert_utf16be_to_utf8(u16be) == u8
+    assert su.convert_utf16le_to_utf32(u16le) == u32
+    assert su.convert_utf32_to_utf8(u32) == u8
+    assert su.convert_utf32_to_utf16le(u32) == u16le
+    assert su.change_endianness_utf16(u16le) == u16be
