@@ -92,6 +92,10 @@ def _corpora(nbytes: int):
     latin1 = (lat_text.encode("latin-1") * (
         nbytes // len(lat_text.encode("latin-1")) + 1))[:nbytes]
     emoji = ("🙂🚀🌍💡🎉😀🥳🤖".encode() * (nbytes // 32 + 1))[:nbytes]
+    u16be = np.frombuffer(u16, np.uint16).byteswap().tobytes()
+    lat16 = latin1.decode("latin-1").encode("utf-16-le")[:nbytes]
+    emoji16 = ("🙂🚀🌍💡🎉😀🥳🤖".encode("utf-16-le") * (
+        nbytes // 32 + 1))[:nbytes]
     return {
         "mixed": mixed,
         "ascii": ascii_c,
@@ -100,6 +104,9 @@ def _corpora(nbytes: int):
         "emoji_pure": emoji[: len(emoji) // 4 * 4],
         "ascii16": ascii_c.decode().encode("utf-16-le")[:nbytes],
         "utf16": u16,
+        "utf16be": u16be,
+        "latin1_utf16": lat16[: len(lat16) // 2 * 2],
+        "emoji16": emoji16[: len(emoji16) // 4 * 4],
         "utf32": u32,
         "latin1": latin1,
         "latin1_utf8": _trim8(latin1.decode("latin-1").encode("utf-8")[:nbytes]),
@@ -339,6 +346,39 @@ def build_procedures():
     def pad32(arr):
         return oi._pad(arr.view(np.uint32))
 
+    add("utf16_to_utf32", "utf16", pad16,
+        _chain_out(lambda x, n: o16.to_utf32(x, n, False)[2:]),
+        lambda nb: 3 * nb)
+    add("utf16_to_utf8_valid", "utf16", pad16,
+        _chain_out(lambda x, n: o16.to_utf8_valid(x, n, False)),
+        lambda nb: nb + int(nb * 0.8))
+    add("utf16be_to_utf8", "utf16be", pad16,
+        _chain_out(lambda x, n: o16.to_utf8(x, n, True)[2:]),
+        lambda nb: nb + int(nb * 0.8))
+    from simdutf_tpu.kernels import utf16_kernels as k16
+    from simdutf_tpu.kernels.impl import _pad2d16
+
+    add("utf8_length_from_utf16_pallas", "utf16",
+        lambda a: _pad2d16(a.view(np.uint16)),
+        _chain_scalarish(
+            lambda x, n: k16.utf16_reduce(x, n, False, "utf8len")),
+        lambda nb: nb)
+    add("utf32_to_utf8_valid", "utf32", pad32,
+        _chain_out(lambda x, n: o32.to_utf8_valid(x, n)),
+        lambda nb: nb + int(nb * 0.45))
+    add("latin1_to_utf16le", "latin1", pad8,
+        _chain_out(lambda x, n: (ol1.to_utf16(x, n, False), n)),
+        lambda nb: 3 * nb)
+    add("utf16_to_latin1", "latin1_utf16", pad16,
+        _chain_out(lambda x, n: o16.to_latin1(x, n, False)[2:]),
+        lambda nb: nb + nb // 2)
+    add("utf16_to_utf32_emoji_pallas", "emoji16",
+        lambda a: (_pad_narrow(a.view(np.uint16))[0],
+                   np.int32(a.shape[0] // 2)),
+        _chain_out(lambda x, n: (
+            ktr.astral_wordmap(x, n, "u16pair_to_u32")[0].reshape(-1),
+            n // 2)),
+        lambda nb: 3 * nb)
     add("utf32_validate", "utf32", pad32,
         _chain_scalarish(lambda x, n: o32.validate_with_errors(x, n)[1]),
         lambda nb: nb)
