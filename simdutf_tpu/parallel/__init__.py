@@ -12,8 +12,10 @@ positions offset by shard starts).
 
 from .planner import plan_shards, plan_shards_base64, ShardPlan  # noqa: F401
 from .distributed import (  # noqa: F401
+    autodetect_encoding_sharded,
     base64_to_binary_sharded,
     count_sharded,
+    detect_encodings_sharded,
     gather_units,
     gather_utf16,
     make_mesh,
@@ -24,4 +26,5 @@ from .distributed import (  # noqa: F401
     transcode_utf16_to_utf8_sharded,
     validate_utf8_sharded,
     validate_utf16_sharded,
+    validate_utf32_sharded,
 )

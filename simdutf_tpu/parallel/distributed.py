@@ -39,7 +39,7 @@ from ..ops import utf32 as o32
 from ..ops import latin1 as ol1
 from ..ops import base64_ops
 from ..ops.common import BIG
-from .planner import ShardPlan
+from .planner import ShardPlan, plan_shards
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
@@ -454,3 +454,96 @@ def base64_to_binary_sharded(
         equalsigns, equallocation, garbage, last_chunk,
     )
     return full, packed, out_lens, extra
+
+
+# --- UTF-32 validation + encoding detection ----------------------------------
+
+
+@functools.lru_cache(maxsize=16)
+def _validate32_step(mesh: Mesh, axis: str):
+    def local(shards, lengths):
+        code, pos = o32.validate_with_errors(shards[0], lengths[0])
+        win, wpos, wcode, _ = _local_reduce(code, pos, jnp.int32(0), axis)
+        return win[None], wpos[None], wcode[None]
+
+    f = shard_map(
+        local, mesh=mesh, in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis)),
+    )
+
+    @jax.jit
+    def step(shards, lengths):
+        win, wpos, wcode = f(shards, lengths)
+        return win[0], wpos[0], wcode[0]
+
+    return step
+
+
+def validate_utf32_sharded(
+    plan: ShardPlan, mesh: Mesh, axis: str = "data", staged=None,
+):
+    """Global (err_code, err_pos) in code units; (0, total_words) when
+    valid. ``plan`` must come from plan_shards(unit=4) (UTF-32 shards cut
+    on word boundaries; no trimming logic is needed)."""
+    shards, lengths = staged if staged is not None else stage(plan, mesh, axis)
+    win, wpos, wcode = (
+        int(x) for x in _validate32_step(mesh, axis)(shards, lengths)
+    )
+    code, pos = _combine(plan, win, wpos, wcode)
+    if code == 0:
+        return 0, plan.total
+    return code, pos
+
+
+def detect_encodings_sharded(data, mesh: Mesh, axis: str = "data") -> int:
+    """Sharded detect_encodings: BOM first, then the three sharded
+    validations (the reference's fallback strategy,
+    fallback/implementation.cpp:6-30, at pod scale). Bit-exact vs the
+    single-buffer detect_encodings."""
+    from ..encodings import check_bom, encoding_type
+
+    if not isinstance(data, np.ndarray):
+        data = np.frombuffer(bytes(data), dtype=np.uint8)
+    bom = check_bom(data[:4].tobytes())
+    if bom != encoding_type.unspecified:
+        return int(bom)
+    n = int(data.shape[0])
+    n_shards = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    out = 0
+    plan8 = plan_shards(data, n_shards, unit=1)
+    if validate_utf8_sharded(plan8, mesh, axis)[0] == 0:
+        out |= int(encoding_type.UTF8)
+    if n % 2 == 0:
+        plan16 = plan_shards(data, n_shards, unit=2)
+        if validate_utf16_sharded(plan16, mesh, axis)[0] == 0:
+            out |= int(encoding_type.UTF16_LE)
+    if n % 4 == 0:
+        plan32 = plan_shards(data, n_shards, unit=4)
+        if validate_utf32_sharded(plan32, mesh, axis)[0] == 0:
+            out |= int(encoding_type.UTF32_LE)
+    return out
+
+
+def autodetect_encoding_sharded(data, mesh: Mesh, axis: str = "data") -> int:
+    """Sharded autodetect_encoding (implementation.cpp:44-76 priority:
+    BOM, UTF-8, UTF-16LE, UTF-32LE, else unspecified)."""
+    from ..encodings import check_bom, encoding_type
+
+    if not isinstance(data, np.ndarray):
+        data = np.frombuffer(bytes(data), dtype=np.uint8)
+    bom = check_bom(data[:4].tobytes())
+    if bom != encoding_type.unspecified:
+        return int(bom)
+    n = int(data.shape[0])
+    n_shards = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    if validate_utf8_sharded(plan_shards(data, n_shards), mesh, axis)[0] == 0:
+        return int(encoding_type.UTF8)
+    if n % 2 == 0 and validate_utf16_sharded(
+        plan_shards(data, n_shards, unit=2), mesh, axis
+    )[0] == 0:
+        return int(encoding_type.UTF16_LE)
+    if n % 4 == 0 and validate_utf32_sharded(
+        plan_shards(data, n_shards, unit=4), mesh, axis
+    )[0] == 0:
+        return int(encoding_type.UTF32_LE)
+    return int(encoding_type.unspecified)

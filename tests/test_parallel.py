@@ -320,3 +320,41 @@ def test_sharded_full_matrix():
         assert code == 0, op
         got = gather_units(outs, out_lens)
         assert got.tobytes() == want, op
+
+
+def test_sharded_validate_utf32():
+    mesh = _mesh()
+    from simdutf_tpu.parallel import plan_shards, validate_utf32_sharded
+
+    cps = [0x41, 0x3B1, 0x4E2D, 0x1F600] * 5000
+    good = b"".join(c.to_bytes(4, "little") for c in cps)
+    plan = plan_shards(good, len(jax.devices()), unit=4)
+    assert validate_utf32_sharded(plan, mesh) == (0, len(cps))
+
+    bad = bytearray(good)
+    # inject a surrogate word deep in a later shard
+    bad[4 * 7321: 4 * 7321 + 4] = (0xD800).to_bytes(4, "little")
+    plan = plan_shards(bytes(bad), len(jax.devices()), unit=4)
+    code, pos = validate_utf32_sharded(plan, mesh)
+    assert (code, pos) == (int(oracle.ec.SURROGATE), 7321)
+
+
+@pytest.mark.parametrize("kind", ["utf8", "utf16", "utf32", "bom", "soup"])
+def test_sharded_detect_encodings(kind):
+    mesh = _mesh()
+    import simdutf_tpu as su
+    from simdutf_tpu.parallel import (
+        autodetect_encoding_sharded, detect_encodings_sharded)
+
+    s = "héllo wörld 日本語 🙂 " * 3000
+    data = {
+        "utf8": s.encode(),
+        "utf16": s.encode("utf-16-le"),
+        "utf32": s.encode("utf-32-le"),
+        "bom": b"\xff\xfe" + s.encode("utf-16-le"),
+        "soup": bytes(range(256)) * 100,
+    }[kind]
+    want_mask = su.detect_encodings(data)
+    want_auto = int(su.autodetect_encoding(data))
+    assert detect_encodings_sharded(data, mesh) == want_mask
+    assert autodetect_encoding_sharded(data, mesh) == want_auto
