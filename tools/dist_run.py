@@ -74,10 +74,15 @@ def main() -> int:
     tdt = (time.perf_counter() - t0) / args.iters
     n_cp = count_sharded(plan, mesh, "utf8", staged=staged)
 
+    from simdutf_tpu.parallel import detect_encodings_sharded
+
+    mask = detect_encodings_sharded(data, mesh)
+
     if jax.process_index() == 0:
         print(f"devices={n_dev} result=({code},{pos}) validate {gbps:.1f} GB/s"
               f" | transcode {len(data)/tdt/1e9:.1f} GB/s"
-              f" (code={tc[0]}, units={tc[1]}) | {n_cp} codepoints")
+              f" (code={tc[0]}, units={tc[1]}) | {n_cp} codepoints"
+              f" | detect mask {mask}")
         if args.baseline_gbps:
             eff = gbps / (args.baseline_gbps * n_dev) * 100
             print(f"scaling efficiency vs {n_dev}x single-chip: {eff:.0f}%")
