@@ -910,7 +910,56 @@ static PyObject *py_b64_decode(PyObject *self, PyObject *args) {
 
 /* ---------------- registration ---------------- */
 
+/* Batch row packer: memcpy each bytes-like item of `items` into row i of
+ * the (B, rowbytes) output buffer and zero the row tail. The Python-side
+ * per-row loop this replaces dominates host time for large batches of
+ * small strings (runtime/memory-management tier in C, like the rest of
+ * this extension). */
+static PyObject *py_pack_batch(PyObject *self, PyObject *args) {
+  PyObject *seq_in;
+  Py_buffer out;
+  Py_ssize_t rowbytes;
+  if (!PyArg_ParseTuple(args, "Ow*n", &seq_in, &out, &rowbytes))
+    return NULL;
+  PyObject *seq = PySequence_Fast(seq_in, "pack_batch: items must be a sequence");
+  if (!seq) {
+    PyBuffer_Release(&out);
+    return NULL;
+  }
+  Py_ssize_t B = PySequence_Fast_GET_SIZE(seq);
+  if (out.len < B * rowbytes) {
+    Py_DECREF(seq);
+    PyBuffer_Release(&out);
+    PyErr_SetString(PyExc_ValueError, "pack_batch: output buffer too small");
+    return NULL;
+  }
+  char *dst = (char *)out.buf;
+  for (Py_ssize_t i = 0; i < B; i++) {
+    PyObject *item = PySequence_Fast_GET_ITEM(seq, i);
+    Py_buffer v;
+    if (PyObject_GetBuffer(item, &v, PyBUF_SIMPLE) != 0) {
+      Py_DECREF(seq);
+      PyBuffer_Release(&out);
+      return NULL;
+    }
+    if (v.len > rowbytes) {
+      PyBuffer_Release(&v);
+      Py_DECREF(seq);
+      PyBuffer_Release(&out);
+      PyErr_SetString(PyExc_ValueError, "pack_batch: item exceeds row size");
+      return NULL;
+    }
+    memcpy(dst + i * rowbytes, v.buf, (size_t)v.len);
+    memset(dst + i * rowbytes + v.len, 0, (size_t)(rowbytes - v.len));
+    PyBuffer_Release(&v);
+  }
+  Py_DECREF(seq);
+  PyBuffer_Release(&out);
+  Py_RETURN_NONE;
+}
+
 static PyMethodDef Methods[] = {
+    {"pack_batch", py_pack_batch, METH_VARARGS, NULL},
     {"validate_ascii", py_validate_ascii, METH_VARARGS, NULL},
     {"validate_utf8", py_validate_utf8, METH_VARARGS, NULL},
     {"validate_utf16", py_validate_utf16, METH_VARARGS, NULL},

@@ -27,6 +27,32 @@ from .runtime import staging_buffer, tune_host_allocator
 
 _MIN_L = 256
 
+try:  # C row packer (memcpy loop) — the Python per-row loop dominates
+    from . import _cnative as _C  # host time for big batches of small items
+
+    _HAVE_CPACK = hasattr(_C, "pack_batch")
+except Exception:  # extension not built
+    _C, _HAVE_CPACK = None, False
+
+
+def _fill_rows(buf: np.ndarray, arrs) -> None:
+    """Copy each item into its row of the (B, L) staging buffer, zeroing
+    row tails. C memcpy path when the extension is built."""
+    if _HAVE_CPACK:
+        rowbytes = buf.shape[1] * buf.dtype.itemsize
+        flat = buf.reshape(-1).view(np.uint8)
+        try:
+            # buffer protocol reads each item zero-copy (bytes or any
+            # C-contiguous array); non-contiguous items fall through
+            _C.pack_batch(arrs, flat, rowbytes)
+            return
+        except (BufferError, TypeError):
+            pass
+    for i, a in enumerate(arrs):
+        k = a.shape[0]
+        buf[i, :k] = a
+        buf[i, k:] = 0
+
 
 def _pack(items: Sequence[bytes]) -> tuple[np.ndarray, np.ndarray]:
     tune_host_allocator()
@@ -38,14 +64,10 @@ def _pack(items: Sequence[bytes]) -> tuple[np.ndarray, np.ndarray]:
     L = 1 << (max(maxlen + 8, _MIN_L) - 1).bit_length()
     B = len(arrs)
     lens = np.array([a.shape[0] for a in arrs], dtype=np.int32)
-    total = int(lens.sum())
     # claim the whole matrix as dirty (scattered row writes don't fit the
     # pool's prefix-watermark model) and zero each row's tail explicitly
     buf = staging_buffer((B, L), np.uint8, fill_len=B * L, tag="batch")
-    for i, a in enumerate(arrs):
-        k = a.shape[0]
-        buf[i, :k] = a
-        buf[i, k:] = 0
+    _fill_rows(buf, arrs)
     return buf, lens
 
 
@@ -131,10 +153,7 @@ def _pack16(items: Sequence[bytes]) -> tuple[np.ndarray, np.ndarray]:
     B = len(arrs)
     lens = np.array([a.shape[0] for a in arrs], dtype=np.int32)
     buf = staging_buffer((B, L), np.uint16, fill_len=B * L, tag="batch16")
-    for i, a in enumerate(arrs):
-        k = a.shape[0]
-        buf[i, :k] = a
-        buf[i, k:] = 0
+    _fill_rows(buf, arrs)
     return buf, lens
 
 
@@ -211,10 +230,7 @@ def base64_to_binary_batch(
     B = len(arrs)
     lens = np.array([s[0] for s in strips], dtype=np.int32)
     buf = staging_buffer((B, L), np.uint8, fill_len=B * L, tag="batch64")
-    for i, a in enumerate(arrs):
-        k = int(lens[i])
-        buf[i, :k] = a[:k]
-        buf[i, k:] = 0
+    _fill_rows(buf, [a[: int(lens[i])] for i, a in enumerate(arrs)])
     first_bad, nvalid, nvalid_at_bad, packed, tail_vals, tail_start = (
         np.asarray(x) for x in _j_b64dec_batch(
             buf, lens,
@@ -251,10 +267,7 @@ def binary_to_base64_batch(
     B = len(arrs)
     lens = np.array([a.shape[0] for a in arrs], dtype=np.int32)
     buf = staging_buffer((B, L), np.uint8, fill_len=B * L, tag="batch64e")
-    for i, a in enumerate(arrs):
-        k = a.shape[0]
-        buf[i, :k] = a
-        buf[i, k:] = 0
+    _fill_rows(buf, arrs)
     alpha = base64_ops.alphabet_for(options)
     quads = np.asarray(_j_b64enc_batch(buf, alpha))
     out = []
