@@ -26,6 +26,15 @@ from .ops.common import BIG
 from .runtime import staging_buffer, tune_host_allocator
 
 _MIN_L = 256
+_MIN_B = 8
+
+
+def _bucket_rows(n: int) -> int:
+    """Pad the batch dimension to a power of two (>= _MIN_B): like L, the
+    row count is a compiled shape, so bucketing keeps the jit cache and
+    compile latency bounded across serving batch sizes (pad rows are
+    zero-length and sliced off the results)."""
+    return 1 << (max(n, _MIN_B) - 1).bit_length()
 
 try:  # C row packer (memcpy loop) — the Python per-row loop dominates
     from . import _cnative as _C  # host time for big batches of small items
@@ -62,8 +71,9 @@ def _pack(items: Sequence[bytes]) -> tuple[np.ndarray, np.ndarray]:
     ]
     maxlen = max((int(a.shape[0]) for a in arrs), default=1)
     L = 1 << (max(maxlen + 8, _MIN_L) - 1).bit_length()
-    B = len(arrs)
-    lens = np.array([a.shape[0] for a in arrs], dtype=np.int32)
+    B = _bucket_rows(len(arrs))
+    lens = np.zeros(B, dtype=np.int32)
+    lens[: len(arrs)] = [a.shape[0] for a in arrs]
     # claim the whole matrix as dirty (scattered row writes don't fit the
     # pool's prefix-watermark model) and zero each row's tail explicitly
     buf = staging_buffer((B, L), np.uint8, fill_len=B * L, tag="batch")
@@ -83,7 +93,7 @@ def validate_utf8_batch(items: Sequence[bytes]) -> list[Result]:
     buf, lens = _pack(items)
     codes, poss = (np.asarray(x) for x in _j_validate_batch(buf, lens))
     return [
-        Result(ec(int(c)), int(p)) for c, p in zip(codes, poss)
+        Result(ec(int(codes[i])), int(poss[i])) for i in range(len(items))
     ]
 
 
@@ -92,14 +102,16 @@ def count_utf8_batch(items: Sequence[bytes]) -> np.ndarray:
     if not items:
         return np.zeros(0, dtype=np.int64)
     buf, lens = _pack(items)
-    return np.asarray(_j_count_batch(buf, lens)).astype(np.int64)
+    out = np.asarray(_j_count_batch(buf, lens)).astype(np.int64)
+    return out[: len(items)]
 
 
 def utf16_length_from_utf8_batch(items: Sequence[bytes]) -> np.ndarray:
     if not items:
         return np.zeros(0, dtype=np.int64)
     buf, lens = _pack(items)
-    return np.asarray(_j_u16len_batch(buf, lens)).astype(np.int64)
+    out = np.asarray(_j_u16len_batch(buf, lens)).astype(np.int64)
+    return out[: len(items)]
 
 
 _j_transcode_batch = jax.jit(
@@ -150,8 +162,9 @@ def _pack16(items: Sequence[bytes]) -> tuple[np.ndarray, np.ndarray]:
             arrs.append(raw.view(np.uint16))
     maxlen = max((int(a.shape[0]) for a in arrs), default=1)
     L = 1 << (max(maxlen + 8, _MIN_L) - 1).bit_length()
-    B = len(arrs)
-    lens = np.array([a.shape[0] for a in arrs], dtype=np.int32)
+    B = _bucket_rows(len(arrs))
+    lens = np.zeros(B, dtype=np.int32)
+    lens[: len(arrs)] = [a.shape[0] for a in arrs]
     buf = staging_buffer((B, L), np.uint16, fill_len=B * L, tag="batch16")
     _fill_rows(buf, arrs)
     return buf, lens
@@ -162,7 +175,9 @@ def validate_utf16le_batch(items: Sequence[bytes]) -> list[Result]:
         return []
     buf, lens = _pack16(items)
     codes, poss = (np.asarray(x) for x in _j_validate16_batch(buf, lens))
-    return [Result(ec(int(c)), int(p)) for c, p in zip(codes, poss)]
+    return [
+        Result(ec(int(codes[i])), int(poss[i])) for i in range(len(items))
+    ]
 
 
 def convert_utf16le_to_utf8_batch(
@@ -227,8 +242,9 @@ def base64_to_binary_batch(
     strips = [b64_strip(a, tab, garbage) for a in arrs]
     maxlen = max((s[0] for s in strips), default=1)
     L = 1 << (max(maxlen + 8, _MIN_L) - 1).bit_length()  # L % 4 == 0
-    B = len(arrs)
-    lens = np.array([s[0] for s in strips], dtype=np.int32)
+    B = _bucket_rows(len(arrs))
+    lens = np.zeros(B, dtype=np.int32)
+    lens[: len(arrs)] = [s[0] for s in strips]
     buf = staging_buffer((B, L), np.uint8, fill_len=B * L, tag="batch64")
     _fill_rows(buf, [a[: int(lens[i])] for i, a in enumerate(arrs)])
     first_bad, nvalid, nvalid_at_bad, packed, tail_vals, tail_start = (
@@ -264,8 +280,9 @@ def binary_to_base64_batch(
     maxlen = max((int(a.shape[0]) for a in arrs), default=1)
     L = 1 << (max(maxlen + 8, _MIN_L) - 1).bit_length()
     L += (3 - L % 3) % 3  # encode_bulk reshapes rows into 3-byte groups
-    B = len(arrs)
-    lens = np.array([a.shape[0] for a in arrs], dtype=np.int32)
+    B = _bucket_rows(len(arrs))
+    lens = np.zeros(B, dtype=np.int32)
+    lens[: len(arrs)] = [a.shape[0] for a in arrs]
     buf = staging_buffer((B, L), np.uint8, fill_len=B * L, tag="batch64e")
     _fill_rows(buf, arrs)
     alpha = base64_ops.alphabet_for(options)

@@ -122,3 +122,20 @@ def test_base64_encode_batch_matches_one_shot():
         got = batch.binary_to_base64_batch(items, options)
         for item, enc in zip(items, got):
             assert enc == su.binary_to_base64(item, options), (item, options)
+
+
+def test_batch_row_bucketing_bounds_compiles():
+    """Batch sizes bucket to powers of two so the jit cache stays bounded
+    across serving batch sizes (pad rows are zero-length and sliced off)."""
+    assert batch._bucket_rows(1) == 8
+    assert batch._bucket_rows(8) == 8
+    assert batch._bucket_rows(9) == 16
+    assert batch._bucket_rows(1000) == 1024
+    for b in (1, 3, 7, 9, 12):
+        items = [b"ab" for _ in range(b)]
+        assert len(batch.validate_utf8_batch(items)) == b
+        assert len(batch.count_utf8_batch(items)) == b
+        assert len(batch.base64_to_binary_batch([b"aGk="] * b)) == b
+        assert len(batch.binary_to_base64_batch(items)) == b
+    buf, lens = batch._pack([b"x"] * 5)
+    assert buf.shape[0] == 8 and list(lens) == [1] * 5 + [0] * 3
