@@ -17,9 +17,18 @@ Hardware constraints probed on v5e (2026-08-17):
     narrow-source form).
 So a (R, 512) tile must be processed as four 128-lane windows with a
 4-way select-merge; this module holds the windowed primitive (verified on
-hardware at W=128; the interpreter covers wider rows) as the building
-block for a future Pallas transcode kernel. Not yet wired into any public
-API.
+hardware at W=128; the interpreter covers wider rows).
+
+Round-2 status: the general mixed-script transcode deliberately stays on
+the XLA scatter engine — the measured VPU cost of the full in-VMEM
+compaction path (scan + log2(W) gather steps + window merge, see
+tools/probe_vpu.py ``compact``/``fullpath`` and DESIGN-compaction.md)
+exceeds the scatter's cost several-fold on v5e. The primitive is kept
+correct and measurement-ready for hardware generations with cheaper
+dynamic lane gathers; it is exercised through the registry's
+``internal_tests()`` mechanism (kernels/impl.py ``lane_compaction``),
+the reference's own pattern for private SIMD helpers
+(src/ppc64/implementation.cpp:899-902).
 """
 
 from __future__ import annotations

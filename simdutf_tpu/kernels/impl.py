@@ -109,9 +109,29 @@ class PallasImplementation(XLAImplementation):
             got = np.asarray(out).view(np.uint16).reshape(-1)[: int(n)]
             assert got.tobytes() == data.decode().encode("utf-16-le")
 
+        def lane_compaction():
+            # the gather-binary-search compaction primitive
+            # (kernels/compaction.py) — kept measurement-ready for future
+            # hardware with cheaper dynamic gathers (DESIGN-compaction.md)
+            import jax.numpy as jnp
+
+            from . import compaction as kc
+
+            rng = np.random.default_rng(5)
+            val = rng.integers(1, 1000, (8, 128)).astype(np.int32)
+            keep = rng.random((8, 128)) < 0.4
+            out, cnt = kc.row_compact_pallas(jnp.asarray(val),
+                                             jnp.asarray(keep))
+            out, cnt = np.asarray(out), np.asarray(cnt)
+            for r in range(8):
+                want = val[r][keep[r]]
+                assert int(cnt[r]) == want.shape[0]
+                assert np.array_equal(out[r, : want.shape[0]], want), r
+
         return [("swar_formula", swar_formula),
                 ("b64_phase_planes", phase_planes),
-                ("ascii_widen_image", widen_image)]
+                ("ascii_widen_image", widen_image),
+                ("lane_compaction", lane_compaction)]
 
     # -- validation ----------------------------------------------------------
     def validate_utf8(self, b):
