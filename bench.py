@@ -385,5 +385,34 @@ def best_recorded():
     return best
 
 
+def _emit_unavailable(exc: BaseException) -> None:
+    """The tunneled dev TPU sometimes cannot even initialize its backend
+    ('Unable to initialize backend axon: UNAVAILABLE'). Still emit one
+    honest JSON line — value 0, degraded, the failure reason, and the best
+    committed healthy-window record — instead of crashing with no
+    artifact."""
+    record = {
+        "metric": "utf8_to_utf16_validating_transcode",
+        "value": 0.0,
+        "unit": "GB/s/chip (input bytes)",
+        "vs_baseline": 0.0,
+        "probe_gbps": 0.0,
+        "degraded": True,
+        "backend_unavailable": str(exc)[:300],
+    }
+    best = best_recorded()
+    if best is not None:
+        record["best_recorded_gbps"] = best[0]
+        record["best_recorded_at"] = best[1]
+    print(json.dumps(record))
+
+
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except RuntimeError as e:
+        if "nable to initialize backend" in str(e) or "UNAVAILABLE" in str(e):
+            log(f"device backend unavailable: {e}")
+            _emit_unavailable(e)
+        else:
+            raise
