@@ -294,3 +294,38 @@ def binary_to_base64_batch(
         tail = gb.encode(a[nfull:], options)
         out.append(body.tobytes() + tail.tobytes())
     return out
+
+
+# --- encoding detection batch ---------------------------------------------
+
+from .encodings import check_bom, encoding_type  # noqa: E402
+from .ops import detect as _od  # noqa: E402
+
+_j_detect_batch = jax.jit(jax.vmap(_od.detect_encodings))
+
+
+def detect_encodings_batch(items: Sequence[bytes]) -> list[int]:
+    """Per-item detect_encodings (BOM host check + one fused vmapped
+    detection pass), one device launch."""
+    if not items:
+        return []
+    buf, lens = _pack(items)  # L is a power of two >= 256, so rows are %4
+    ok8, ok16, ok32 = (np.asarray(x) for x in _j_detect_batch(buf, lens))
+    out = []
+    for i, item in enumerate(items):
+        raw = bytes(item[:4]) if not isinstance(item, np.ndarray) \
+            else item[:4].tobytes()
+        bom = check_bom(raw)
+        if bom != encoding_type.unspecified:
+            out.append(int(bom))
+            continue
+        n = int(lens[i])
+        mask = 0
+        if ok8[i]:
+            mask |= int(encoding_type.UTF8)
+        if n % 2 == 0 and ok16[i]:
+            mask |= int(encoding_type.UTF16_LE)
+        if n % 4 == 0 and ok32[i]:
+            mask |= int(encoding_type.UTF32_LE)
+        out.append(mask)
+    return out

@@ -139,3 +139,17 @@ def test_batch_row_bucketing_bounds_compiles():
         assert len(batch.binary_to_base64_batch(items)) == b
     buf, lens = batch._pack([b"x"] * 5)
     assert buf.shape[0] == 8 and list(lens) == [1] * 5 + [0] * 3
+
+
+def test_detect_encodings_batch_matches_one_shot():
+    import simdutf_tpu as su
+
+    s = "héllo wörld 日本語 " * 50
+    items = [
+        s.encode(), s.encode("utf-16-le"), s.encode("utf-32-le"),
+        b"\xff\xfe" + s.encode("utf-16-le"), bytes(range(256)),
+        b"", b"plain ascii",
+    ]
+    got = batch.detect_encodings_batch(items)
+    want = [su.detect_encodings(it) for it in items]
+    assert got == want
