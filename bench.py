@@ -157,6 +157,16 @@ def main():
 
     dt = run_chained(f_transcode, xj, int(n))
     transcode_gbps = nbytes / dt / 1e9
+    profile_dir = _os.environ.get("BENCH_PROFILE_DIR")
+    if profile_dir:
+        # one separately-profiled iteration AFTER the timed runs (the
+        # trace is attribution evidence, not the measurement itself)
+        try:
+            with jax.profiler.trace(profile_dir):
+                jax.device_get(f_transcode(xj, jnp.int32(int(n) - 64)))
+            log(f"profiler trace written to {profile_dir}")
+        except Exception as e:  # pragma: no cover
+            log(f"profiler trace skipped: {e}")
     out_units = int(jax.device_get(
         jax.jit(lambda x, k: o8.to_utf16(x, k, False)[3])(xj, jnp.int32(int(n)))
     ))

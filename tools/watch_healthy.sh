@@ -46,7 +46,7 @@ for i in $(seq 1 500); do
       mkdir -p "$REC"
       echo "$GBPS" > "$REC/probe_gbps.txt"
       echo "=== HEALTHY ($GBPS GB/s) at $(date -u); battery -> $REC" >> $LOG
-      timeout 1500 python bench.py > "$REC/bench.json" 2> "$REC/bench.stderr"
+      BENCH_PROFILE_DIR="$REC/profile" timeout 1500 python bench.py > "$REC/bench.json" 2> "$REC/bench.stderr"
       echo "=== bench rc=$? $(date -u): $(cat "$REC/bench.json")" >> $LOG
       probe_gbps > "$REC/probe_before_transcode.txt"
       timeout 1500 python tools/probe_transcode.py > "$REC/probe_transcode.log" 2>&1
