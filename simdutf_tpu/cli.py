@@ -103,12 +103,13 @@ def _codec_fallback(data: bytes, src: str, dst: str) -> bytes:
     return data.decode(src).encode(dst)
 
 
-def _stream_convert(path: str, src: str, dst: str, out_f, chunk_bytes: int):
-    """Transcode a file in bounded memory via the streaming API (stream.py:
+def _stream_convert(paths, src: str, dst: str, out_f, chunk_bytes: int):
+    """Transcode files in bounded memory via the streaming API (stream.py:
     mmap chunks pushed through a StreamTranscoder, which owns the
     trim_partial carry discipline — the reference's streaming pattern,
-    benchmarks/stream.cpp + implementation.h:2690-2716). Error positions
-    are exact global input-unit offsets."""
+    benchmarks/stream.cpp + implementation.h:2690-2716). One stream spans
+    ALL files, matching the one-shot mode's input concatenation; error
+    positions are exact global input-unit offsets into that stream."""
     import mmap
 
     from . import stream as st
@@ -123,29 +124,31 @@ def _stream_convert(path: str, src: str, dst: str, out_f, chunk_bytes: int):
                 raise ValueError("input not representable in ASCII")
         out_f.write(out)
 
-    with open(path, "rb") as f:
-        size = f.seek(0, 2)
-        if size == 0:
-            return
-        with mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ) as mm:
-            try:
-                pos = 0
-                while pos < size:
-                    end = min(pos + chunk_bytes, size)
-                    emit(t.push(mm[pos:end]))
-                    pos = end
-                emit(t.finish())
-            except st.StreamingError as e:
-                raise ValueError(
-                    f"invalid {src} input: {e.error.name} at input unit "
-                    f"{e.count}"
-                )
+    try:
+        for path in paths:
+            with open(path, "rb") as f:
+                size = f.seek(0, 2)
+                if size == 0:
+                    continue
+                with mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ) as mm:
+                    pos = 0
+                    while pos < size:
+                        end = min(pos + chunk_bytes, size)
+                        emit(t.push(mm[pos:end]))
+                        pos = end
+        emit(t.finish())
+    except st.StreamingError as e:
+        raise ValueError(
+            f"invalid {src} input: {e.error.name} at input unit {e.count}"
+        )
 
 
-def _stream_base64(path: str, encode: bool, url: bool, out_f,
+def _stream_base64(paths, encode: bool, url: bool, out_f,
                    chunk_bytes: int):
-    """Base64 encode/decode a file in bounded memory via the streaming API
-    (fastbase64 parity at any file size)."""
+    """Base64 encode/decode files in bounded memory via the streaming API
+    (fastbase64 parity at any file size). One stream spans ALL files —
+    matching the one-shot mode, which concatenates its inputs — so a
+    base64 quad split across a file boundary decodes identically."""
     import mmap
 
     from . import stream as st
@@ -153,22 +156,21 @@ def _stream_base64(path: str, encode: bool, url: bool, out_f,
     options = 1 if url else 0
     s = (st.Base64StreamEncoder(options) if encode
          else st.Base64StreamDecoder(options))
-    with open(path, "rb") as f:
-        size = f.seek(0, 2)
-        if size == 0:
-            return
-        with mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ) as mm:
-            try:
-                pos = 0
-                while pos < size:
-                    end = min(pos + chunk_bytes, size)
-                    out_f.write(s.push(mm[pos:end]))
-                    pos = end
-                out_f.write(s.finish())
-            except st.StreamingError as e:
-                raise ValueError(
-                    f"{e.error.name} at input char {e.count}"
-                )
+    try:
+        for path in paths:
+            with open(path, "rb") as f:
+                size = f.seek(0, 2)
+                if size == 0:
+                    continue
+                with mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ) as mm:
+                    pos = 0
+                    while pos < size:
+                        end = min(pos + chunk_bytes, size)
+                        out_f.write(s.push(mm[pos:end]))
+                        pos = end
+        out_f.write(s.finish())
+    except st.StreamingError as e:
+        raise ValueError(f"{e.error.name} at input char {e.count}")
 
 
 def main(argv=None) -> int:
@@ -206,11 +208,10 @@ def main(argv=None) -> int:
                 out_f = (open(args.output, "wb") if args.output
                          else sys.stdout.buffer)
                 try:
-                    for path in args.files:
-                        _stream_base64(
-                            path, args.base64_encode, args.url, out_f,
-                            args.stream_mb * 1024 * 1024,
-                        )
+                    _stream_base64(
+                        args.files, args.base64_encode, args.url, out_f,
+                        args.stream_mb * 1024 * 1024,
+                    )
                 finally:
                     if args.output:
                         out_f.close()
@@ -227,10 +228,9 @@ def main(argv=None) -> int:
             out_f = (open(args.output, "wb") if args.output
                      else sys.stdout.buffer)
             try:
-                for path in args.files:
-                    _stream_convert(
-                        path, src, dst, out_f, args.stream_mb * 1024 * 1024
-                    )
+                _stream_convert(
+                    args.files, src, dst, out_f, args.stream_mb * 1024 * 1024
+                )
             finally:
                 if args.output:
                     out_f.close()

@@ -181,12 +181,14 @@ class _Carried:
             del self._buf[:cut]
             yield seg, False
 
-    def _tail_unit_error(self, seg: bytes) -> int | None:
-        """Unit offset of a trailing fragment that cannot even form a unit
-        (odd utf16 byte / short utf32 word) — invisible to the unit-typed
-        one-shot API, so the stream reports TOO_SHORT there itself."""
+    def _split_aligned(self, seg: bytes) -> tuple[bytes, int]:
+        """(unit-aligned prefix, trailing fragment bytes). A fragment that
+        cannot even form a code unit (odd utf16 byte / short utf32 word) is
+        invisible to the unit-typed one-shot API; the stream reports
+        TOO_SHORT at its start — but only AFTER the aligned prefix has been
+        checked, so an earlier real error keeps its own code/offset."""
         rem = len(seg) % self._unit
-        return None if rem == 0 else len(seg) // self._unit
+        return (seg[: len(seg) - rem] if rem else seg), rem
 
 
 class StreamTranscoder(_Carried):
@@ -219,25 +221,28 @@ class StreamTranscoder(_Carried):
             self._fn = _converters()[(src_eff, to)]
 
     def _convert(self, seg: bytes) -> bytes:
-        bad = self._tail_unit_error(seg)
-        if bad is not None:
-            raise StreamingError(error_code.TOO_SHORT, self._units + bad)
-        if not seg:
-            return b""
-        if self._check_ascii:
-            r = api.validate_ascii_with_errors(seg)
-            if r.is_err:
-                raise StreamingError(r.error, self._units + r.count)
-        if self._fn is None:
-            r = _VALIDATORS[self._src](seg)
-            if r.is_err:
-                raise StreamingError(r.error, self._units + r.count)
-            out = seg
-        else:
-            res, out = self._fn(seg)
-            if res is not None and res.is_err:
-                raise StreamingError(res.error, self._units + res.count, out)
-        self._units += len(seg) // self._unit
+        aligned, rem = self._split_aligned(seg)
+        out = b""
+        if aligned:
+            if self._fn is None:
+                # passthrough: one validation (the ascii validator already
+                # is _VALIDATORS['ascii'] when src == 'ascii')
+                r = _VALIDATORS[self._src](aligned)
+                if r.is_err:
+                    raise StreamingError(r.error, self._units + r.count)
+                out = aligned
+            else:
+                if self._check_ascii:
+                    r = api.validate_ascii_with_errors(aligned)
+                    if r.is_err:
+                        raise StreamingError(r.error, self._units + r.count)
+                res, out = self._fn(aligned)
+                if res is not None and res.is_err:
+                    raise StreamingError(
+                        res.error, self._units + res.count, out)
+            self._units += len(aligned) // self._unit
+        if rem:
+            raise StreamingError(error_code.TOO_SHORT, self._units, out)
         return out
 
     def push(self, chunk: bytes) -> bytes:
@@ -263,11 +268,13 @@ class StreamValidator(_Carried):
         self._err: Result | None = None
 
     def push(self, chunk: bytes) -> "StreamValidator":
+        if self._done:
+            raise RuntimeError("stream already finished")
         if self._err is not None:
-            # first error wins; later bytes cannot change it, but the
-            # stream stays consumable so callers need no special-casing
-            self._buf.clear()
-            self._done = False
+            # first error wins; later bytes cannot change it, so they are
+            # dropped (the stream stays consumable, but finish() is still
+            # terminal like every other stream class)
+            return self
         for seg, _ in self._segments(bytes(chunk), final=False):
             self._check(seg)
         return self
@@ -275,15 +282,15 @@ class StreamValidator(_Carried):
     def _check(self, seg: bytes) -> None:
         if self._err is not None:
             return
-        bad = self._tail_unit_error(seg)
-        if bad is not None:
-            self._err = Result(error_code.TOO_SHORT, self._units + bad)
-            return
-        r = _VALIDATORS[self._src](seg)
-        if r.is_err:
-            self._err = Result(r.error, self._units + r.count)
-        else:
-            self._units += len(seg) // self._unit
+        aligned, rem = self._split_aligned(seg)
+        if aligned:
+            r = _VALIDATORS[self._src](aligned)
+            if r.is_err:
+                self._err = Result(r.error, self._units + r.count)
+                return
+            self._units += len(aligned) // self._unit
+        if rem:
+            self._err = Result(error_code.TOO_SHORT, self._units)
 
     def finish(self) -> Result:
         for seg, _ in self._segments(b"", final=True):
@@ -315,28 +322,40 @@ class Base64StreamDecoder:
         self._chars = 0  # global chars consumed into decodes
         self._out = 0  # global bytes produced
         self._done = False
-        self._saw_eq = False
+        #: positions (relative to _buf) of pending significant chars seen
+        #: before any '=' — each push classifies ONLY its own chunk, so a
+        #: whitespace/garbage-heavy stream stays O(chunk) per push
+        self._sig_pos: list[int] = []
+        self._eq_off: int | None = None  # first '=' position within _buf
         self.result: FullResult | None = None
 
     def push(self, chunk: bytes) -> bytes:
         if self._done:
             raise RuntimeError("stream already finished")
-        self._buf += bytes(chunk)
-        if self._saw_eq:
+        chunk = bytes(chunk)
+        base = len(self._buf)
+        self._buf += chunk
+        if self._eq_off is not None:
+            # everything from the '='-quad on is tail context held for
+            # finish(); memory here is bounded by the post-padding
+            # remainder of the stream (padding is terminal in practice)
             return b""
-        arr = np.frombuffer(bytes(self._buf), dtype=np.uint8)
-        sig = self._tab[arr] < 64
+        arr = np.frombuffer(chunk, dtype=np.uint8)
         eqpos = np.nonzero(arr == 0x3D)[0]
         region = int(eqpos[0]) if eqpos.size else arr.shape[0]
+        new_sig = np.nonzero(self._tab[arr[:region]] < 64)[0]
+        self._sig_pos.extend((new_sig + base).tolist())
         if eqpos.size:
-            self._saw_eq = True
-        sig_idx = np.nonzero(sig[:region])[0]
-        quads = sig_idx.shape[0] // 4
+            self._eq_off = base + int(eqpos[0])
+        quads = len(self._sig_pos) // 4
         if quads == 0:
             return b""
-        cut = int(sig_idx[quads * 4 - 1]) + 1
+        cut = self._sig_pos[quads * 4 - 1] + 1
         seg = bytes(self._buf[:cut])
         del self._buf[:cut]
+        self._sig_pos = [p - cut for p in self._sig_pos[quads * 4:]]
+        if self._eq_off is not None:
+            self._eq_off -= cut
         return self._decode(seg, 0)  # complete quads: mode irrelevant
 
     def _decode(self, seg: bytes, last_chunk: int) -> bytes:

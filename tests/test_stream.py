@@ -232,3 +232,73 @@ def test_stream_finish_is_terminal():
     t.finish()
     with pytest.raises(RuntimeError):
         t.push(b"x")
+
+
+def test_validator_aligned_prefix_checked_before_fragment():
+    """An earlier real error must win over the dangling-fragment
+    TOO_SHORT (code-review finding: the fragment check used to run
+    first and mask it)."""
+    v = st.StreamValidator("utf16le")
+    v.push(b"A\x00\x00\xd8\xff")  # valid unit, lone high surrogate, frag
+    r = v.finish()
+    assert (r.error, r.count) == (error_code.SURROGATE, 1), r
+
+    t = st.StreamTranscoder("utf16le", "utf8")
+    try:
+        t.push(b"A\x00\x00\xd8\xff")
+        t.finish()
+        assert False, "expected StreamingError"
+    except st.StreamingError as e:
+        assert (e.error, e.count) == (error_code.SURROGATE, 1)
+
+
+def test_validator_finish_is_terminal_even_after_error():
+    v = st.StreamValidator("utf8")
+    v.push(b"\xff")
+    first = v.finish()
+    assert first.is_err
+    with pytest.raises(RuntimeError):
+        v.push(b"more")
+
+
+def test_b64_decoder_incremental_positions():
+    """Whitespace-heavy pushes must decode incrementally (positions are
+    tracked per chunk, not rescanned) and still match one-shot."""
+    import base64 as pyb64
+
+    payload = bytes(range(256))
+    enc = pyb64.b64encode(payload)
+    laced = b"".join(bytes([c]) + b" \n" for c in enc)
+    d = st.Base64StreamDecoder()
+    got = b""
+    for i in range(0, len(laced), 7):
+        got += d.push(laced[i:i + 7])
+    got += d.finish()
+    want_full, want = su.base64_to_binary_details(laced, 0, 0)
+    assert got == want and d.result.input_count == want_full.input_count
+
+
+def test_cli_stream_multifile_matches_one_shot(tmp_path):
+    """--stream-mb spans all files with one stream, like the one-shot
+    mode's input concatenation (quad/codepoint splits at file joints)."""
+    import base64 as pyb64
+
+    from simdutf_tpu.cli import main
+
+    payload = b"0123456789abcdef" * 40 + b"x"
+    enc = pyb64.b64encode(payload)
+    f1 = tmp_path / "a.b64"; f1.write_bytes(enc[:13])   # mid-quad split
+    f2 = tmp_path / "b.b64"; f2.write_bytes(enc[13:])
+    out = tmp_path / "dec.bin"
+    rc = main(["--base64-decode", "--stream-mb", "1",
+               "-o", str(out), str(f1), str(f2)])
+    assert rc == 0 and out.read_bytes() == payload
+
+    s = "héllo wörld 日本語 " * 30
+    u8 = s.encode()
+    g1 = tmp_path / "a.txt"; g1.write_bytes(u8[:31])    # mid-codepoint split
+    g2 = tmp_path / "b.txt"; g2.write_bytes(u8[31:])
+    out2 = tmp_path / "o.bin"
+    rc = main(["-f", "UTF-8", "-t", "UTF-16LE", "--stream-mb", "1",
+               "-o", str(out2), str(g1), str(g2)])
+    assert rc == 0 and out2.read_bytes() == s.encode("utf-16-le")

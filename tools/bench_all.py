@@ -479,7 +479,11 @@ def main():
     for i, a in enumerate(argv):
         # accept both --opt=value and --opt value
         def val():
-            return a.split("=", 1)[1] if "=" in a else argv[i + 1]
+            if "=" in a:
+                return a.split("=", 1)[1]
+            if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+                sys.exit(f"bench_all: {a} needs a value")
+            return argv[i + 1]
 
         if a.startswith("--size"):
             size = int(val())
