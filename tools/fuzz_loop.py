@@ -55,8 +55,17 @@ def gen_case(rng: random.Random, max_bytes: int) -> bytes:
     """One fuzz input: valid text, mutated text, raw bytes, pathological
     splices, whitespace-laced base64 — the reference fuzzers' input mix."""
     n = rng.randrange(0, max_bytes)
-    kind = rng.randrange(6)
+    kind = rng.randrange(7)
     seed = rng.randrange(1 << 30)
+    if kind == 6:  # astral-pure (exercises the uniform-4 wordmap kernels)
+        r2 = random.Random(seed)
+        s = "".join(chr(r2.randrange(0x10000, 0x110000))
+                    for _ in range(n // 4))
+        enc = r2.choice(["utf-8", "utf-16-le", "utf-32-le"])
+        data = s.encode(enc)
+        if r2.randrange(3) == 0:
+            data = helpers.mutate(data, seed ^ 0xA57, r2.randrange(1, 4))
+        return data
     if kind == 0:  # valid UTF-8, random byte-class mix
         w = [rng.randrange(0, 4) for _ in range(4)]
         if sum(w) == 0:
