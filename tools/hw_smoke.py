@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Hardware-correctness smoke for the Pallas kernel tier.
+
+The test suite runs the kernels in interpret mode on CPU; Mosaic-on-TPU is
+a different lowering, so a healthy-window battery should also verify the
+kernels' RESULTS on the real chip, not just their speed. This drives every
+structured-class kernel family through the public pallas tier on-device
+and checks byte-exact outputs vs CPython — small inputs, one JSON verdict
+line.
+
+Usage: PYTHONPATH=/root/.axon_site:/root/repo python tools/hw_smoke.py
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def main() -> int:
+    import jax
+
+    backend = jax.default_backend()
+    import simdutf_tpu as su
+
+    su.set_active_implementation("pallas")
+    checks = {}
+
+    def check(name, got, want):
+        checks[name] = bool(got == want)
+        if not checks[name]:
+            print(f"  FAIL {name}", file=sys.stderr)
+
+    ascii_s = "The quick brown fox! " * 500
+    cyr = "Привет, мир! Это тест. ".replace(" ", "").replace("!", "") * 400
+    cyr = "".join(c for c in cyr if ord(c) >= 0x80)
+    cjk = "東京日本語首都圈" * 600
+    emoji = "🙂🚀🌍💡🎉😀🥳🤖" * 500
+    mixed = "héllo wörld 日本語 🙂 " * 300
+
+    for tag, s in (("ascii", ascii_s), ("2byte", cyr), ("3byte", cjk),
+                   ("astral", emoji), ("mixed", mixed)):
+        u8, u16, u32 = (s.encode(), s.encode("utf-16-le"),
+                        s.encode("utf-32-le"))
+        check(f"{tag}:validate8", su.validate_utf8(u8), True)
+        check(f"{tag}:u8->u16", su.convert_utf8_to_utf16le(u8), u16)
+        check(f"{tag}:u8->u32", su.convert_utf8_to_utf32(u8), u32)
+        check(f"{tag}:u16->u8", su.convert_utf16le_to_utf8(u16), u8)
+        check(f"{tag}:u16->u32", su.convert_utf16le_to_utf32(u16), u32)
+        check(f"{tag}:u32->u16", su.convert_utf32_to_utf16le(u32), u16)
+        check(f"{tag}:count8", su.count_utf8(u8), len(s))
+        check(f"{tag}:detect8",
+              bool(su.detect_encodings(u8) & 1), True)
+
+    # exact first-error positions through the SWAR + rescan path: the
+    # on-device result must equal the NumPy fallback tier bit-for-bit
+    bad = bytearray(mixed.encode())
+    bad[1234] = 0xFF  # breaks the 3-byte char starting at 1232
+    r = su.validate_utf8_with_errors(bytes(bad))
+    su.set_active_implementation("fallback")
+    want = su.validate_utf8_with_errors(bytes(bad))
+    su.set_active_implementation("pallas")
+    check("error:exact_pos", r, want)
+
+    import base64 as pyb64
+
+    payload = bytes(range(256)) * 30
+    enc = pyb64.b64encode(payload)
+    res, out = su.base64_to_binary(enc)
+    check("b64:clean_decode", (res.is_ok, out), (True, payload))
+    check("b64:encode", su.binary_to_base64(payload), enc)
+
+    # to_well_formed repair
+    lone = np.frombuffer(mixed.encode("utf-16-le"), np.uint16).copy()
+    lone[77] = 0xD800
+    wf = su.to_well_formed_utf16le(lone.tobytes())
+    check("utf16:repair_validates", su.validate_utf16le(wf), True)
+
+    ok = all(checks.values())
+    print(json.dumps({
+        "hw_smoke": "pass" if ok else "FAIL",
+        "backend": backend,
+        "checks": len(checks),
+        "failed": sorted(k for k, v in checks.items() if not v),
+    }))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

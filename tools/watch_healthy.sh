@@ -46,6 +46,8 @@ for i in $(seq 1 500); do
       mkdir -p "$REC"
       echo "$GBPS" > "$REC/probe_gbps.txt"
       echo "=== HEALTHY ($GBPS GB/s) at $(date -u); battery -> $REC" >> $LOG
+      timeout 600 python tools/hw_smoke.py > "$REC/hw_smoke.json" 2>> "$REC/hw_smoke.json"
+      echo "=== hw_smoke rc=$? $(date -u): $(tail -1 "$REC/hw_smoke.json")" >> $LOG
       BENCH_PROFILE_DIR="$REC/profile" timeout 1500 python bench.py > "$REC/bench.json" 2> "$REC/bench.stderr"
       echo "=== bench rc=$? $(date -u): $(cat "$REC/bench.json")" >> $LOG
       probe_gbps > "$REC/probe_before_transcode.txt"
