@@ -329,3 +329,27 @@ def detect_encodings_batch(items: Sequence[bytes]) -> list[int]:
             mask |= int(encoding_type.UTF32_LE)
         out.append(mask)
     return out
+
+
+_j_count16_batch = jax.jit(
+    jax.vmap(lambda w, n: o16.count_code_points(w, n, False)))
+_j_u8len16_batch = jax.jit(
+    jax.vmap(lambda w, n: o16.utf8_length(w, n, False)))
+
+
+def count_utf16le_batch(items: Sequence[bytes]) -> np.ndarray:
+    """Per-item UTF-16LE codepoint counts, one device launch."""
+    if not items:
+        return np.zeros(0, dtype=np.int64)
+    buf, lens = _pack16(items)
+    out = np.asarray(_j_count16_batch(buf, lens)).astype(np.int64)
+    return out[: len(items)]
+
+
+def utf8_length_from_utf16le_batch(items: Sequence[bytes]) -> np.ndarray:
+    """Per-item exact UTF-8 output sizes, one device launch."""
+    if not items:
+        return np.zeros(0, dtype=np.int64)
+    buf, lens = _pack16(items)
+    out = np.asarray(_j_u8len16_batch(buf, lens)).astype(np.int64)
+    return out[: len(items)]

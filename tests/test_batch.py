@@ -153,3 +153,14 @@ def test_detect_encodings_batch_matches_one_shot():
     got = batch.detect_encodings_batch(items)
     want = [su.detect_encodings(it) for it in items]
     assert got == want
+
+
+def test_utf16_count_length_batch():
+    import simdutf_tpu as su
+
+    items = [b"", "héllo 𝄞".encode("utf-16-le"), b"a\x00b\x00",
+             "日本語 🙂".encode("utf-16-le")]
+    got_c = list(batch.count_utf16le_batch(items))
+    got_l = list(batch.utf8_length_from_utf16le_batch(items))
+    assert got_c == [su.count_utf16le(it) for it in items]
+    assert got_l == [su.utf8_length_from_utf16le(it) for it in items]
