@@ -63,22 +63,30 @@ def _fill_rows(buf: np.ndarray, arrs) -> None:
         buf[i, k:] = 0
 
 
+def _pack_matrix(arrs, item_lens, dtype, tag: str, row_align: int = 1):
+    """Shared packing recipe: bucket L (and optionally align it) and B,
+    zero-fill pad rows, memcpy items in. ``item_lens`` are the per-item
+    logical lengths in ``dtype`` units (may be shorter than the items when
+    a stripped prefix is being packed)."""
+    item_lens = list(item_lens)
+    maxlen = max(item_lens, default=1)
+    L = 1 << (max(maxlen + 8, _MIN_L) - 1).bit_length()
+    L += (row_align - L % row_align) % row_align
+    B = _bucket_rows(len(arrs))
+    lens = np.zeros(B, dtype=np.int32)
+    lens[: len(arrs)] = item_lens
+    buf = staging_buffer((B, L), dtype, fill_len=B * L, tag=tag)
+    _fill_rows(buf, arrs)
+    return buf, lens
+
+
 def _pack(items: Sequence[bytes]) -> tuple[np.ndarray, np.ndarray]:
     tune_host_allocator()
     arrs = [
         a if isinstance(a, np.ndarray) else np.frombuffer(memoryview(a), np.uint8)
         for a in items
     ]
-    maxlen = max((int(a.shape[0]) for a in arrs), default=1)
-    L = 1 << (max(maxlen + 8, _MIN_L) - 1).bit_length()
-    B = _bucket_rows(len(arrs))
-    lens = np.zeros(B, dtype=np.int32)
-    lens[: len(arrs)] = [a.shape[0] for a in arrs]
-    # claim the whole matrix as dirty (scattered row writes don't fit the
-    # pool's prefix-watermark model) and zero each row's tail explicitly
-    buf = staging_buffer((B, L), np.uint8, fill_len=B * L, tag="batch")
-    _fill_rows(buf, arrs)
-    return buf, lens
+    return _pack_matrix(arrs, (a.shape[0] for a in arrs), np.uint8, "batch")
 
 
 _j_validate_batch = jax.jit(jax.vmap(o8.validate_with_errors))
@@ -160,14 +168,8 @@ def _pack16(items: Sequence[bytes]) -> tuple[np.ndarray, np.ndarray]:
             if raw.shape[0] % 2:
                 raise ValueError("UTF-16 items must have even byte length")
             arrs.append(raw.view(np.uint16))
-    maxlen = max((int(a.shape[0]) for a in arrs), default=1)
-    L = 1 << (max(maxlen + 8, _MIN_L) - 1).bit_length()
-    B = _bucket_rows(len(arrs))
-    lens = np.zeros(B, dtype=np.int32)
-    lens[: len(arrs)] = [a.shape[0] for a in arrs]
-    buf = staging_buffer((B, L), np.uint16, fill_len=B * L, tag="batch16")
-    _fill_rows(buf, arrs)
-    return buf, lens
+    return _pack_matrix(arrs, (a.shape[0] for a in arrs), np.uint16,
+                        "batch16")
 
 
 def validate_utf16le_batch(items: Sequence[bytes]) -> list[Result]:
@@ -240,13 +242,9 @@ def base64_to_binary_batch(
         for a in items
     ]
     strips = [b64_strip(a, tab, garbage) for a in arrs]
-    maxlen = max((s[0] for s in strips), default=1)
-    L = 1 << (max(maxlen + 8, _MIN_L) - 1).bit_length()  # L % 4 == 0
-    B = _bucket_rows(len(arrs))
-    lens = np.zeros(B, dtype=np.int32)
-    lens[: len(arrs)] = [s[0] for s in strips]
-    buf = staging_buffer((B, L), np.uint8, fill_len=B * L, tag="batch64")
-    _fill_rows(buf, [a[: int(lens[i])] for i, a in enumerate(arrs)])
+    buf, lens = _pack_matrix(
+        [a[: s[0]] for a, s in zip(arrs, strips)],
+        (s[0] for s in strips), np.uint8, "batch64")  # L % 4 == 0
     first_bad, nvalid, nvalid_at_bad, packed, tail_vals, tail_start = (
         np.asarray(x) for x in _j_b64dec_batch(
             buf, lens,
@@ -277,14 +275,9 @@ def binary_to_base64_batch(
         else np.frombuffer(memoryview(a), np.uint8)
         for a in items
     ]
-    maxlen = max((int(a.shape[0]) for a in arrs), default=1)
-    L = 1 << (max(maxlen + 8, _MIN_L) - 1).bit_length()
-    L += (3 - L % 3) % 3  # encode_bulk reshapes rows into 3-byte groups
-    B = _bucket_rows(len(arrs))
-    lens = np.zeros(B, dtype=np.int32)
-    lens[: len(arrs)] = [a.shape[0] for a in arrs]
-    buf = staging_buffer((B, L), np.uint8, fill_len=B * L, tag="batch64e")
-    _fill_rows(buf, arrs)
+    buf, lens = _pack_matrix(
+        arrs, (a.shape[0] for a in arrs), np.uint8, "batch64e",
+        row_align=3)  # encode_bulk reshapes rows into 3-byte groups
     alpha = base64_ops.alphabet_for(options)
     quads = np.asarray(_j_b64enc_batch(buf, alpha))
     out = []

@@ -52,6 +52,13 @@ def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
 def stage(plan: ShardPlan, mesh: Mesh, axis: str = "data"):
     """Place shards + lengths on the mesh (one transfer; reuse across
     calls when timing or re-running)."""
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    if len(plan.lengths) != n_dev:
+        # each shard_map local step processes exactly one shard; a
+        # mismatched plan would silently skip rows
+        raise ValueError(
+            f"plan has {len(plan.lengths)} shards but the mesh has "
+            f"{n_dev} devices — build the plan with n_shards={n_dev}")
     sh = NamedSharding(mesh, P(axis))
     shards = jax.device_put(plan.shards, sh)
     lengths = jax.device_put(plan.lengths.astype(np.int32), sh)
@@ -147,13 +154,17 @@ def transcode_utf8_to_utf16_sharded(
     with :func:`gather_utf16`.
     """
     shards, lengths = staged if staged is not None else stage(plan, mesh, axis)
-    win, wpos, wcode, total, outs, out_lens = _transcode_step(
+    win, wpos, wcode, _total, outs, out_lens = _transcode_step(
         mesh, axis, big_endian
     )(shards, lengths)
     code, pos = _combine(plan, int(win), int(wpos), int(wcode))
+    out_lens = np.asarray(out_lens)
+    # total is summed on the HOST in Python ints: a device psum would be
+    # int32 and wrap past 2^31 output units (count_sharded does the same)
+    total = int(out_lens.astype(np.int64).sum())
     if code == 0:
-        return 0, int(total), outs, np.asarray(out_lens)
-    return code, pos, outs, np.asarray(out_lens)
+        return 0, total, outs, out_lens
+    return code, pos, outs, out_lens
 
 
 def gather_utf16(outs, out_lens) -> np.ndarray:
@@ -234,13 +245,15 @@ def transcode_utf16_to_utf8_sharded(
     """Validating UTF-16→UTF-8 over shards. Returns (err_code,
     err_pos_or_total_bytes, per-shard outputs, per-shard byte counts)."""
     shards, lengths = staged if staged is not None else stage(plan, mesh, axis)
-    win, wpos, wcode, total, outs, out_lens = _transcode16_step(
+    win, wpos, wcode, _total, outs, out_lens = _transcode16_step(
         mesh, axis, big_endian
     )(shards, lengths)
     code, pos = _combine(plan, int(win), int(wpos), int(wcode))
+    out_lens = np.asarray(out_lens)
+    total = int(out_lens.astype(np.int64).sum())  # host int64, never wraps
     if code == 0:
-        return 0, int(total), outs, np.asarray(out_lens)
-    return code, pos, outs, np.asarray(out_lens)
+        return 0, total, outs, out_lens
+    return code, pos, outs, out_lens
 
 
 # --- the full 12-way conversion matrix, sharded -------------------------------
@@ -320,13 +333,15 @@ def transcode_sharded(
     (err_code, err_pos_or_total_units, per-shard outputs, per-shard unit
     counts); first-error positions are global input code-unit indices."""
     shards, lengths = staged if staged is not None else stage(plan, mesh, axis)
-    win, wpos, wcode, total, outs, out_lens = _matrix_step(mesh, axis, op)(
+    win, wpos, wcode, _total, outs, out_lens = _matrix_step(mesh, axis, op)(
         shards, lengths
     )
     code, pos = _combine(plan, int(win), int(wpos), int(wcode))
+    out_lens = np.asarray(out_lens)
+    total = int(out_lens.astype(np.int64).sum())  # host int64, never wraps
     if code == 0:
-        return 0, int(total), outs, np.asarray(out_lens)
-    return code, pos, outs, np.asarray(out_lens)
+        return 0, total, outs, out_lens
+    return code, pos, outs, out_lens
 
 
 # --- counts ------------------------------------------------------------------
@@ -404,19 +419,11 @@ def base64_to_binary_sharded(
         data = np.frombuffer(bytes(data), dtype=np.uint8)
     garbage = gb64.ignore_garbage(options)
     tab = gb64.value_table(options)
-    eq = ord("=")
-    # prologue strip (generic/base64.h:50-73) — O(trailing) host scan
-    srclen = int(data.shape[0])
-    equallocation, equalsigns = srclen, 0
-    if not garbage:
-        while srclen > 0 and tab[data[srclen - 1]] == 64:
-            srclen -= 1
-        if srclen > 0 and int(data[srclen - 1]) == eq:
-            equallocation, srclen, equalsigns = srclen - 1, srclen - 1, 1
-            while srclen > 0 and tab[data[srclen - 1]] == 64:
-                srclen -= 1
-            if srclen > 0 and int(data[srclen - 1]) == eq:
-                equallocation, srclen, equalsigns = srclen - 1, srclen - 1, 2
+    # prologue strip (generic/base64.h:50-73) — the shared vectorized
+    # backward scan (ops/impl.b64_strip), same as the one-shot/batch paths
+    from ..ops.impl import b64_strip
+
+    srclen, equalsigns, equallocation = b64_strip(data, tab, garbage)
 
     shards, lengths = staged if staged is not None else stage(plan, mesh, axis)
     url = bool(options & gb64.BASE64_URL)
@@ -427,20 +434,24 @@ def base64_to_binary_sharded(
     fb, nv, nvb = np.asarray(fb), np.asarray(nv), np.asarray(nvb)
     n_shards = len(plan.lengths)
     # clamp device first-bad to the shard's logical length: '='/whitespace
-    # beyond srclen live in the final shard but were stripped above
+    # beyond srclen live in the final shard but were stripped above.
+    # With accept_garbage, invalid chars are skipped, not errors — the same
+    # gate as the one-shot epilogue (ops/impl.b64_finish).
     out_lens = (nv // 4) * 3
-    for s in range(n_shards):
-        local_strip = max(0, int(plan.offsets[s] + plan.lengths[s]) - srclen)
-        bad = int(fb[s])
-        if bad < int(plan.lengths[s]) - local_strip:
-            gpos = int(plan.offsets[s]) + bad
-            outlen = int(nvb[s]) // 4 * 3 + sum(
-                int(nv[t]) // 4 * 3 for t in range(s)
-            )
-            return (
-                FullResult(ec.INVALID_BASE64_CHARACTER, gpos, outlen),
-                packed, out_lens, np.zeros(0, dtype=np.uint8),
-            )
+    if not garbage:
+        for s in range(n_shards):
+            local_strip = max(
+                0, int(plan.offsets[s] + plan.lengths[s]) - srclen)
+            bad = int(fb[s])
+            if bad < int(plan.lengths[s]) - local_strip:
+                gpos = int(plan.offsets[s]) + bad
+                outlen = int(nvb[s]) // 4 * 3 + sum(
+                    int(nv[t]) // 4 * 3 for t in range(s)
+                )
+                return (
+                    FullResult(ec.INVALID_BASE64_CHARACTER, gpos, outlen),
+                    packed, out_lens, np.zeros(0, dtype=np.uint8),
+                )
     # tail: leftover (<4) chars all live in the final shard by construction
     last = n_shards - 1
     nvalid_last = int(nv[last])

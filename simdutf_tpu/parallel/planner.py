@@ -51,6 +51,13 @@ def plan_shards(
             np.ascontiguousarray(data).view(np.uint8)
         )
     n = int(data.shape[0])
+    if unit in (2, 4) and n % unit:
+        # match the one-shot API, which rejects byte buffers that are not
+        # a whole number of code units (np.frombuffer raises) — silently
+        # flooring would declare a dangling fragment "valid"
+        raise ValueError(
+            f"byte length {n} is not a multiple of the {unit}-byte "
+            f"code unit")
     base = n // n_shards
     cuts = [0]
     for s in range(1, n_shards):

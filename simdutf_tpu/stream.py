@@ -247,14 +247,22 @@ class StreamTranscoder(_Carried):
 
     def push(self, chunk: bytes) -> bytes:
         out = b""
-        for seg, _ in self._segments(bytes(chunk), final=False):
-            out += self._convert(seg)
+        try:
+            for seg, _ in self._segments(bytes(chunk), final=False):
+                out += self._convert(seg)
+        except StreamingError:
+            self._done = True  # invalid input is terminal for a transcoder
+            raise
         return out
 
     def finish(self) -> bytes:
         out = b""
-        for seg, _ in self._segments(b"", final=True):
-            out += self._convert(seg)
+        try:
+            for seg, _ in self._segments(b"", final=True):
+                out += self._convert(seg)
+        except StreamingError:
+            self._done = True
+            raise
         return out
 
 
@@ -366,12 +374,14 @@ class Base64StreamDecoder:
             self._out += len(out)
             self.result = FullResult(full.error, self._chars, self._out)
             if full.error != error_code.SUCCESS:
+                self._done = True  # invalid input is terminal
                 raise StreamingError(
                     full.error, self._chars, out)
             return out
         self._out += len(out)
         self.result = FullResult(
             full.error, self._chars + full.input_count, self._out)
+        self._done = True  # invalid input is terminal
         raise StreamingError(
             full.error, self._chars + full.input_count, out)
 

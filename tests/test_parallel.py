@@ -358,3 +358,48 @@ def test_sharded_detect_encodings(kind):
     want_auto = int(su.autodetect_encoding(data))
     assert detect_encodings_sharded(data, mesh) == want_mask
     assert autodetect_encoding_sharded(data, mesh) == want_auto
+
+
+def test_sharded_base64_accept_garbage():
+    """accept_garbage must skip invalid chars, not error on them — the
+    same gate as the one-shot epilogue (review finding)."""
+    import base64 as pyb64
+
+    import simdutf_tpu as su
+    from simdutf_tpu.parallel import base64_to_binary_sharded
+    from simdutf_tpu.parallel.planner import plan_shards_base64
+
+    mesh = _mesh()
+    payload = bytes(range(256)) * 40
+    enc = bytearray(pyb64.b64encode(payload))
+    for k in range(13, len(enc), 211):
+        enc.insert(k, ord("!"))  # garbage
+    enc = bytes(enc)
+    opts = 4  # BASE64_DEFAULT_ACCEPT_GARBAGE
+    plan = plan_shards_base64(enc, len(jax.devices()), options=opts)
+    full, outs, out_lens, extra = base64_to_binary_sharded(
+        enc, plan, mesh, options=opts)
+    got = b"".join(
+        np.asarray(outs)[i, : int(out_lens[i])].tobytes()
+        for i in range(len(out_lens))
+    ) + extra.tobytes()
+    want_full, want = su.base64_to_binary_details(enc, opts, 0)
+    assert full == want_full and got == want
+
+
+def test_stage_rejects_mismatched_plan():
+    from simdutf_tpu.parallel import plan_shards, stage
+
+    mesh = _mesh()
+    plan = plan_shards(b"hello world" * 100, len(jax.devices()) * 2)
+    with pytest.raises(ValueError, match="shards but the mesh"):
+        stage(plan, mesh)
+
+
+def test_plan_shards_rejects_partial_units():
+    from simdutf_tpu.parallel import plan_shards
+
+    with pytest.raises(ValueError, match="not a multiple"):
+        plan_shards(b"A\x00B", 2, unit=2)
+    with pytest.raises(ValueError, match="not a multiple"):
+        plan_shards(b"12345", 2, unit=4)

@@ -302,3 +302,18 @@ def test_cli_stream_multifile_matches_one_shot(tmp_path):
     rc = main(["-f", "UTF-8", "-t", "UTF-16LE", "--stream-mb", "1",
                "-o", str(out2), str(g1), str(g2)])
     assert rc == 0 and out2.read_bytes() == s.encode("utf-16-le")
+
+
+def test_stream_error_is_terminal():
+    t = st.StreamTranscoder("utf8", "utf16le")
+    with pytest.raises(st.StreamingError):
+        t.push(b"ok\xffmore")
+        t.finish()
+    with pytest.raises(RuntimeError):
+        t.push(b"x")
+    d = st.Base64StreamDecoder()
+    with pytest.raises(st.StreamingError):
+        d.push(b"ab!c" * 2)
+        d.finish()
+    with pytest.raises(RuntimeError):
+        d.push(b"aGVs")
