@@ -99,26 +99,6 @@ def _validate_step(mesh: Mesh, axis: str):
     return step
 
 
-@functools.lru_cache(maxsize=16)
-def _transcode_step(mesh: Mesh, axis: str, big_endian: bool):
-    def local(shards, lengths):
-        code, pos, out, out_len = o8.to_utf16(shards[0], lengths[0], big_endian)
-        win, wpos, wcode, total = _local_reduce(code, pos, out_len, axis)
-        return win[None], wpos[None], wcode[None], total[None], out[None], out_len[None]
-
-    f = shard_map(
-        local, mesh=mesh, in_specs=(P(axis), P(axis)),
-        out_specs=(P(axis),) * 4 + (P(axis), P(axis)),
-    )
-
-    @jax.jit
-    def step(shards, lengths):
-        win, wpos, wcode, total, outs, out_lens = f(shards, lengths)
-        return win[0], wpos[0], wcode[0], total[0], outs, out_lens
-
-    return step
-
-
 def _combine(plan: ShardPlan, win: int, wpos: int, wcode: int):
     """Host-side int64-exact global first-error position."""
     if win == BIG:
@@ -154,8 +134,9 @@ def transcode_utf8_to_utf16_sharded(
     with :func:`gather_utf16`.
     """
     shards, lengths = staged if staged is not None else stage(plan, mesh, axis)
-    win, wpos, wcode, _total, outs, out_lens = _transcode_step(
-        mesh, axis, big_endian
+    op = "utf8_to_utf16be" if big_endian else "utf8_to_utf16le"
+    win, wpos, wcode, _total, outs, out_lens = _matrix_step(
+        mesh, axis, op
     )(shards, lengths)
     code, pos = _combine(plan, int(win), int(wpos), int(wcode))
     out_lens = np.asarray(out_lens)
@@ -217,27 +198,6 @@ def validate_utf16_sharded(
     return code, pos
 
 
-@functools.lru_cache(maxsize=16)
-def _transcode16_step(mesh: Mesh, axis: str, big_endian: bool):
-    def local(shards, lengths):
-        code, pos, out, out_len = o16.to_utf8(shards[0], lengths[0], big_endian)
-        win, wpos, wcode, total = _local_reduce(code, pos, out_len, axis)
-        return (win[None], wpos[None], wcode[None], total[None],
-                out[None], out_len[None])
-
-    f = shard_map(
-        local, mesh=mesh, in_specs=(P(axis), P(axis)),
-        out_specs=(P(axis),) * 4 + (P(axis), P(axis)),
-    )
-
-    @jax.jit
-    def step(shards, lengths):
-        win, wpos, wcode, total, outs, out_lens = f(shards, lengths)
-        return win[0], wpos[0], wcode[0], total[0], outs, out_lens
-
-    return step
-
-
 def transcode_utf16_to_utf8_sharded(
     plan: ShardPlan, mesh: Mesh, axis: str = "data",
     big_endian: bool = False, staged=None,
@@ -245,8 +205,9 @@ def transcode_utf16_to_utf8_sharded(
     """Validating UTF-16→UTF-8 over shards. Returns (err_code,
     err_pos_or_total_bytes, per-shard outputs, per-shard byte counts)."""
     shards, lengths = staged if staged is not None else stage(plan, mesh, axis)
-    win, wpos, wcode, _total, outs, out_lens = _transcode16_step(
-        mesh, axis, big_endian
+    op = "utf16be_to_utf8" if big_endian else "utf16le_to_utf8"
+    win, wpos, wcode, _total, outs, out_lens = _matrix_step(
+        mesh, axis, op
     )(shards, lengths)
     code, pos = _combine(plan, int(win), int(wpos), int(wcode))
     out_lens = np.asarray(out_lens)
