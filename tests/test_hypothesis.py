@@ -10,7 +10,12 @@ import simdutf_tpu as su
 hypothesis.settings.register_profile(
     "ci", max_examples=150, deadline=None, derandomize=True
 )
-hypothesis.settings.load_profile("ci")
+hypothesis.settings.register_profile(
+    "deep", max_examples=3000, deadline=None, derandomize=False
+)
+import os as _os  # noqa: E402
+
+hypothesis.settings.load_profile(_os.environ.get("HYPOTHESIS_PROFILE", "ci"))
 
 
 @given(st.binary(max_size=300))
