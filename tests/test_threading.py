@@ -47,3 +47,42 @@ def test_oversize_input_raises():
     _check_size(MAX_SINGLE_CALL_BYTES)
     with pytest.raises(ValueError, match="plan_shards"):
         _check_size(MAX_SINGLE_CALL_BYTES + 1)
+
+
+def test_concurrent_streams_agree():
+    """N threads each drive their own StreamTranscoder/Base64StreamDecoder
+    over the shared jit caches; every stream's output must equal the
+    one-shot result (the serving-side concurrency pattern)."""
+    import base64 as pyb64
+    import threading
+
+    import simdutf_tpu as su
+    from simdutf_tpu import stream as st
+
+    texts = [("wörker %d 日本語 🙂 " % i) * 50 for i in range(6)]
+    blobs = [bytes(range(256)) * (i + 2) for i in range(6)]
+    results = {}
+
+    def work(i):
+        t = st.StreamTranscoder("utf8", "utf16le")
+        data = texts[i].encode()
+        out = b""
+        for k in range(0, len(data), 97):
+            out += t.push(data[k:k + 97])
+        out += t.finish()
+        d = st.Base64StreamDecoder()
+        enc = pyb64.b64encode(blobs[i])
+        dec = b""
+        for k in range(0, len(enc), 61):
+            dec += d.push(enc[k:k + 61])
+        dec += d.finish()
+        results[i] = (out, dec)
+
+    threads = [threading.Thread(target=work, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i in range(6):
+        assert results[i][0] == texts[i].encode("utf-16-le"), i
+        assert results[i][1] == blobs[i], i
