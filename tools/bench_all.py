@@ -92,6 +92,12 @@ def _corpora(nbytes: int):
     latin1 = (lat_text.encode("latin-1") * (
         nbytes // len(lat_text.encode("latin-1")) + 1))[:nbytes]
     emoji = ("🙂🚀🌍💡🎉😀🥳🤖".encode() * (nbytes // 32 + 1))[:nbytes]
+    # twitter.json-class corpus (BASELINE config 1): ASCII-heavy JSON with
+    # embedded unicode text fields
+    tweet = ('{"id": 1234567890, "user": "somebody", "lang": "ja", '
+             '"text": "RT @friend: 今日はいい天気ですね🙂 #weather", '
+             '"entities": {"hashtags": ["weather"], "urls": []}},\n')
+    jsonish = (tweet.encode() * (nbytes // len(tweet.encode()) + 1))[:nbytes]
     u16be = np.frombuffer(u16, np.uint16).byteswap().tobytes()
     lat16 = latin1.decode("latin-1").encode("utf-16-le")[:nbytes]
     emoji16 = ("🙂🚀🌍💡🎉😀🥳🤖".encode("utf-16-le") * (
@@ -102,6 +108,7 @@ def _corpora(nbytes: int):
         "zh_pure": zh[: len(zh) // 3 * 3],
         "cyr_pure": cyr[: len(cyr) // 2 * 2],
         "emoji_pure": emoji[: len(emoji) // 4 * 4],
+        "jsonish": _trim8(jsonish),
         "ascii16": ascii_c.decode().encode("utf-16-le")[:nbytes],
         "utf16": u16,
         "utf16be": u16be,
@@ -210,6 +217,14 @@ def build_procedures():
     add("utf16_validate", "utf16", pad16,
         _chain_scalarish(lambda x, n: o16.validate_with_errors(x, n, False)[1]),
         lambda nb: nb)
+
+    # BASELINE config 1: validate + count on twitter.json-class data
+    add("utf8_validate_jsonish", "jsonish", pad8,
+        _chain_scalarish(lambda x, n: o8.validate_with_errors(x, n)[0] +
+                         o8.validate_with_errors(x, n)[1]),
+        lambda nb: nb)
+    add("utf8_count_jsonish", "jsonish", pad8,
+        _chain_scalarish(o8.count_code_points), lambda nb: nb)
 
     # counting family
     add("utf8_count", "mixed", pad8,
