@@ -100,6 +100,16 @@ def _corpora(nbytes: int):
     jsonish = (tweet.encode() * (nbytes // len(tweet.encode()) + 1))[:nbytes]
     u16be = np.frombuffer(u16, np.uint16).byteswap().tobytes()
     lat16 = latin1.decode("latin-1").encode("utf-16-le")[:nbytes]
+    lat32 = latin1.decode("latin-1").encode("utf-32-le")[:nbytes]
+    # worst-case UTF-8: equal random mix of 1/2/3/4-byte classes — defeats
+    # every uniform-class fast path, stresses the general transcode machinery
+    # (the reference's adversarial "worst" corpus idea,
+    # benchmarks/src/benchmark.cpp 4-byte worst-expansion notes)
+    worst = gen_corpus.generate(
+        [((0x20, 0x7E), 0.25), ((0x400, 0x4FF), 0.25),
+         ((0x4E00, 0x9FFF), 0.25), ((0x1F300, 0x1F64F), 0.25)],
+        1 << 20, seed=3)
+    worst = _trim8((worst * (nbytes // len(worst) + 1))[:nbytes])
     emoji16 = ("🙂🚀🌍💡🎉😀🥳🤖".encode("utf-16-le") * (
         nbytes // 32 + 1))[:nbytes]
     return {
@@ -113,6 +123,8 @@ def _corpora(nbytes: int):
         "utf16": u16,
         "utf16be": u16be,
         "latin1_utf16": lat16[: len(lat16) // 2 * 2],
+        "latin1_utf32": lat32[: len(lat32) // 4 * 4],
+        "worst": worst,
         "emoji16": emoji16[: len(emoji16) // 4 * 4],
         "utf32": u32,
         "latin1": latin1,
@@ -414,6 +426,55 @@ def build_procedures():
         _chain_out(lambda x, n: o8.to_latin1(x, n)[2:]),
         lambda nb: nb + int(nb * 0.9))
 
+    # remaining reference-procedure analogs (benchmarks/src/benchmark.cpp
+    # registry): latin1<->utf32, utf32->utf16be, the length predictors, and
+    # the rest of the convert_valid_* family
+    add("latin1_to_utf32", "latin1", pad8,
+        _chain_out(lambda x, n: (ol1.to_utf32(x, n), n)),
+        lambda nb: 5 * nb)
+    add("utf32_to_latin1", "latin1_utf32", pad32,
+        _chain_out(lambda x, n: o32.to_latin1(x, n)[2:]),
+        lambda nb: nb + nb // 4)
+    add("utf32_to_latin1_valid", "latin1_utf32", pad32,
+        _chain_out(lambda x, n: o32.to_latin1_valid(x, n)),
+        lambda nb: nb + nb // 4)
+    add("utf32_to_utf16be", "utf32", pad32,
+        _chain_out(lambda x, n: o32.to_utf16(x, n, True)[2:]),
+        lambda nb: nb + nb // 2)
+    add("utf32_to_utf16le_valid", "utf32", pad32,
+        _chain_out(lambda x, n: o32.to_utf16_valid(x, n, False)),
+        lambda nb: nb + nb // 2)
+    add("utf8_length_from_latin1", "latin1", pad8,
+        _chain_scalarish(ol1.utf8_length), lambda nb: nb)
+    add("utf8_length_from_utf32", "utf32", pad32,
+        _chain_scalarish(o32.utf8_length), lambda nb: nb)
+    add("utf16_length_from_utf32", "utf32", pad32,
+        _chain_scalarish(o32.utf16_length), lambda nb: nb)
+    add("utf8_to_utf32_valid", "mixed", pad8,
+        _chain_out(lambda x, n: o8.to_utf32_valid(x, n)),
+        lambda nb: nb + int(nb * 2.8))
+    add("utf8_to_latin1_valid", "latin1_utf8", pad8,
+        _chain_out(lambda x, n: o8.to_latin1_valid(x, n)),
+        lambda nb: nb + int(nb * 0.9))
+    add("utf16_to_utf32_valid", "utf16", pad16,
+        _chain_out(lambda x, n: o16.to_utf32_valid(x, n, False)),
+        lambda nb: 3 * nb)
+    add("utf16_to_latin1_valid", "latin1_utf16", pad16,
+        _chain_out(lambda x, n: o16.to_latin1_valid(x, n, False)),
+        lambda nb: nb + nb // 2)
+
+    # adversarial worst-case byte-class mix (no uniform-class fast path
+    # applies — measures the general classify->scan->scatter machinery)
+    add("utf8_validate_worst", "worst", pad8,
+        _chain_scalarish(lambda x, n: o8.validate_with_errors(x, n)[0] +
+                         o8.validate_with_errors(x, n)[1]),
+        lambda nb: nb)
+    add("utf8_to_utf16le_worst", "worst", pad8,
+        _chain_out(lambda x, n: o8.to_utf16(x, n, False)[2:]),
+        lambda nb: nb + int(nb * 1.3))
+    add("utf8_count_worst", "worst", pad8,
+        _chain_scalarish(o8.count_code_points), lambda nb: nb)
+
     # detection
     import simdutf_tpu.ops.detect as od
 
@@ -601,6 +662,42 @@ def main():
         print(json.dumps(rec), flush=True)
     except Exception as e:
         log(f"stream bench skipped: {e}")
+
+    # thread-scaling microstudy (the reference's benchmarks/threaded.cpp:
+    # users shard a corpus across threads and expect near-linear scaling).
+    # Threads share one process-wide jit cache; each validates its own
+    # shard through the public API. Device work serializes on one chip, so
+    # the interesting number is aggregate throughput vs 1-thread — it shows
+    # the dispatch path doesn't lose the reference's "stateless API, safe
+    # concurrent callers" property under load.
+    try:
+        import threading
+
+        import simdutf_tpu as su
+
+        data = corp["mixed"][: 16 * MB]
+        su.validate_utf8_with_errors(data[: 1 * MB])  # compile
+        for nthreads in (1, 4):
+            shard = len(data) // nthreads
+            shards = [data[i * shard : (i + 1) * shard] for i in range(nthreads)]
+            shards = [s[: su.trim_partial_utf8(s)] for s in shards]
+            [su.validate_utf8_with_errors(s) for s in shards]  # warm shapes
+            t0 = time.perf_counter()
+            th = [threading.Thread(
+                target=su.validate_utf8_with_errors, args=(s,))
+                for s in shards]
+            [t.start() for t in th]
+            [t.join() for t in th]
+            dt = time.perf_counter() - t0
+            tot = sum(len(s) for s in shards)
+            rec = {"procedure": f"utf8_validate_threads{nthreads}_e2e",
+                   "gbps": round(tot / dt / 1e9, 2),
+                   "ms": round(dt * 1e3, 2), "bytes": tot,
+                   "threads": nthreads}
+            log(f"{rec['procedure']:28s} {rec['gbps']:7.2f} GB/s (end-to-end)")
+            print(json.dumps(rec), flush=True)
+    except Exception as e:
+        log(f"threaded bench skipped: {e}")
 
     for rec in host_competitors(corp):
         log(f"{rec['procedure']:28s} {rec['gbps']:7.2f} GB/s (host)")
