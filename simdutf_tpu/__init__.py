@@ -47,3 +47,11 @@ from .encodings import (
 __version__ = "0.1.0"
 
 SIMDUTF_VERSION = "7.0.0"  # reference parity target
+
+# runtime feature subsetting (SIMDUTF_TPU_FEATURES env) — the analog of
+# building the reference with a SIMDUTF_FEATURE_* subset via amalgamation
+from . import api as _api_mod  # noqa: E402
+from .features import apply_gates as _apply_gates, FeatureUnavailableError  # noqa: E402,F401
+import sys as _sys  # noqa: E402
+
+_GATED_FUNCTIONS = _apply_gates((_api_mod, _sys.modules[__name__]))

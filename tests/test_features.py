@@ -1,0 +1,137 @@
+"""Feature subsetting — parity with the reference's amalgamation gates.
+
+The reference builds any subset of SIMDUTF_FEATURE_{DETECT_ENCODING,ASCII,
+LATIN1,UTF8,UTF16,UTF32,BASE64} (singleheader/amalgamate.py:60-67) and
+singleheader/test-features.py verifies each combination compiles and the
+kept functions work. Here the same contract is runtime: the
+SIMDUTF_TPU_FEATURES env subset is fixed at import, kept functions work,
+stripped ones raise FeatureUnavailableError. Import-time behavior needs a
+fresh interpreter, hence subprocesses.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_py(code: str, features: str | None):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    if features is None:
+        env.pop("SIMDUTF_TPU_FEATURES", None)
+    else:
+        env["SIMDUTF_TPU_FEATURES"] = features
+    return subprocess.run([sys.executable, "-c", code], env=env,
+                          capture_output=True, text=True, timeout=300)
+
+
+PROBE = r"""
+import json
+import simdutf_tpu as su
+
+def status(fn, *args):
+    try:
+        fn(*args)
+        return "ok"
+    except su.FeatureUnavailableError:
+        return "gated"
+
+print(json.dumps({
+    "utf8_validate": status(su.validate_utf8, b"abc"),
+    "utf8_to_utf16": status(su.convert_utf8_to_utf16le, b"abc"),
+    "utf16_validate": status(su.validate_utf16le, b"a\x00"),
+    "b64_decode": status(su.base64_to_binary, b"aGVsbG8="),
+    "latin1": status(su.convert_latin1_to_utf8, b"ab"),
+    "ascii": status(su.validate_ascii, b"ab"),
+    "utf32": status(su.validate_utf32, b"a\x00\x00\x00"),
+    "detect": status(su.autodetect_encoding, b"ab"),
+    "caps": su.FEATURES,
+    "gated_count": len(su._GATED_FUNCTIONS),
+}))
+"""
+
+
+def probe(features):
+    r = run_py(PROBE, features)
+    assert r.returncode == 0, r.stderr[-2000:]
+    return json.loads(r.stdout.strip().splitlines()[-1])
+
+
+def test_default_everything_enabled():
+    got = probe(None)
+    assert all(v == "ok" for k, v in got.items()
+               if k not in ("caps", "gated_count")), got
+    assert all(got["caps"].values())
+    assert got["gated_count"] == 0
+
+
+def test_utf8_only_subset():
+    got = probe("utf8,ascii,detect_encoding")
+    assert got["utf8_validate"] == "ok"
+    assert got["ascii"] == "ok"
+    assert got["detect"] == "ok"
+    # cross-family converters need BOTH sides, like the reference's
+    # `#if SIMDUTF_FEATURE_UTF8 && SIMDUTF_FEATURE_UTF16` region guards
+    assert got["utf8_to_utf16"] == "gated"
+    assert got["utf16_validate"] == "gated"
+    assert got["b64_decode"] == "gated"
+    assert got["latin1"] == "gated"
+    assert got["utf32"] == "gated"
+    assert got["gated_count"] > 40
+
+
+def test_base64_only_subset():
+    got = probe("base64")
+    assert got["b64_decode"] == "ok"
+    assert got["utf8_validate"] == "gated"
+    assert got["utf8_to_utf16"] == "gated"
+
+
+def test_unknown_feature_rejected():
+    r = run_py("import simdutf_tpu", "utf9")
+    assert r.returncode != 0
+    assert "unknown feature" in r.stderr
+
+
+def test_gate_error_message_names_the_feature():
+    r = run_py(
+        "import simdutf_tpu as su\n"
+        "try:\n    su.base64_to_binary(b'aa==')\n"
+        "except su.FeatureUnavailableError as e:\n    print(e)",
+        "utf8")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "base64" in r.stdout and "SIMDUTF_TPU_FEATURES" in r.stdout
+
+
+def test_features_report_reflects_subset():
+    r = run_py(
+        "import json, simdutf_tpu as su\n"
+        "print(json.dumps(su.features()['capabilities']))",
+        "utf16,utf8")
+    assert r.returncode == 0, r.stderr[-2000:]
+    caps = json.loads(r.stdout.strip().splitlines()[-1])
+    assert caps["utf8"] and caps["utf16"]
+    assert not caps["base64"] and not caps["latin1"]
+
+
+@pytest.mark.parametrize("keep", ["utf8", "utf16", "utf32", "latin1"])
+def test_single_family_import_works(keep):
+    # every 1-feature subset must import cleanly and keep its own
+    # validators usable (test-features.py's "every combination builds")
+    payload = {
+        "utf8": "su.validate_utf8(b'ab')",
+        "utf16": "su.validate_utf16le(b'a\\x00')",
+        "utf32": "su.validate_utf32(b'a\\x00\\x00\\x00')",
+        # latin1 alone gates every converter (they all need the other
+        # side's feature too, like the reference's && region guards) — the
+        # single-feature build must still import cleanly and report itself
+        "latin1": "su.FEATURES['latin1']",
+    }[keep]
+    r = run_py(f"import simdutf_tpu as su\nprint({payload})", keep)
+    assert r.returncode == 0, r.stderr[-2000:]
