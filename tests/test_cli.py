@@ -136,3 +136,30 @@ def test_cli_stream_base64_error(tmp_path, capsys):
     assert rc == 1
     assert "INVALID_BASE64_CHARACTER at input char 4000" in \
         capsys.readouterr().err
+
+
+def _run_module(mod, args, input_bytes=b""):
+    return subprocess.run(
+        [sys.executable, "-m", mod, *args],
+        input=input_bytes, capture_output=True, cwd="/root/repo",
+        env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+             "PYTHONPATH": "/root/repo", "HOME": "/root"},
+    )
+
+
+def test_sutf_module_alias():
+    # SURVEY §2.1 names `python -m simdutf_tpu.sutf` (tools/sutf.cpp parity)
+    r = _run_module("simdutf_tpu.sutf",
+                    ["-f", "UTF-8", "-t", "UTF-16LE"], "hé🙂".encode())
+    assert r.returncode == 0, r.stderr
+    assert r.stdout == "hé🙂".encode("utf-16-le")
+
+
+def test_fastbase64_module_default_encodes_and_decodes_back():
+    # tools/fastbase64.cpp parity: default mode encodes, -d decodes
+    payload = b"\x00\xffbinary payload\x01"
+    enc = _run_module("simdutf_tpu.fastbase64", [], payload)
+    assert enc.returncode == 0, enc.stderr
+    dec = _run_module("simdutf_tpu.fastbase64", ["-d"], enc.stdout)
+    assert dec.returncode == 0, dec.stderr
+    assert dec.stdout == payload
