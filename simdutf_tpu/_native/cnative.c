@@ -810,17 +810,17 @@ static PyObject *py_b64_decode(PyObject *self, PyObject *args) {
 #define AT(i) ((uint32_t)(is16 ? d16[(i)] : d8[(i)]))
 #define VALOF(c) ((c) < 256 ? tab[(c)] : (uint8_t)255)
 
-  Py_ssize_t equallocation = srclen;
-  Py_ssize_t equalsigns = 0;
+  Py_ssize_t pad_pos = srclen;
+  Py_ssize_t pad_count = 0;
   if (!garbage) {
     while (srclen > 0 && VALOF(AT(srclen - 1)) == 64) srclen--;
     if (srclen > 0 && AT(srclen - 1) == '=') {
-      equallocation = --srclen;
-      equalsigns = 1;
+      pad_pos = --srclen;
+      pad_count = 1;
       while (srclen > 0 && VALOF(AT(srclen - 1)) == 64) srclen--;
       if (srclen > 0 && AT(srclen - 1) == '=') {
-        equallocation = --srclen;
-        equalsigns = 2;
+        pad_pos = --srclen;
+        pad_count = 2;
       }
     }
   }
@@ -841,10 +841,10 @@ static PyObject *py_b64_decode(PyObject *self, PyObject *args) {
   }
   uint8_t *o = (uint8_t *)PyBytes_AS_STRING(out);
   if (srclen == 0) {
-    if (!garbage && equalsigns > 0) {
+    if (!garbage && pad_count > 0) {
       if (last_chunk == 1) RET(E_BASE64_INPUT_REMAINDER, 0, 0);
       if (last_chunk == 2) RET(E_SUCCESS, 0, 0);
-      RET(E_INVALID_BASE64_CHARACTER, equallocation, 0);
+      RET(E_INVALID_BASE64_CHARACTER, pad_pos, 0);
     }
     RET(E_SUCCESS, 0, 0);
   }
@@ -874,11 +874,11 @@ static PyObject *py_b64_decode(PyObject *self, PyObject *args) {
     }
     i++;
   }
-  if (idx != 0 || (!garbage && equalsigns > 0)) {
+  if (idx != 0 || (!garbage && pad_count > 0)) {
     if (!garbage && last_chunk == 1 && idx != 1 &&
-        ((idx + equalsigns) & 3) != 0)
+        ((idx + pad_count) & 3) != 0)
       RET(E_BASE64_INPUT_REMAINDER, srclen, w);
-    if (!garbage && last_chunk == 2 && ((idx + equalsigns) & 3) != 0) {
+    if (!garbage && last_chunk == 2 && ((idx + pad_count) & 3) != 0) {
       Py_ssize_t start = idx > 0 ? chunk_first_valid : srclen;
       RET(E_SUCCESS, start, w);
     }
@@ -898,9 +898,9 @@ static PyObject *py_b64_decode(PyObject *self, PyObject *args) {
       RET(E_BASE64_INPUT_REMAINDER, srclen, w);
     }
   }
-  if (!garbage && last_chunk != 2 && equalsigns > 0) {
-    if ((w % 3 == 0) || ((w % 3) + 1 + equalsigns != 4))
-      RET(E_INVALID_BASE64_CHARACTER, equallocation, w);
+  if (!garbage && last_chunk != 2 && pad_count > 0) {
+    if ((w % 3 == 0) || ((w % 3) + 1 + pad_count != 4))
+      RET(E_INVALID_BASE64_CHARACTER, pad_pos, w);
   }
   RET(E_SUCCESS, srclen, w);
 #undef RET

@@ -253,9 +253,9 @@ def base64_to_binary_batch(
         )
     )
     out = []
-    for i, (srclen, equalsigns, equallocation) in enumerate(strips):
+    for i, (srclen, pad_count, pad_pos) in enumerate(strips):
         full, payload = b64_finish(
-            srclen, equalsigns, equallocation, garbage, last_chunk,
+            srclen, pad_count, pad_pos, garbage, last_chunk,
             int(first_bad[i]), int(nvalid[i]), int(nvalid_at_bad[i]),
             packed[i], tail_vals[i], int(tail_start[i]),
         )

@@ -161,29 +161,29 @@ def decode(
 
     codes_all = _codes(src, tab)
     srclen = int(src.shape[0])
-    equallocation = srclen
-    equalsigns = 0
+    pad_pos = srclen
+    pad_count = 0
     if not garbage:
         # prologue strip (generic/base64.h:50-73)
         while srclen > 0 and codes_all[srclen - 1] == 64:
             srclen -= 1
         if srclen > 0 and int(src[srclen - 1]) == eq:
-            equallocation = srclen - 1
+            pad_pos = srclen - 1
             srclen -= 1
-            equalsigns = 1
+            pad_count = 1
             while srclen > 0 and codes_all[srclen - 1] == 64:
                 srclen -= 1
             if srclen > 0 and int(src[srclen - 1]) == eq:
-                equallocation = srclen - 1
+                pad_pos = srclen - 1
                 srclen -= 1
-                equalsigns = 2
+                pad_count = 2
     if srclen == 0:
-        if not garbage and equalsigns > 0:
+        if not garbage and pad_count > 0:
             if last_chunk == STRICT:
                 return FullResult(ec.BASE64_INPUT_REMAINDER, 0, 0), empty
             if last_chunk == STOP_BEFORE_PARTIAL:
                 return FullResult(ec.SUCCESS, 0, 0), empty
-            return FullResult(ec.INVALID_BASE64_CHARACTER, equallocation, 0), empty
+            return FullResult(ec.INVALID_BASE64_CHARACTER, pad_pos, 0), empty
         return FullResult(ec.SUCCESS, 0, 0), empty
 
     codes = codes_all[:srclen]
@@ -207,18 +207,18 @@ def decode(
     idx = nvalid - nfull
     tail_vals = vals[nfull:]
 
-    if idx != 0 or (not garbage and equalsigns > 0):
+    if idx != 0 or (not garbage and pad_count > 0):
         if (
             not garbage
             and last_chunk == STRICT
             and idx != 1
-            and ((idx + equalsigns) & 3) != 0
+            and ((idx + pad_count) & 3) != 0
         ):
             return FullResult(ec.BASE64_INPUT_REMAINDER, srclen, len(out)), out
         if (
             not garbage
             and last_chunk == STOP_BEFORE_PARTIAL
-            and ((idx + equalsigns) & 3) != 0
+            and ((idx + pad_count) & 3) != 0
         ):
             if idx > 0:
                 start = int(np.flatnonzero(is_valid)[nfull])
@@ -244,10 +244,10 @@ def decode(
         elif not garbage and idx == 1 and last_chunk != STOP_BEFORE_PARTIAL:
             return FullResult(ec.BASE64_INPUT_REMAINDER, srclen, len(out)), out
 
-    if not garbage and last_chunk != STOP_BEFORE_PARTIAL and equalsigns > 0:
-        if (len(out) % 3 == 0) or ((len(out) % 3) + 1 + equalsigns != 4):
+    if not garbage and last_chunk != STOP_BEFORE_PARTIAL and pad_count > 0:
+        if (len(out) % 3 == 0) or ((len(out) % 3) + 1 + pad_count != 4):
             return (
-                FullResult(ec.INVALID_BASE64_CHARACTER, equallocation, len(out)),
+                FullResult(ec.INVALID_BASE64_CHARACTER, pad_pos, len(out)),
                 out,
             )
     return FullResult(ec.SUCCESS, srclen, len(out)), out
@@ -445,44 +445,44 @@ def _decode_safe_slow(src, capacity, options, last_chunk):
     # prologue strip (spaces only, then '=' twice)
     while length > 0 and code(src[length - 1]) == 64:
         length -= 1
-    equallocation = length
-    equalsigns = 0
+    pad_pos = length
+    pad_count = 0
     if length > 0 and int(src[length - 1]) == eq:
-        equallocation = length - 1
+        pad_pos = length - 1
         length -= 1
-        equalsigns += 1
+        pad_count += 1
         while length > 0 and code(src[length - 1]) == 64:
             length -= 1
         if length > 0 and int(src[length - 1]) == eq:
-            equallocation = length - 1
+            pad_pos = length - 1
             length -= 1
-            equalsigns += 1
+            pad_count += 1
     empty_np = np.zeros(0, np.uint8)
     if length == 0:
-        if not garbage and equalsigns > 0:
+        if not garbage and pad_count > 0:
             if last_chunk == STRICT:
                 return Result(ec.BASE64_INPUT_REMAINDER, 0), empty_np
             if last_chunk == STOP_BEFORE_PARTIAL:
                 return Result(ec.SUCCESS, 0), empty_np
-            return Result(ec.INVALID_BASE64_CHARACTER, equallocation), empty_np
+            return Result(ec.INVALID_BASE64_CHARACTER, pad_pos), empty_np
         return Result(ec.SUCCESS, 0), empty_np
 
     orig_length = int(src.shape[0]) if hasattr(src, "shape") else len(src)
     out = bytearray()
     err, src_idx = tail_decode_safe(
-        out, capacity, src, 0, length, equalsigns, options, last_chunk
+        out, capacity, src, 0, length, pad_count, options, last_chunk
     )
     outlen = len(out)
     if (
         last_chunk != STOP_BEFORE_PARTIAL
         and err == ec.SUCCESS
-        and equalsigns > 0
+        and pad_count > 0
     ):
-        if (outlen % 3 == 0) or ((outlen % 3) + 1 + equalsigns != 4):
+        if (outlen % 3 == 0) or ((outlen % 3) + 1 + pad_count != 4):
             # reference keeps a path-dependent count here; we report the
             # padding location like the non-safe path (documented deviation)
             return (
-                Result(ec.INVALID_BASE64_CHARACTER, equallocation),
+                Result(ec.INVALID_BASE64_CHARACTER, pad_pos),
                 _np_out(out),
             )
     if err == ec.SUCCESS:

@@ -720,7 +720,7 @@ class PallasImplementation(XLAImplementation):
         if len(sample) and int(tab[sample].max(initial=0)) > 63:
             return super().base64_to_binary_details(src, options, last_chunk)
 
-        srclen, equalsigns, equallocation = b64_strip(src, tab, garbage)
+        srclen, pad_count, pad_pos = b64_strip(src, tab, garbage)
         nfull = srclen // 4 * 4
         tail_vals = [int(tab[int(c)]) for c in np.asarray(src[nfull:srclen])]
         if any(v > 63 for v in tail_vals):
@@ -737,7 +737,7 @@ class PallasImplementation(XLAImplementation):
         idx = srclen - nfull
         full, extra = b64_tail_epilogue(
             outlen, idx, tail_vals, nfull, srclen,
-            equalsigns, equallocation, garbage, last_chunk,
+            pad_count, pad_pos, garbage, last_chunk,
         )
         if len(extra):
             body = np.concatenate([body, extra])

@@ -109,7 +109,7 @@ def _cut(arr, out_len) -> np.ndarray:
 
 def b64_strip(src, tab_np, garbage: bool):
     """Prologue strip (generic/base64.h:50-73): trailing whitespace and up
-    to two '=' signs. Returns (srclen, equalsigns, equallocation).
+    to two '=' signs. Returns (srclen, pad_count, pad_pos).
     Vectorized backward scan in growing chunks — O(trailing)."""
     eq = ord("=")
 
@@ -129,15 +129,15 @@ def b64_strip(src, tab_np, garbage: bool):
         return 0
 
     srclen = int(src.shape[0])
-    equallocation, equalsigns = srclen, 0
+    pad_pos, pad_count = srclen, 0
     if not garbage:
         srclen = strip_ws(srclen)
         if srclen > 0 and int(src[srclen - 1]) == eq:
-            equallocation, srclen, equalsigns = srclen - 1, srclen - 1, 1
+            pad_pos, srclen, pad_count = srclen - 1, srclen - 1, 1
             srclen = strip_ws(srclen)
             if srclen > 0 and int(src[srclen - 1]) == eq:
-                equallocation, srclen, equalsigns = srclen - 1, srclen - 1, 2
-    return srclen, equalsigns, equallocation
+                pad_pos, srclen, pad_count = srclen - 1, srclen - 1, 2
+    return srclen, pad_count, pad_pos
 
 
 def b64_tail_epilogue(
@@ -146,8 +146,8 @@ def b64_tail_epilogue(
     tail: list,
     tail_start: int,
     srclen: int,
-    equalsigns: int,
-    equallocation: int,
+    pad_count: int,
+    pad_pos: int,
     garbage: bool,
     last_chunk: int,
 ):
@@ -162,18 +162,18 @@ def b64_tail_epilogue(
     none = np.zeros(0, dtype=np.uint8)
     w = outlen
     extra = none
-    if idx != 0 or (not garbage and equalsigns > 0):
+    if idx != 0 or (not garbage and pad_count > 0):
         if (
             not garbage
             and last_chunk == gb.STRICT
             and idx != 1
-            and ((idx + equalsigns) & 3) != 0
+            and ((idx + pad_count) & 3) != 0
         ):
             return FullResult(ec.BASE64_INPUT_REMAINDER, srclen, w), none
         if (
             not garbage
             and last_chunk == gb.STOP_BEFORE_PARTIAL
-            and ((idx + equalsigns) & 3) != 0
+            and ((idx + pad_count) & 3) != 0
         ):
             start = tail_start if idx > 0 else srclen
             return FullResult(ec.SUCCESS, start, w), none
@@ -194,10 +194,10 @@ def b64_tail_epilogue(
         elif not garbage and idx == 1 and last_chunk != gb.STOP_BEFORE_PARTIAL:
             return FullResult(ec.BASE64_INPUT_REMAINDER, srclen, w), none
 
-    if not garbage and last_chunk != gb.STOP_BEFORE_PARTIAL and equalsigns > 0:
-        if (w % 3 == 0) or ((w % 3) + 1 + equalsigns != 4):
+    if not garbage and last_chunk != gb.STOP_BEFORE_PARTIAL and pad_count > 0:
+        if (w % 3 == 0) or ((w % 3) + 1 + pad_count != 4):
             return (
-                FullResult(ec.INVALID_BASE64_CHARACTER, equallocation, w),
+                FullResult(ec.INVALID_BASE64_CHARACTER, pad_pos, w),
                 extra,
             )
     return FullResult(ec.SUCCESS, srclen, w), extra
@@ -205,8 +205,8 @@ def b64_tail_epilogue(
 
 def b64_finish(
     srclen: int,
-    equalsigns: int,
-    equallocation: int,
+    pad_count: int,
+    pad_pos: int,
     garbage: bool,
     last_chunk: int,
     first_bad: int,
@@ -220,13 +220,13 @@ def b64_finish(
     device decode's raw outputs into the (FullResult, bytes) contract."""
     empty = np.zeros(0, dtype=np.uint8)
     if srclen == 0:
-        if not garbage and equalsigns > 0:
+        if not garbage and pad_count > 0:
             if last_chunk == gb.STRICT:
                 return FullResult(ec.BASE64_INPUT_REMAINDER, 0, 0), empty
             if last_chunk == gb.STOP_BEFORE_PARTIAL:
                 return FullResult(ec.SUCCESS, 0, 0), empty
             return (
-                FullResult(ec.INVALID_BASE64_CHARACTER, equallocation, 0),
+                FullResult(ec.INVALID_BASE64_CHARACTER, pad_pos, 0),
                 empty,
             )
         return FullResult(ec.SUCCESS, 0, 0), empty
@@ -245,7 +245,7 @@ def b64_finish(
     tail = [int(t) for t in np.asarray(tail_vals)[:idx]]
     full, extra = b64_tail_epilogue(
         len(out), idx, tail, int(tail_start), srclen,
-        equalsigns, equallocation, garbage, last_chunk,
+        pad_count, pad_pos, garbage, last_chunk,
     )
     if len(extra):
         out = np.concatenate([out, extra])
@@ -496,9 +496,9 @@ class XLAImplementation(Implementation):
         garbage = gb.ignore_garbage(options)
         tab_np = gb.value_table(options)
 
-        srclen, equalsigns, equallocation = b64_strip(src, tab_np, garbage)
+        srclen, pad_count, pad_pos = b64_strip(src, tab_np, garbage)
         if srclen == 0:
-            return b64_finish(0, equalsigns, equallocation, garbage,
+            return b64_finish(0, pad_count, pad_pos, garbage,
                               last_chunk, 0, 0, 0, None, None, 0)
 
         p, _ = _pad(src[:srclen])
@@ -511,7 +511,7 @@ class XLAImplementation(Implementation):
             )
         )
         return b64_finish(
-            srclen, equalsigns, equallocation, garbage, last_chunk,
+            srclen, pad_count, pad_pos, garbage, last_chunk,
             int(first_bad), int(nvalid), int(nvalid_at_bad),
             packed, tail_vals, int(tail_start),
         )

@@ -384,7 +384,7 @@ def base64_to_binary_sharded(
     # backward scan (ops/impl.b64_strip), same as the one-shot/batch paths
     from ..ops.impl import b64_strip
 
-    srclen, equalsigns, equallocation = b64_strip(data, tab, garbage)
+    srclen, pad_count, pad_pos = b64_strip(data, tab, garbage)
 
     shards, lengths = staged if staged is not None else stage(plan, mesh, axis)
     url = bool(options & gb64.BASE64_URL)
@@ -423,7 +423,7 @@ def base64_to_binary_sharded(
     total = int(out_lens.sum())
     full, extra = b64_tail_epilogue(
         total, idx, tail, tail_start, srclen,
-        equalsigns, equallocation, garbage, last_chunk,
+        pad_count, pad_pos, garbage, last_chunk,
     )
     return full, packed, out_lens, extra
 

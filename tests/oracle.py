@@ -707,28 +707,28 @@ def base64_to_binary(
         return tab[c & 0xFF]
 
     srclen = len(src)
-    equallocation = srclen
-    equalsigns = 0
+    pad_pos = srclen
+    pad_count = 0
     if not ignore_garbage:
         while srclen > 0 and code(src[srclen - 1]) == 64:
             srclen -= 1
         if srclen > 0 and src[srclen - 1] == eq:
-            equallocation = srclen - 1
+            pad_pos = srclen - 1
             srclen -= 1
-            equalsigns = 1
+            pad_count = 1
             while srclen > 0 and code(src[srclen - 1]) == 64:
                 srclen -= 1
             if srclen > 0 and src[srclen - 1] == eq:
-                equallocation = srclen - 1
+                pad_pos = srclen - 1
                 srclen -= 1
-                equalsigns = 2
+                pad_count = 2
     if srclen == 0:
-        if not ignore_garbage and equalsigns > 0:
+        if not ignore_garbage and pad_count > 0:
             if last_chunk == STRICT:
                 return FullResult(ec.BASE64_INPUT_REMAINDER, 0, 0), b""
             if last_chunk == STOP_BEFORE_PARTIAL:
                 return FullResult(ec.SUCCESS, 0, 0), b""
-            return FullResult(ec.INVALID_BASE64_CHARACTER, equallocation, 0), b""
+            return FullResult(ec.INVALID_BASE64_CHARACTER, pad_pos, 0), b""
         return FullResult(ec.SUCCESS, 0, 0), b""
 
     # Emulate base64_tail_decode over the stripped input (scalar/base64.h:33).
@@ -758,18 +758,18 @@ def base64_to_binary(
 
     idx = len(buffer)
     # Tail handling (scalar/base64.h:133-200)
-    if idx != 0 or (not ignore_garbage and equalsigns > 0):
+    if idx != 0 or (not ignore_garbage and pad_count > 0):
         if (
             not ignore_garbage
             and last_chunk == STRICT
             and idx != 1
-            and ((idx + equalsigns) & 3) != 0
+            and ((idx + pad_count) & 3) != 0
         ):
             return FullResult(ec.BASE64_INPUT_REMAINDER, srclen, len(out)), bytes(out)
         if (
             not ignore_garbage
             and last_chunk == STOP_BEFORE_PARTIAL
-            and ((idx + equalsigns) & 3) != 0
+            and ((idx + pad_count) & 3) != 0
         ):
             # input_count = start of the partial chunk (first valid char of it)
             start = chunk_valid_positions[0] if chunk_valid_positions else srclen
@@ -792,11 +792,11 @@ def base64_to_binary(
     if (
         not ignore_garbage
         and last_chunk != STOP_BEFORE_PARTIAL
-        and equalsigns > 0
+        and pad_count > 0
     ):
-        if (len(out) % 3 == 0) or ((len(out) % 3) + 1 + equalsigns != 4):
+        if (len(out) % 3 == 0) or ((len(out) % 3) + 1 + pad_count != 4):
             return (
-                FullResult(ec.INVALID_BASE64_CHARACTER, equallocation, len(out)),
+                FullResult(ec.INVALID_BASE64_CHARACTER, pad_pos, len(out)),
                 bytes(out),
             )
     return FullResult(ec.SUCCESS, srclen, len(out)), bytes(out)
