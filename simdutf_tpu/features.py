@@ -104,6 +104,25 @@ def apply_gates(namespaces) -> list:
     return sorted(set(gated))
 
 
+#: canonical stream-encoding name -> feature gate
+ENCODING_FEATURE = {
+    "utf8": "utf8", "utf16le": "utf16", "utf16be": "utf16",
+    "utf32": "utf32", "latin1": "latin1", "ascii": "ascii",
+}
+
+
+def require_enabled(feats, who: str) -> None:
+    """Raise FeatureUnavailableError if any needed feature is disabled —
+    the runtime check used by class-based surfaces (streaming) that can't
+    be name-gated at import like the free functions."""
+    missing = {f for f in feats if not FEATURES.get(f, True)}
+    if missing:
+        raise FeatureUnavailableError(
+            f"{who} requires feature(s) [{', '.join(sorted(missing))}] but "
+            f"this process was started with SIMDUTF_TPU_FEATURES="
+            f"{os.environ.get('SIMDUTF_TPU_FEATURES')!r}")
+
+
 def features() -> dict:
     """Capability + tier availability report."""
     tiers = {}

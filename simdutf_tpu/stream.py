@@ -153,6 +153,9 @@ class _Carried:
         enc = canonical_encoding(src)
         if enc is None:
             raise ValueError(f"unknown encoding {src!r}")
+        from .features import ENCODING_FEATURE, require_enabled
+
+        require_enabled({ENCODING_FEATURE[enc]}, type(self).__name__)
         self._src = enc
         self._unit = _UNIT_BYTES[enc]
         self._buf = bytearray()
@@ -209,6 +212,9 @@ class StreamTranscoder(_Carried):
         to = canonical_encoding(dst)
         if to is None:
             raise ValueError(f"unknown encoding {dst!r}")
+        from .features import ENCODING_FEATURE, require_enabled
+
+        require_enabled({ENCODING_FEATURE[to]}, type(self).__name__)
         if to == "ascii":
             raise ValueError(
                 "ascii is a validation target, not a conversion target "
@@ -321,6 +327,9 @@ class Base64StreamDecoder:
     """
 
     def __init__(self, options: int = 0, last_chunk_handling: int = 0):
+        from .features import require_enabled
+
+        require_enabled({"base64"}, type(self).__name__)
         from .golden import base64_impl as gb
 
         self._options = options
@@ -403,6 +412,9 @@ class Base64StreamEncoder:
     padding per ``options`` is appended by ``finish()``."""
 
     def __init__(self, options: int = 0):
+        from .features import require_enabled
+
+        require_enabled({"base64"}, type(self).__name__)
         self._options = options
         self._buf = bytearray()
         self._done = False

@@ -139,11 +139,14 @@ def test_cli_stream_base64_error(tmp_path, capsys):
 
 
 def _run_module(mod, args, input_bytes=b""):
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.update({"JAX_PLATFORMS": "cpu", "PYTHONPATH": repo})
     return subprocess.run(
         [sys.executable, "-m", mod, *args],
-        input=input_bytes, capture_output=True, cwd="/root/repo",
-        env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
-             "PYTHONPATH": "/root/repo", "HOME": "/root"},
+        input=input_bytes, capture_output=True, cwd=repo, env=env,
     )
 
 

@@ -135,3 +135,25 @@ def test_single_family_import_works(keep):
     }[keep]
     r = run_py(f"import simdutf_tpu as su\nprint({payload})", keep)
     assert r.returncode == 0, r.stderr[-2000:]
+
+
+def test_stream_classes_are_gated():
+    # class surfaces can't be name-gated at import; their constructors
+    # must enforce the same contract (code-review finding)
+    code = (
+        "import simdutf_tpu as su\n"
+        "def chk(f):\n"
+        "    try:\n"
+        "        f(); return 'ok'\n"
+        "    except su.FeatureUnavailableError: return 'gated'\n"
+        "print(chk(lambda: su.Base64StreamDecoder()),\n"
+        "      chk(lambda: su.Base64StreamEncoder()),\n"
+        "      chk(lambda: su.StreamTranscoder('utf8','utf16le')),\n"
+        "      chk(lambda: su.StreamTranscoder('utf8','utf8')),\n"
+        "      chk(lambda: su.StreamValidator('utf8')),\n"
+        "      chk(lambda: su.StreamValidator('utf16le')))\n"
+    )
+    r = run_py(code, "utf8,ascii")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert r.stdout.split() == ["gated", "gated", "gated", "ok", "ok",
+                                "gated"]

@@ -682,13 +682,21 @@ def main():
             shards = [data[i * shard : (i + 1) * shard] for i in range(nthreads)]
             shards = [s[: su.trim_partial_utf8(s)] for s in shards]
             [su.validate_utf8_with_errors(s) for s in shards]  # warm shapes
+            errors = []
+
+            def work(s):
+                try:
+                    su.validate_utf8_with_errors(s)
+                except Exception as exc:  # noqa: BLE001 — must not emit a
+                    errors.append(exc)    # record if any worker died
+
             t0 = time.perf_counter()
-            th = [threading.Thread(
-                target=su.validate_utf8_with_errors, args=(s,))
-                for s in shards]
+            th = [threading.Thread(target=work, args=(s,)) for s in shards]
             [t.start() for t in th]
             [t.join() for t in th]
             dt = time.perf_counter() - t0
+            if errors:
+                raise errors[0]
             tot = sum(len(s) for s in shards)
             rec = {"procedure": f"utf8_validate_threads{nthreads}_e2e",
                    "gbps": round(tot / dt / 1e9, 2),

@@ -38,8 +38,9 @@ def load_records(paths):
             whole = json.loads(text)
             # driver envelope (BENCH_r*.json): the record is under "parsed"
             if isinstance(whole, dict) and "parsed" in whole:
-                whole = whole["parsed"]
-            recs += whole if isinstance(whole, list) else [whole]
+                whole = whole["parsed"]  # may be null for a failed run
+            items = whole if isinstance(whole, list) else [whole]
+            recs += [r for r in items if isinstance(r, dict)]
             continue
         except json.JSONDecodeError:
             pass
