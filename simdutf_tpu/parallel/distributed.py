@@ -255,6 +255,15 @@ _MATRIX_OPS = {
     "latin1_to_utf16be": (1, _wrap_plain(
         lambda s, l: ol1.to_utf16(s, l, True), lambda l: l)),
     "latin1_to_utf32": (1, _wrap_plain(ol1.to_utf32, lambda l: l)),
+    # elementwise utf16 ops: shard-local == global because the planner's
+    # pair-aligned cuts mean no surrogate pair straddles a shard, so
+    # to_well_formed's 1-word lookback never crosses a boundary
+    "utf16le_to_well_formed": (2, _wrap_plain(
+        lambda s, l: o16.to_well_formed(s, l, False), lambda l: l)),
+    "utf16be_to_well_formed": (2, _wrap_plain(
+        lambda s, l: o16.to_well_formed(s, l, True), lambda l: l)),
+    "utf16_change_endianness": (2, _wrap_plain(
+        lambda s, l: o16.change_endianness(s), lambda l: l)),
 }
 
 

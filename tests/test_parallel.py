@@ -281,6 +281,9 @@ def test_sharded_full_matrix():
         "utf32_to_utf16be": u32, "utf32_to_latin1": u32_l1,
         "latin1_to_utf8": l1, "latin1_to_utf16le": l1,
         "latin1_to_utf16be": l1, "latin1_to_utf32": l1,
+        "utf16le_to_well_formed": u16,
+        "utf16be_to_well_formed": su.change_endianness_utf16(u16),
+        "utf16_change_endianness": u16,
     }
     single = {
         "utf8_to_utf16le": su.convert_utf8_to_utf16le,
@@ -301,6 +304,9 @@ def test_sharded_full_matrix():
         "latin1_to_utf16le": su.convert_latin1_to_utf16le,
         "latin1_to_utf16be": su.convert_latin1_to_utf16be,
         "latin1_to_utf32": su.convert_latin1_to_utf32,
+        "utf16le_to_well_formed": su.to_well_formed_utf16le,
+        "utf16be_to_well_formed": su.to_well_formed_utf16be,
+        "utf16_change_endianness": su.change_endianness_utf16,
     }
     mesh = _mesh()
     n_dev = len(jax.devices())
@@ -403,3 +409,31 @@ def test_plan_shards_rejects_partial_units():
         plan_shards(b"A\x00B", 2, unit=2)
     with pytest.raises(ValueError, match="not a multiple"):
         plan_shards(b"12345", 2, unit=4)
+
+
+@pytest.mark.parametrize("be", [False, True])
+def test_sharded_to_well_formed_lone_surrogates(be):
+    """Ill-formed input sharded: replacement decisions are adjacency-local,
+    and pair-aligned cuts preserve adjacency, so sharded == single-buffer
+    even with lone surrogates planted at shard-boundary-ish spots."""
+    import simdutf_tpu as su
+    from simdutf_tpu.parallel.distributed import transcode_sharded
+
+    data = bytearray(helpers.random_utf16(77, 4001, 3, 1, big_endian=be))
+    n_units = len(data) // 2
+    hi, lo = (0xD9, 0x22) if be else (0x22, 0xD9)
+    lo2, hi2 = (0xDD, 0x22) if be else (0x22, 0xDD)
+    for j in range(1, 8):  # lone high + lone low near each boundary
+        k = n_units // 8 * j
+        data[2 * k], data[2 * k + 1] = hi, lo
+        data[2 * (k + 3)], data[2 * (k + 3) + 1] = lo2, hi2
+    data = bytes(data)
+    op = "utf16be_to_well_formed" if be else "utf16le_to_well_formed"
+    plan = _u16plan(data, be)
+    code, total, outs, out_lens = transcode_sharded(plan, _mesh(), op)
+    assert code == 0
+    got = gather_units(outs, out_lens).tobytes()
+    want = (su.to_well_formed_utf16be(data) if be
+            else su.to_well_formed_utf16le(data))
+    assert got == want
+    assert total == n_units
