@@ -49,6 +49,45 @@ def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+@functools.lru_cache(maxsize=32)
+def _replicator(sharding):
+    """Cached identity jit that reshards its argument to ``sharding``
+    (used to replicate small result vectors across processes)."""
+    return jax.jit(lambda a: a, out_shardings=sharding)
+
+
+def _host_view(x) -> np.ndarray:
+    """``np.asarray`` that also works on multi-process global arrays.
+
+    Single-process (or replicated) arrays fetch directly. A P(axis)-sharded
+    array whose shards live on other processes' devices cannot be fetched
+    locally (jax raises); replicate it first via a resharding identity jit
+    — XLA inserts the all-gather over ICI/DCN. Only use for SMALL per-shard
+    result vectors (lengths, error codes); bulk outputs should stay
+    sharded and be consumed via :func:`local_shards`."""
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    sh = NamedSharding(x.sharding.mesh, P())
+    return np.asarray(_replicator(sh)(x))
+
+
+def local_shards(outs, out_lens):
+    """Per-process view of sharded transcode outputs: a list of
+    (global_shard_index, np.ndarray) for the shards THIS process hosts,
+    trimmed to their logical lengths and ordered by shard index.
+
+    This is the multi-host materialization path: each process writes its
+    own slice of the result (shard k's output belongs at output offset
+    sum(out_lens[:k]))."""
+    lens = _host_view(out_lens)
+    got = []
+    for s in outs.addressable_shards:
+        k = int(s.index[0].start or 0) if s.index else 0
+        got.append((k, np.asarray(s.data)[0, : int(lens[k])]))
+    got.sort(key=lambda t: t[0])
+    return got
+
+
 def stage(plan: ShardPlan, mesh: Mesh, axis: str = "data"):
     """Place shards + lengths on the mesh (one transfer; reuse across
     calls when timing or re-running)."""
@@ -139,7 +178,7 @@ def transcode_utf8_to_utf16_sharded(
         mesh, axis, op
     )(shards, lengths)
     code, pos = _combine(plan, int(win), int(wpos), int(wcode))
-    out_lens = np.asarray(out_lens)
+    out_lens = _host_view(out_lens)
     # total is summed on the HOST in Python ints: a device psum would be
     # int32 and wrap past 2^31 output units (count_sharded does the same)
     total = int(out_lens.astype(np.int64).sum())
@@ -150,7 +189,7 @@ def transcode_utf8_to_utf16_sharded(
 
 def gather_utf16(outs, out_lens) -> np.ndarray:
     """Materialize sharded transcode outputs into one host uint16 array."""
-    outs = np.asarray(outs)
+    outs = _host_view(outs)
     return np.concatenate(
         [outs[i, : int(out_lens[i])] for i in range(outs.shape[0])]
     )
@@ -210,7 +249,7 @@ def transcode_utf16_to_utf8_sharded(
         mesh, axis, op
     )(shards, lengths)
     code, pos = _combine(plan, int(win), int(wpos), int(wcode))
-    out_lens = np.asarray(out_lens)
+    out_lens = _host_view(out_lens)
     total = int(out_lens.astype(np.int64).sum())  # host int64, never wraps
     if code == 0:
         return 0, total, outs, out_lens
@@ -307,7 +346,7 @@ def transcode_sharded(
         shards, lengths
     )
     code, pos = _combine(plan, int(win), int(wpos), int(wcode))
-    out_lens = np.asarray(out_lens)
+    out_lens = _host_view(out_lens)
     total = int(out_lens.astype(np.int64).sum())  # host int64, never wraps
     if code == 0:
         return 0, total, outs, out_lens
@@ -344,7 +383,7 @@ def count_sharded(
     count_utf16le/be). Per-shard partials are summed on the host in Python
     ints so >2G-char corpora cannot overflow int32."""
     shards, lengths = staged if staged is not None else stage(plan, mesh, axis)
-    parts = np.asarray(_count_step(mesh, axis, what)(shards, lengths))
+    parts = _host_view(_count_step(mesh, axis, what)(shards, lengths))
     return int(sum(int(p) for p in parts))
 
 
@@ -401,7 +440,7 @@ def base64_to_binary_sharded(
     fb, nv, nvb, packed, tails, tstarts = _b64_step(mesh, axis, url, both)(
         shards, lengths
     )
-    fb, nv, nvb = np.asarray(fb), np.asarray(nv), np.asarray(nvb)
+    fb, nv, nvb = _host_view(fb), _host_view(nv), _host_view(nvb)
     n_shards = len(plan.lengths)
     # clamp device first-bad to the shard's logical length: '='/whitespace
     # beyond srclen live in the final shard but were stripped above.
@@ -426,8 +465,8 @@ def base64_to_binary_sharded(
     last = n_shards - 1
     nvalid_last = int(nv[last])
     idx = nvalid_last % 4
-    tail = [int(t) for t in np.asarray(tails)[last][:idx]]
-    tail_start = int(plan.offsets[last]) + int(np.asarray(tstarts)[last])
+    tail = [int(t) for t in _host_view(tails)[last][:idx]]
+    tail_start = int(plan.offsets[last]) + int(_host_view(tstarts)[last])
     out_lens = (nv // 4) * 3
     total = int(out_lens.sum())
     full, extra = b64_tail_epilogue(

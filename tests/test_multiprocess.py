@@ -1,0 +1,84 @@
+"""True multi-process jax.distributed parity test (2 OS processes x 2
+virtual CPU devices = one 4-device global mesh over Gloo collectives).
+
+This exercises what the single-process virtual mesh cannot: shards that
+are NOT addressable from the calling process — the exact failure mode of
+naive ``np.asarray`` on global arrays (fixed by distributed._host_view /
+local_shards). The reference's analog is scaling across threads
+(benchmarks/threaded.cpp); here the scaling unit is hosts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_mesh_parity():
+    port = _free_port()
+    env = dict(os.environ)
+    env.update(
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        PYTHONPATH=ROOT,
+    )
+    # drop any inherited force so the library's own tiering is exercised
+    env.pop("SIMDUTF_TPU_FORCE_IMPLEMENTATION", None)
+    worker = os.path.join(ROOT, "tests", "dist_worker.py")
+
+    def launch(pid: int):
+        return subprocess.Popen(
+            [sys.executable, worker, f"127.0.0.1:{port}", "2", str(pid)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+
+    p1 = launch(1)
+    p0 = launch(0)
+    out0, err0 = p0.communicate(timeout=540)
+    out1, err1 = p1.communicate(timeout=60)
+    assert p0.returncode == 0, f"p0 failed:\n{out0}\n{err0[-3000:]}"
+    assert p1.returncode == 0, f"p1 failed:\n{out1}\n{err1[-3000:]}"
+
+    ok = [l for l in out0.splitlines() if l.startswith("OK ")]
+    assert ok, f"no OK line:\n{out0}\n{err0[-2000:]}"
+    rec = json.loads(ok[0][3:])
+    assert rec["devices"] == 4 and rec["processes"] == 2
+
+    # reassemble the per-process local output shards into the full
+    # UTF-16LE result and compare with CPython's codec
+    pieces: dict[int, str] = {}
+    lens = None
+    for out in (out0, out1):
+        for line in out.splitlines():
+            if line.startswith("PIECES "):
+                d = json.loads(line[7:])
+                lens = d["lens"]
+                for k, hexstr in d["pieces"].items():
+                    pieces[int(k)] = hexstr
+    assert lens is not None and len(pieces) == 4, sorted(pieces)
+    data = ("multi-host héllo 日本語 🙂 " * (4 * 41)).encode()
+    expect = data.decode().encode("utf-16-le")
+    got = b"".join(bytes.fromhex(pieces[k]) for k in sorted(pieces))
+    assert got == expect
+    # each process contributed exactly its two shards
+    for out, want in ((out0, {0, 1}), (out1, {2, 3})):
+        d = json.loads(
+            [l for l in out.splitlines() if l.startswith("PIECES ")][0][7:]
+        )
+        assert set(int(k) for k in d["pieces"]) == want

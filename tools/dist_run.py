@@ -78,8 +78,18 @@ def main() -> int:
 
     mask = detect_encodings_sharded(data, mesh)
 
+    # multi-host materialization: each process handles only the output
+    # shards it hosts (shard k belongs at offset sum(out_lens[:k]))
+    from simdutf_tpu.parallel.distributed import local_shards
+
+    mine = local_shards(tc[2], tc[3])
+    local_units = sum(a.shape[0] for _, a in mine)
+
+    print(f"[p{jax.process_index()}] hosts output shards "
+          f"{[k for k, _ in mine]} ({local_units} units)", flush=True)
     if jax.process_index() == 0:
-        print(f"devices={n_dev} result=({code},{pos}) validate {gbps:.1f} GB/s"
+        print(f"devices={n_dev} processes={jax.process_count()}"
+              f" result=({code},{pos}) validate {gbps:.1f} GB/s"
               f" | transcode {len(data)/tdt/1e9:.1f} GB/s"
               f" (code={tc[0]}, units={tc[1]}) | {n_cp} codepoints"
               f" | detect mask {mask}")
