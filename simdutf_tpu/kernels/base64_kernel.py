@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .validate import _interpret
+from .validate import _interpret, lane_shapecast_supported, vany
 
 RB = 16  # rows per tile: (16, 512) int32 = 32 KiB of chars
 
@@ -52,20 +52,13 @@ def _classify(c, url: bool, both: bool):
     return v
 
 
-def _decode_kernel(n_ref, x_ref, o_ref, f_ref, *, url: bool, both: bool):
-    i = pl.program_id(0)
-
-    @pl.when(i == 0)
-    def _init():
-        f_ref[0, 0] = 0
-
-    x = x_ref[...]  # (RB, 512) int32: 4 chars per lane
+def _decode_core(x, i, n, url: bool, both: bool):
     R = x.shape[0]
     # words beyond the logical length decode as 'AAAA' (zeros, no flag)
     row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     widx = (i * R + row) * 512 + lane
-    x = jnp.where(widx < n_ref[0], x, 0x41414141)
+    x = jnp.where(widx < n, x, 0x41414141)
     lu = jnp.uint32
     c0 = x & 0xFF
     c1 = (x.astype(lu) >> 8).astype(jnp.int32) & 0xFF
@@ -75,12 +68,7 @@ def _decode_kernel(n_ref, x_ref, o_ref, f_ref, *, url: bool, both: bool):
     v1 = _classify(c1, url, both)
     v2 = _classify(c2, url, both)
     v3 = _classify(c3, url, both)
-    notclean = jnp.any((v0 | v1 | v2 | v3) > 63)
-
-    @pl.when(notclean)
-    def _flag():
-        f_ref[0, 0] = 1
-
+    notclean = vany((v0 | v1 | v2 | v3) > 63)
     t = (v0 << 18) | (v1 << 12) | (v2 << 6) | v3
     b0 = (t >> 16) & 0xFF
     b1 = (t >> 8) & 0xFF
@@ -91,10 +79,35 @@ def _decode_kernel(n_ref, x_ref, o_ref, f_ref, *, url: bool, both: bool):
     out0 = P0[..., 0] | (P1[..., 0] << 8) | (P2[..., 0] << 16) | (P0[..., 1] << 24)
     out1 = P1[..., 1] | (P2[..., 1] << 8) | (P0[..., 2] << 16) | (P1[..., 2] << 24)
     out2 = P2[..., 2] | (P0[..., 3] << 8) | (P1[..., 3] << 16) | (P2[..., 3] << 24)
-    o_ref[...] = jnp.stack([out0, out1, out2], axis=-1).reshape(R, 384)
+    return jnp.stack([out0, out1, out2], axis=-1).reshape(R, 384), notclean
 
 
-@functools.partial(jax.jit, static_argnames=("url", "both"))
+def _decode_kernel(n_ref, x_ref, o_ref, f_ref, *, url: bool, both: bool):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        f_ref[0, 0] = 0
+
+    out, notclean = _decode_core(x_ref[...], i, n_ref[0], url, both)
+
+    @pl.when(notclean)
+    def _flag():
+        f_ref[0, 0] = 1
+
+    o_ref[...] = out
+
+
+@functools.cache
+def _decode_xla(url: bool, both: bool):
+    @jax.jit
+    def f(x, n):
+        out, bad = _decode_core(x, 0, n, url, both)
+        return out, bad.astype(jnp.int32)
+
+    return f
+
+
 def clean_decode(x32: jnp.ndarray, nwords, url: bool = False,
                  both: bool = False):
     """x32: (R, 512) int32 view of the padded char buffer (R % RB == 0);
@@ -102,6 +115,14 @@ def clean_decode(x32: jnp.ndarray, nwords, url: bool = False,
     quads). Padding words decode as zeros without raising the flag.
 
     Returns (out (R, 384) int32 = decoded byte stream, flag)."""
+    if not lane_shapecast_supported():
+        return _decode_xla(url, both)(x32, jnp.asarray(nwords, jnp.int32))
+    return _clean_decode_pallas(x32, nwords, url, both)
+
+
+@functools.partial(jax.jit, static_argnames=("url", "both"))
+def _clean_decode_pallas(x32: jnp.ndarray, nwords, url: bool = False,
+                         both: bool = False):
     grid = x32.shape[0] // RB
     out, flag = pl.pallas_call(
         functools.partial(_decode_kernel, url=url, both=both),
@@ -133,8 +154,7 @@ def _unclassify(v, url: bool):
     return c
 
 
-def _encode_kernel(x_ref, o_ref, *, url: bool):
-    x = x_ref[...]  # (RB, 384) int32: 4 payload bytes per lane
+def _encode_core(x, url: bool):
     R = x.shape[0]
     lu = jnp.uint32
     I = x.reshape(R, 128, 3)
@@ -156,16 +176,31 @@ def _encode_kernel(x_ref, o_ref, *, url: bool):
         c3 = _unclassify(t & 63, url)
         return c0 | (c1 << 8) | (c2 << 16) | (c3 << 24)
 
-    o_ref[...] = jnp.stack(
+    return jnp.stack(
         [chars(t0), chars(t1), chars(t2), chars(t3)], axis=-1
     ).reshape(R, 512)
 
 
-@functools.partial(jax.jit, static_argnames=("url",))
+def _encode_kernel(x_ref, o_ref, *, url: bool):
+    o_ref[...] = _encode_core(x_ref[...], url)
+
+
+@functools.cache
+def _encode_xla(url: bool):
+    return jax.jit(lambda x: _encode_core(x, url))
+
+
 def block_encode(x32: jnp.ndarray, url: bool = False):
     """x32: (R, 384) int32 view of the padded payload (R % RB == 0; the
     caller slices to whole 3-byte groups). Returns (R, 512) int32 char
     stream (4 chars per lane)."""
+    if not lane_shapecast_supported():
+        return _encode_xla(url)(x32)
+    return _block_encode_pallas(x32, url)
+
+
+@functools.partial(jax.jit, static_argnames=("url",))
+def _block_encode_pallas(x32: jnp.ndarray, url: bool = False):
     grid = x32.shape[0] // RB
     return pl.pallas_call(
         functools.partial(_encode_kernel, url=url),

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .validate import BIG, BR, _interpret, _iotas
+from .validate import BIG, BR, _interpret, _iotas, vany
 
 W32 = 128  # int32 lanes per row (512 bytes)
 HALO = 128
@@ -70,9 +70,9 @@ def _swar_kernel(salt_ref, x_ref, nxt_ref, prv_ref, out_ref):
     # generic/utf8_validation/utf8_validator.h): a pure-ASCII tile whose
     # predecessor's last word holds no multi-byte lead can produce no
     # events — skip the whole algebra.
-    any_nonascii = jnp.any((b & _HIGH) != 0)
+    any_nonascii = vany((b & _HIGH) != 0)
     prev_last = prv_ref[7:8, HALO - 1 :]
-    prev_lead = jnp.any(_eq(prev_last, 0xC0, 0xC0) != 0)
+    prev_lead = vany(_eq(prev_last, 0xC0, 0xC0) != 0)
 
     @pl.when(any_nonascii | prev_lead)
     def _full_check():
@@ -237,7 +237,7 @@ def _utf16_swar_kernel(x_ref, nxt_ref, prv_ref, out_ref, *, be: bool):
         )
     # surrogate-free fast path: no D800..DFFF units in the tile or in the
     # neighbor halo words -> nothing to check
-    sur_here = jnp.any(_eq16(wr, 0xF800, 0xD800) != 0)
+    sur_here = vany(_eq16(wr, 0xF800, 0xD800) != 0)
 
     @pl.when(sur_here)
     def _full_check():

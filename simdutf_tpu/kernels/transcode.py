@@ -36,7 +36,29 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .validate import BR, _interpret
+from . import validate as kv
+from .validate import BR, _interpret, vany
+
+
+@functools.cache
+def _xla_fn(core, *static):
+    """Jitted whole-array XLA driver of a kernel ``core(x, i, n, *static)
+    -> (out, bad)``: tile index 0 makes the core's row iota global, so the
+    result is bit-identical to the gridded Pallas run. Used when the
+    Mosaic toolchain lacks lane shape casts (kv.lane_shapecast_supported);
+    XLA lowers the reshapes/stacks natively and fuses the whole body."""
+
+    @jax.jit
+    def f(x, n):
+        out, bad = core(x, 0, n, *static)
+        return out, bad.astype(jnp.int32)
+
+    return f
+
+
+def _xla_driver(core, x, n, *static):
+    return _xla_fn(core, *static)(x, jnp.asarray(n, jnp.int32))
+
 
 W16 = 256  # int16 lanes per row (512 bytes)
 _I16_HIGH = -32640  # 0x8080 as int16 (plain int: never a device constant)
@@ -50,7 +72,7 @@ def _widen_kernel(x_ref, out_ref, flag_ref, *, big_endian: bool):
         flag_ref[0, 0] = 0
 
     h = x_ref[...]  # (BR, 256) int16: 2 input bytes per lane
-    nonascii = jnp.any((h & _I16_HIGH) != 0)
+    nonascii = vany((h & _I16_HIGH) != 0)
 
     @pl.when(nonascii)
     def _flag():
@@ -102,10 +124,10 @@ def _narrow_kernel(x_ref, out_ref, flag_ref, *, big_endian: bool):
     w = x_ref[...]  # (BR, 256) int32: 2 u16 units per lane (raw memory)
     if big_endian:
         # BE unit memory image is (hi, lo): ASCII unit = char << 8
-        non = jnp.any((w & (-2130738945)) != 0)  # ~0x7F007F00
+        non = vany((w & (-2130738945)) != 0)  # ~0x7F007F00
         packed = ((w >> 8) & 0x7F) | (((w >> 24) & 0x7F) << 8)
     else:
-        non = jnp.any((w & (-8355712)) != 0)  # 0xFF80FF80
+        non = vany((w & (-8355712)) != 0)  # 0xFF80FF80
         packed = (w & 0x7F) | (((w >> 16) & 0x7F) << 8)
 
     @pl.when(non)
@@ -184,7 +206,7 @@ def _uniform2_kernel(n_ref, x_ref, o_ref, f_ref, *, big_endian: bool):
 
     cp0, ok0 = half(0, 0)
     cp1, ok1 = half(16, 2)
-    bad = jnp.any(~(ok0 & ok1))
+    bad = vany(~(ok0 & ok1))
 
     @pl.when(bad)
     def _flag():
@@ -222,14 +244,23 @@ def uniform2_utf8_to_utf16(x32: jnp.ndarray, n, big_endian: bool = False):
     return out, flag[0, 0]
 
 
-def _uniform3_kernel(n_ref, x_ref, o_ref, f_ref, *, big_endian: bool):
-    i = pl.program_id(0)
+def _u8_3byte_char(b0, b1, b2):
+    """(codepoint, structurally_ok) of one 3-byte UTF-8 char."""
+    cp = ((b0 & 0x0F) << 12) | ((b1 & 0x3F) << 6) | (b2 & 0x3F)
+    ok = (
+        ((b0 & 0xF0) == 0xE0)
+        & ((b1 & 0xC0) == 0x80)
+        & ((b2 & 0xC0) == 0x80)
+        & (cp >= 0x800)
+        & ((cp < 0xD800) | (cp > 0xDFFF))
+    )
+    return cp, ok
 
-    @pl.when(i == 0)
-    def _init():
-        f_ref[0, 0] = 0
 
-    x = x_ref[...]  # (RU, 384) int32: 128 groups of 3 words = 4 chars/row
+def _uniform3_chars(x, i, n):
+    """Decode the 4 chars of every 3-word (12-byte) group of a (R, 384)
+    tile; tile index ``i`` globalizes the padding mask. Returns
+    (c0..c3 each (R, 128), bad)."""
     R = x.shape[0]
     lu = jnp.uint32
     I = x.reshape(R, 128, 3)
@@ -242,40 +273,55 @@ def _uniform3_kernel(n_ref, x_ref, o_ref, f_ref, *, big_endian: bool):
         return (w.astype(lu) >> (8 * k)).astype(jnp.int32) & 0xFF
 
     def char(b0, b1, b2, off):
-        cp = ((b0 & 0x0F) << 12) | ((b1 & 0x3F) << 6) | (b2 & 0x3F)
-        ok = (
-            ((b0 & 0xF0) == 0xE0)
-            & ((b1 & 0xC0) == 0x80)
-            & ((b2 & 0xC0) == 0x80)
-            & (cp >= 0x800)
-            & ((cp < 0xD800) | (cp > 0xDFFF))
-        )
-        ok = ok | (gbyte + off >= n_ref[0])  # padding chars never flag
-        return cp, ok
+        cp, ok = _u8_3byte_char(b0, b1, b2)
+        return cp, ok | (gbyte + off >= n)  # padding chars never flag
 
     c0, k0 = char(byte(w0, 0), byte(w0, 1), byte(w0, 2), 0)
     c1, k1 = char(byte(w0, 3), byte(w1, 0), byte(w1, 1), 3)
     c2, k2 = char(byte(w1, 2), byte(w1, 3), byte(w2, 0), 6)
     c3, k3 = char(byte(w2, 1), byte(w2, 2), byte(w2, 3), 9)
-    bad = jnp.any(~(k0 & k1 & k2 & k3))
+    bad = vany(~(k0 & k1 & k2 & k3))
+    return c0, c1, c2, c3, bad
+
+
+def _uniform3_core(x, i, n, big_endian: bool):
+    c0, c1, c2, c3, bad = _uniform3_chars(x, i, n)
+    u0, u1 = _u16unit(c0, big_endian), _u16unit(c1, big_endian)
+    u2, u3 = _u16unit(c2, big_endian), _u16unit(c3, big_endian)
+    out = jnp.stack(
+        [u0 | (u1 << 16), u2 | (u3 << 16)], axis=-1
+    ).reshape(x.shape[0], 256)
+    return out, bad
+
+
+def _uniform3_kernel(n_ref, x_ref, o_ref, f_ref, *, big_endian: bool):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        f_ref[0, 0] = 0
+
+    out, bad = _uniform3_core(x_ref[...], i, n_ref[0], big_endian)
 
     @pl.when(bad)
     def _flag():
         f_ref[0, 0] = 1
 
-    u0, u1 = _u16unit(c0, big_endian), _u16unit(c1, big_endian)
-    u2, u3 = _u16unit(c2, big_endian), _u16unit(c3, big_endian)
-    o_ref[...] = jnp.stack(
-        [u0 | (u1 << 16), u2 | (u3 << 16)], axis=-1
-    ).reshape(R, 256)
+    o_ref[...] = out
 
 
-@functools.partial(jax.jit, static_argnames=("big_endian",))
 def uniform3_utf8_to_utf16(x32: jnp.ndarray, n, big_endian: bool = False):
     """x32: (R, 384) int32 view of the zero-padded byte buffer (1536 bytes
     = 512 chars per row; R % RU == 0); ``n`` = logical byte length
     (n % 3 == 0). Bytes at/after ``n`` never flag.
     Returns (out (R, 256) int32, flag)."""
+    if not kv.lane_shapecast_supported():
+        return _xla_driver(_uniform3_core, x32, n, big_endian)
+    return _uniform3_pallas(x32, n, big_endian)
+
+
+@functools.partial(jax.jit, static_argnames=("big_endian",))
+def _uniform3_pallas(x32: jnp.ndarray, n, big_endian: bool = False):
     grid = x32.shape[0] // RU
     out, flag = pl.pallas_call(
         functools.partial(_uniform3_kernel, big_endian=big_endian),
@@ -331,7 +377,7 @@ def _rev2_kernel(n_ref, x_ref, o_ref, f_ref, *, big_endian: bool):
     u0, u1 = _units(w, big_endian)
     ok0 = ((u0 >= 0x80) & (u0 <= 0x7FF)) | (uidx >= n_ref[0])
     ok1 = ((u1 >= 0x80) & (u1 <= 0x7FF)) | (uidx + 1 >= n_ref[0])
-    bad = jnp.any(~(ok0 & ok1))
+    bad = vany(~(ok0 & ok1))
 
     @pl.when(bad)
     def _flag():
@@ -370,14 +416,23 @@ def uniform2_utf16_to_utf8(x32: jnp.ndarray, n, big_endian: bool = False):
     return out, flag[0, 0]
 
 
-def _rev3_kernel(n_ref, x_ref, o_ref, f_ref, *, big_endian: bool):
-    i = pl.program_id(0)
+def _pack3x4(q0, q1, q2, q3):
+    """12 output bytes per group (4 units x 3 UTF-8 bytes) -> 3 words in
+    stream order; q* are (byte0, byte1, byte2) triples per unit."""
+    (a0, a1, a2), (c0, c1, c2) = q0, q1
+    (d0, d1, d2), (e0, e1, e2) = q2, q3
+    o0 = a0 | (a1 << 8) | (a2 << 16) | (c0 << 24)
+    o1 = c1 | (c2 << 8) | (d0 << 16) | (d1 << 24)
+    o2 = d2 | (e0 << 8) | (e1 << 16) | (e2 << 24)
+    return o0, o1, o2
 
-    @pl.when(i == 0)
-    def _init():
-        f_ref[0, 0] = 0
 
-    x = x_ref[...]  # (RU, 256) int32: groups of 2 words = 4 units per lane-pair
+def _b3utf8(u):
+    """3 UTF-8 bytes of a BMP (>= 0x800) unit."""
+    return 0xE0 | (u >> 12), 0x80 | ((u >> 6) & 0x3F), 0x80 | (u & 0x3F)
+
+
+def _rev3_core(x, i, n, big_endian: bool):
     R = x.shape[0]
     I = x.reshape(R, 128, 2)
     wa, wb = I[..., 0], I[..., 1]
@@ -389,34 +444,42 @@ def _rev3_kernel(n_ref, x_ref, o_ref, f_ref, *, big_endian: bool):
 
     def ok(u, off):
         good = (u >= 0x800) & ((u < 0xD800) | (u > 0xDFFF))
-        return good | (gunit + off >= n_ref[0])
+        return good | (gunit + off >= n)
 
-    bad = jnp.any(~(ok(u0, 0) & ok(u1, 1) & ok(u2, 2) & ok(u3, 3)))
+    bad = vany(~(ok(u0, 0) & ok(u1, 1) & ok(u2, 2) & ok(u3, 3)))
+    o0, o1, o2 = _pack3x4(_b3utf8(u0), _b3utf8(u1), _b3utf8(u2), _b3utf8(u3))
+    out = jnp.stack([o0, o1, o2], axis=-1).reshape(R, 384)
+    return out, bad
+
+
+def _rev3_kernel(n_ref, x_ref, o_ref, f_ref, *, big_endian: bool):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        f_ref[0, 0] = 0
+
+    out, bad = _rev3_core(x_ref[...], i, n_ref[0], big_endian)
 
     @pl.when(bad)
     def _flag():
         f_ref[0, 0] = 1
 
-    def b3(u):  # 3 UTF-8 bytes of a BMP unit
-        return 0xE0 | (u >> 12), 0x80 | ((u >> 6) & 0x3F), 0x80 | (u & 0x3F)
-
-    a0, a1, a2 = b3(u0)
-    c0, c1, c2 = b3(u1)
-    d0, d1, d2 = b3(u2)
-    e0, e1, e2 = b3(u3)
-    # 12 output bytes per group -> 3 out words, stream order
-    o0 = a0 | (a1 << 8) | (a2 << 16) | (c0 << 24)
-    o1 = c1 | (c2 << 8) | (d0 << 16) | (d1 << 24)
-    o2 = d2 | (e0 << 8) | (e1 << 16) | (e2 << 24)
-    o_ref[...] = jnp.stack([o0, o1, o2], axis=-1).reshape(R, 384)
+    o_ref[...] = out
 
 
-@functools.partial(jax.jit, static_argnames=("big_endian",))
 def uniform3_utf16_to_utf8(x32: jnp.ndarray, n, big_endian: bool = False):
     """x32: (R, 256) int32 view of the zero-padded uint16 buffer; ``n`` =
     logical unit count (n % 4 == 0 padding-wise is not required — masked).
     Every unit must be in [0x800, 0xFFFF] minus surrogates.
     Returns (out (R, 384) int32 = UTF-8 byte stream, flag)."""
+    if not kv.lane_shapecast_supported():
+        return _xla_driver(_rev3_core, x32, n, big_endian)
+    return _rev3_pallas(x32, n, big_endian)
+
+
+@functools.partial(jax.jit, static_argnames=("big_endian",))
+def _rev3_pallas(x32: jnp.ndarray, n, big_endian: bool = False):
     grid = x32.shape[0] // RU
     out, flag = pl.pallas_call(
         functools.partial(_rev3_kernel, big_endian=big_endian),
@@ -445,18 +508,31 @@ def uniform3_utf16_to_utf8(x32: jnp.ndarray, n, big_endian: bool = False):
 # where both directions are fixed-rate 1:2 / 2:1 lane mixes.
 
 
-def _l1_32_kernel(x_ref, o_ref):
-    h = x_ref[...].astype(jnp.int32) & 0xFFFF  # (RU, 256) int16: 2 bytes
+def _l1_32_core(x16):
+    h = x16.astype(jnp.int32) & 0xFFFF  # (R, 256) int16: 2 bytes per lane
     R = h.shape[0]
     w0 = h & 0xFF
     w1 = (h >> 8) & 0xFF
-    o_ref[...] = jnp.stack([w0, w1], axis=-1).reshape(R, 512)
+    return jnp.stack([w0, w1], axis=-1).reshape(R, 512)
 
 
-@jax.jit
+def _l1_32_kernel(x_ref, o_ref):
+    o_ref[...] = _l1_32_core(x_ref[...])
+
+
 def latin1_widen_utf32(x16: jnp.ndarray):
     """x16: (R, 256) int16 byte-pair view. Returns (R, 512) int32 = the
     UTF-32LE stream (one word per input byte). Always valid."""
+    if not kv.lane_shapecast_supported():
+        return _l1_32_xla(x16)
+    return _l1_32_pallas(x16)
+
+
+_l1_32_xla = jax.jit(_l1_32_core)
+
+
+@jax.jit
+def _l1_32_pallas(x16: jnp.ndarray):
     grid = x16.shape[0] // RU
     return pl.pallas_call(
         _l1_32_kernel,
@@ -468,6 +544,14 @@ def latin1_widen_utf32(x16: jnp.ndarray):
     )(x16)
 
 
+def _bmp_widen_core(w, i, n, big_endian: bool):
+    del i, n  # zero padding is surrogate-free: no length masking needed
+    R = w.shape[0]
+    u0, u1 = _units(w, big_endian)
+    bad = vany(((u0 & 0xF800) == 0xD800) | ((u1 & 0xF800) == 0xD800))
+    return jnp.stack([u0, u1], axis=-1).reshape(R, 512), bad
+
+
 def _bmp_widen_kernel(x_ref, o_ref, f_ref, *, big_endian: bool):
     i = pl.program_id(0)
 
@@ -475,24 +559,26 @@ def _bmp_widen_kernel(x_ref, o_ref, f_ref, *, big_endian: bool):
     def _init():
         f_ref[0, 0] = 0
 
-    w = x_ref[...]  # (RU, 256) int32: 2 u16 units per lane
-    R = w.shape[0]
-    u0, u1 = _units(w, big_endian)
-    sur = (((u0 & 0xF800) == 0xD800) | ((u1 & 0xF800) == 0xD800))
-    bad = jnp.any(sur)
+    out, bad = _bmp_widen_core(x_ref[...], i, 0, big_endian)
 
     @pl.when(bad)
     def _flag():
         f_ref[0, 0] = 1
 
-    o_ref[...] = jnp.stack([u0, u1], axis=-1).reshape(R, 512)
+    o_ref[...] = out
 
 
-@functools.partial(jax.jit, static_argnames=("big_endian",))
 def bmp_widen_utf32(x32: jnp.ndarray, big_endian: bool = False):
     """UTF-16 -> UTF-32 when no surrogates exist (zero-padding is
     surrogate-free, so no length masking is needed). Returns
     ((R, 512) int32 UTF-32LE stream, flag)."""
+    if not kv.lane_shapecast_supported():
+        return _xla_driver(_bmp_widen_core, x32, 0, big_endian)
+    return _bmp_widen_pallas(x32, big_endian)
+
+
+@functools.partial(jax.jit, static_argnames=("big_endian",))
+def _bmp_widen_pallas(x32: jnp.ndarray, big_endian: bool = False):
     grid = x32.shape[0] // RU
     out, flag = pl.pallas_call(
         functools.partial(_bmp_widen_kernel, big_endian=big_endian),
@@ -511,14 +597,8 @@ def bmp_widen_utf32(x32: jnp.ndarray, big_endian: bool = False):
     return out, flag[0, 0]
 
 
-def _bmp_narrow_kernel(x_ref, o_ref, f_ref, *, big_endian: bool):
-    i = pl.program_id(0)
-
-    @pl.when(i == 0)
-    def _init():
-        f_ref[0, 0] = 0
-
-    x = x_ref[...]  # (RU, 512) int32: one u32 codepoint per lane
+def _bmp_narrow_core(x, i, n, big_endian: bool):
+    del i, n  # zero padding is BMP: no length masking needed
     R = x.shape[0]
     I = x.reshape(R, 256, 2)
     c0, c1 = I[..., 0], I[..., 1]
@@ -529,25 +609,42 @@ def _bmp_narrow_kernel(x_ref, o_ref, f_ref, *, big_endian: bool):
         # -2048 == 0xFFFFF800 as int32 (Python-int literal would overflow)
         return (cu > 0xFFFF) | ((c & (-2048)) == 0xD800)
 
-    bad = jnp.any(bad1(c0) | bad1(c1))
-
-    @pl.when(bad)
-    def _flag():
-        f_ref[0, 0] = 1
-
+    bad = vany(bad1(c0) | bad1(c1))
     u0 = c0 & 0xFFFF
     u1 = c1 & 0xFFFF
     if big_endian:
         u0 = ((u0 >> 8) | (u0 << 8)) & 0xFFFF
         u1 = ((u1 >> 8) | (u1 << 8)) & 0xFFFF
-    o_ref[...] = u0 | (u1 << 16)
+    return u0 | (u1 << 16), bad
 
 
-@functools.partial(jax.jit, static_argnames=("big_endian",))
+def _bmp_narrow_kernel(x_ref, o_ref, f_ref, *, big_endian: bool):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        f_ref[0, 0] = 0
+
+    out, bad = _bmp_narrow_core(x_ref[...], i, 0, big_endian)
+
+    @pl.when(bad)
+    def _flag():
+        f_ref[0, 0] = 1
+
+    o_ref[...] = out
+
+
 def bmp_narrow_utf16(x32: jnp.ndarray, big_endian: bool = False):
     """UTF-32 -> UTF-16 when every codepoint is BMP and non-surrogate
     (flag-clean implies valid UTF-32; zero padding never flags). Returns
     ((R, 256) int32 u16-pair stream, flag)."""
+    if not kv.lane_shapecast_supported():
+        return _xla_driver(_bmp_narrow_core, x32, 0, big_endian)
+    return _bmp_narrow_pallas(x32, big_endian)
+
+
+@functools.partial(jax.jit, static_argnames=("big_endian",))
+def _bmp_narrow_pallas(x32: jnp.ndarray, big_endian: bool = False):
     grid = x32.shape[0] // RU
     out, flag = pl.pallas_call(
         functools.partial(_bmp_narrow_kernel, big_endian=big_endian),
@@ -569,14 +666,7 @@ def bmp_narrow_utf16(x32: jnp.ndarray, big_endian: bool = False):
 # --- uniform-width UTF-8 <-> UTF-32 ------------------------------------------
 
 
-def _u2_32_kernel(n_ref, x_ref, o_ref, f_ref):
-    i = pl.program_id(0)
-
-    @pl.when(i == 0)
-    def _init():
-        f_ref[0, 0] = 0
-
-    x = x_ref[...]  # (RU, 256) int32: two 2-byte chars per lane
+def _u2_32_core(x, i, n):
     R = x.shape[0]
     lu = jnp.uint32
     row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
@@ -587,24 +677,41 @@ def _u2_32_kernel(n_ref, x_ref, o_ref, f_ref):
         h = (x.astype(lu) >> shift).astype(jnp.int32) & 0xFFFF
         lead, cont = h & 0xFF, (h >> 8) & 0xFF
         ok = ((lead & 0xE0) == 0xC0) & ((cont & 0xC0) == 0x80) & (lead >= 0xC2)
-        ok = ok | (wbyte + off >= n_ref[0])
+        ok = ok | (wbyte + off >= n)
         return ((lead & 0x1F) << 6) | (cont & 0x3F), ok
 
     cp0, ok0 = half(0, 0)
     cp1, ok1 = half(16, 2)
-    bad = jnp.any(~(ok0 & ok1))
+    bad = vany(~(ok0 & ok1))
+    return jnp.stack([cp0, cp1], axis=-1).reshape(R, 512), bad
+
+
+def _u2_32_kernel(n_ref, x_ref, o_ref, f_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        f_ref[0, 0] = 0
+
+    out, bad = _u2_32_core(x_ref[...], i, n_ref[0])
 
     @pl.when(bad)
     def _flag():
         f_ref[0, 0] = 1
 
-    o_ref[...] = jnp.stack([cp0, cp1], axis=-1).reshape(R, 512)
+    o_ref[...] = out
 
 
-@jax.jit
 def uniform2_utf8_to_utf32(x32: jnp.ndarray, n):
     """Pure 2-byte UTF-8 -> UTF-32: (R, 256) int32 in, ((R, 512) int32
     UTF-32LE stream, flag) out; ``n`` = logical byte length (n % 2 == 0)."""
+    if not kv.lane_shapecast_supported():
+        return _xla_driver(_u2_32_core, x32, n)
+    return _u2_32_pallas(x32, n)
+
+
+@jax.jit
+def _u2_32_pallas(x32: jnp.ndarray, n):
     grid = x32.shape[0] // RU
     out, flag = pl.pallas_call(
         _u2_32_kernel,
@@ -626,14 +733,7 @@ def uniform2_utf8_to_utf32(x32: jnp.ndarray, n):
     return out, flag[0, 0]
 
 
-def _rev2_32_kernel(n_ref, x_ref, o_ref, f_ref):
-    i = pl.program_id(0)
-
-    @pl.when(i == 0)
-    def _init():
-        f_ref[0, 0] = 0
-
-    x = x_ref[...]  # (RU, 512) int32: one u32 codepoint per lane
+def _rev2_32_core(x, i, n):
     R = x.shape[0]
     I = x.reshape(R, 256, 2)
     c0, c1 = I[..., 0], I[..., 1]
@@ -642,24 +742,42 @@ def _rev2_32_kernel(n_ref, x_ref, o_ref, f_ref):
     cidx = ((i * R + row) * 256 + lane) * 2
 
     def ok(c, off):
-        return ((c >= 0x80) & (c <= 0x7FF)) | (cidx + off >= n_ref[0])
+        return ((c >= 0x80) & (c <= 0x7FF)) | (cidx + off >= n)
 
-    bad = jnp.any(~(ok(c0, 0) & ok(c1, 1)))
+    bad = vany(~(ok(c0, 0) & ok(c1, 1)))
+
+    def two(c):  # 2 UTF-8 bytes, low byte first
+        return (0xC0 | (c >> 6)) | ((0x80 | (c & 0x3F)) << 8)
+
+    return two(c0) | (two(c1) << 16), bad
+
+
+def _rev2_32_kernel(n_ref, x_ref, o_ref, f_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        f_ref[0, 0] = 0
+
+    out, bad = _rev2_32_core(x_ref[...], i, n_ref[0])
 
     @pl.when(bad)
     def _flag():
         f_ref[0, 0] = 1
 
-    def two(c):  # 2 UTF-8 bytes, low byte first
-        return (0xC0 | (c >> 6)) | ((0x80 | (c & 0x3F)) << 8)
-
-    o_ref[...] = two(c0) | (two(c1) << 16)
+    o_ref[...] = out
 
 
-@jax.jit
 def uniform2_utf32_to_utf8(x32: jnp.ndarray, n):
     """Pure 2-byte-range UTF-32 -> UTF-8: (R, 512) int32 codepoints in,
     ((R, 256) int32 byte stream, flag) out; ``n`` = logical codepoints."""
+    if not kv.lane_shapecast_supported():
+        return _xla_driver(_rev2_32_core, x32, n)
+    return _rev2_32_pallas(x32, n)
+
+
+@jax.jit
+def _rev2_32_pallas(x32: jnp.ndarray, n):
     grid = x32.shape[0] // RU
     out, flag = pl.pallas_call(
         _rev2_32_kernel,
@@ -681,6 +799,11 @@ def uniform2_utf32_to_utf8(x32: jnp.ndarray, n):
     return out, flag[0, 0]
 
 
+def _u3_32_core(x, i, n):
+    c0, c1, c2, c3, bad = _uniform3_chars(x, i, n)
+    return jnp.stack([c0, c1, c2, c3], axis=-1).reshape(x.shape[0], 512), bad
+
+
 def _u3_32_kernel(n_ref, x_ref, o_ref, f_ref):
     i = pl.program_id(0)
 
@@ -688,46 +811,25 @@ def _u3_32_kernel(n_ref, x_ref, o_ref, f_ref):
     def _init():
         f_ref[0, 0] = 0
 
-    x = x_ref[...]  # (RU, 384) int32: 128 groups of 3 words = 4 chars/row
-    R = x.shape[0]
-    lu = jnp.uint32
-    I = x.reshape(R, 128, 3)
-    w0, w1, w2 = I[..., 0], I[..., 1], I[..., 2]
-    row = jax.lax.broadcasted_iota(jnp.int32, w0.shape, 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, w0.shape, 1)
-    gbyte = ((i * R + row) * 128 + lane) * 12
-
-    def byte(w, k):
-        return (w.astype(lu) >> (8 * k)).astype(jnp.int32) & 0xFF
-
-    def char(b0, b1, b2, off):
-        cp = ((b0 & 0x0F) << 12) | ((b1 & 0x3F) << 6) | (b2 & 0x3F)
-        ok = (
-            ((b0 & 0xF0) == 0xE0)
-            & ((b1 & 0xC0) == 0x80)
-            & ((b2 & 0xC0) == 0x80)
-            & (cp >= 0x800)
-            & ((cp < 0xD800) | (cp > 0xDFFF))
-        ) | (gbyte + off >= n_ref[0])
-        return cp, ok
-
-    c0, k0 = char(byte(w0, 0), byte(w0, 1), byte(w0, 2), 0)
-    c1, k1 = char(byte(w0, 3), byte(w1, 0), byte(w1, 1), 3)
-    c2, k2 = char(byte(w1, 2), byte(w1, 3), byte(w2, 0), 6)
-    c3, k3 = char(byte(w2, 1), byte(w2, 2), byte(w2, 3), 9)
-    bad = jnp.any(~(k0 & k1 & k2 & k3))
+    out, bad = _u3_32_core(x_ref[...], i, n_ref[0])
 
     @pl.when(bad)
     def _flag():
         f_ref[0, 0] = 1
 
-    o_ref[...] = jnp.stack([c0, c1, c2, c3], axis=-1).reshape(R, 512)
+    o_ref[...] = out
 
 
-@jax.jit
 def uniform3_utf8_to_utf32(x32: jnp.ndarray, n):
     """Pure 3-byte UTF-8 -> UTF-32: (R, 384) int32 in (512 chars per row),
     ((R, 512) int32 UTF-32LE stream, flag); ``n`` = byte length (n%3==0)."""
+    if not kv.lane_shapecast_supported():
+        return _xla_driver(_u3_32_core, x32, n)
+    return _u3_32_pallas(x32, n)
+
+
+@jax.jit
+def _u3_32_pallas(x32: jnp.ndarray, n):
     grid = x32.shape[0] // RU
     out, flag = pl.pallas_call(
         _u3_32_kernel,
@@ -749,14 +851,7 @@ def uniform3_utf8_to_utf32(x32: jnp.ndarray, n):
     return out, flag[0, 0]
 
 
-def _rev3_32_kernel(n_ref, x_ref, o_ref, f_ref):
-    i = pl.program_id(0)
-
-    @pl.when(i == 0)
-    def _init():
-        f_ref[0, 0] = 0
-
-    x = x_ref[...]  # (RU, 512) int32: one u32 per lane
+def _rev3_32_core(x, i, n):
     R = x.shape[0]
     I = x.reshape(R, 128, 4)
     cs = [I[..., k] for k in range(4)]
@@ -767,30 +862,40 @@ def _rev3_32_kernel(n_ref, x_ref, o_ref, f_ref):
     oks = []
     for k, c in enumerate(cs):
         good = (c >= 0x800) & (c <= 0xFFFF) & ((c < 0xD800) | (c > 0xDFFF))
-        oks.append(good | (gidx + k >= n_ref[0]))
-    bad = jnp.any(~(oks[0] & oks[1] & oks[2] & oks[3]))
+        oks.append(good | (gidx + k >= n))
+    bad = vany(~(oks[0] & oks[1] & oks[2] & oks[3]))
+    o0, o1, o2 = _pack3x4(
+        _b3utf8(cs[0]), _b3utf8(cs[1]), _b3utf8(cs[2]), _b3utf8(cs[3])
+    )
+    return jnp.stack([o0, o1, o2], axis=-1).reshape(R, 384), bad
+
+
+def _rev3_32_kernel(n_ref, x_ref, o_ref, f_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        f_ref[0, 0] = 0
+
+    out, bad = _rev3_32_core(x_ref[...], i, n_ref[0])
 
     @pl.when(bad)
     def _flag():
         f_ref[0, 0] = 1
 
-    def b3(c):
-        return 0xE0 | (c >> 12), 0x80 | ((c >> 6) & 0x3F), 0x80 | (c & 0x3F)
-
-    a0, a1, a2 = b3(cs[0])
-    c0, c1, c2 = b3(cs[1])
-    d0, d1, d2 = b3(cs[2])
-    e0, e1, e2 = b3(cs[3])
-    o0 = a0 | (a1 << 8) | (a2 << 16) | (c0 << 24)
-    o1 = c1 | (c2 << 8) | (d0 << 16) | (d1 << 24)
-    o2 = d2 | (e0 << 8) | (e1 << 16) | (e2 << 24)
-    o_ref[...] = jnp.stack([o0, o1, o2], axis=-1).reshape(R, 384)
+    o_ref[...] = out
 
 
-@jax.jit
 def uniform3_utf32_to_utf8(x32: jnp.ndarray, n):
     """Pure 3-byte-range UTF-32 -> UTF-8: (R, 512) int32 codepoints in,
     ((R, 384) int32 byte stream, flag); ``n`` = logical codepoints."""
+    if not kv.lane_shapecast_supported():
+        return _xla_driver(_rev3_32_core, x32, n)
+    return _rev3_32_pallas(x32, n)
+
+
+@jax.jit
+def _rev3_32_pallas(x32: jnp.ndarray, n):
     grid = x32.shape[0] // RU
     out, flag = pl.pallas_call(
         _rev3_32_kernel,
@@ -888,7 +993,7 @@ def _wordmap_kernel(n_ref, x_ref, o_ref, f_ref, *, variant: str,
                 | ((0x80 | (w & 0x3F)) << 24)
             )
 
-    bad = jnp.any(~(ok | (widx >= n_ref[0])))
+    bad = vany(~(ok | (widx >= n_ref[0])))
 
     @pl.when(bad)
     def _flag():

@@ -46,6 +46,55 @@ def _interpret() -> bool:
         return True
 
 
+def vany(m) -> jnp.ndarray:
+    """Scalar "any lane is set" that Mosaic can always lower.
+
+    ``jnp.any`` reduces an i1 vector, and current libtpu Mosaic rejects the
+    mask relayout (tiled -> replicated) it needs for multi-vreg tiles
+    ("Invalid relayout ... vector<64x256xi1>"); ``jnp.where(m, 1, 0)``
+    fails the same way on the scalar broadcast. Converting the mask with
+    astype and max-reducing int32 takes the plain integer-reduction path,
+    which lowers everywhere (verified per-idiom on v5e Mosaic). Use this
+    instead of jnp.any inside kernels."""
+    return jnp.max(m.astype(jnp.int32)) > 0
+
+
+@functools.cache
+def lane_shapecast_supported() -> bool:
+    """Whether the active Mosaic toolchain lowers lane-splitting vector
+    shape casts — ``x.reshape(R, L, k)`` deinterleaves and
+    ``stack(...).reshape(R, k*L)`` interleaves inside kernels.
+
+    The rate-converting phase-plane kernels (uniform3, bmp widen/narrow,
+    base64 4<->3 repack ...) need them; some libtpu builds reject them
+    ("unsupported shape cast"), in which case those kernels route to their
+    XLA drivers (same core math, reshapes lowered by XLA) — runtime
+    capability dispatch, the reference's isadetection.h idea applied to
+    the kernel toolchain. Probed once per process with a one-tile kernel;
+    interpret mode always supports them."""
+    if _interpret():
+        return True
+    try:
+        def k(x_ref, o_ref):
+            x = x_ref[...]
+            half = x.reshape(8, 128, 2)
+            o_ref[...] = jnp.stack(
+                [half[..., 1], half[..., 0]], axis=-1
+            ).reshape(8, 256)
+
+        out = pl.pallas_call(
+            k,
+            grid=(1,),
+            in_specs=[pl.BlockSpec((8, 256), lambda i: (0, 0))],
+            out_specs=pl.BlockSpec((8, 256), lambda i: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((8, 256), jnp.int32),
+        )(jnp.zeros((8, 256), jnp.int32))
+        jax.block_until_ready(out)
+        return True
+    except Exception:
+        return False
+
+
 def _iotas(shape):
     row = jax.lax.broadcasted_iota(jnp.int32, shape, dimension=0)
     lane = jax.lax.broadcasted_iota(jnp.int32, shape, dimension=1)
