@@ -80,6 +80,34 @@ def main() -> int:
     wf = su.to_well_formed_utf16le(lone.tobytes())
     check("utf16:repair_validates", su.validate_utf16le(wf), True)
 
+    # url-safe base64 + whitespace fallback path
+    res, out = su.base64_to_binary(pyb64.urlsafe_b64encode(payload),
+                                   options=su.base64_url)
+    check("b64:url_decode", (res.is_ok, out), (True, payload))
+    spaced = b" ".join(enc[i:i + 60] for i in range(0, len(enc), 60))
+    res, out = su.base64_to_binary(spaced)
+    check("b64:spaced_decode", (res.is_ok, out), (True, payload))
+
+    # latin1 widens + utf32 directions (XLA-driver-routed classes)
+    l1 = bytes(range(256)) * 40
+    s1 = l1.decode("latin-1")
+    check("latin1:to_utf8", su.convert_latin1_to_utf8(l1), s1.encode())
+    check("latin1:to_utf16", su.convert_latin1_to_utf16le(l1),
+          s1.encode("utf-16-le"))
+    check("latin1:to_utf32", su.convert_latin1_to_utf32(l1),
+          s1.encode("utf-32-le"))
+    for tag, s in (("2byte", cyr), ("3byte", cjk), ("astral", emoji),
+                   ("mixed", mixed)):
+        u8, u32 = s.encode(), s.encode("utf-32-le")
+        check(f"{tag}:u32->u8", su.convert_utf32_to_utf8(u32), u8)
+        check(f"{tag}:u8->u32b", su.convert_utf8_to_utf32(u8), u32)
+        check(f"{tag}:validate32", su.validate_utf32(u32), True)
+    # BE direction through the uniform kernels
+    check("3byte:u8->u16be", su.convert_utf8_to_utf16be(cjk.encode()),
+          cjk.encode("utf-16-be"))
+    check("2byte:u16be->u8",
+          su.convert_utf16be_to_utf8(cyr.encode("utf-16-be")), cyr.encode())
+
     ok = all(checks.values())
     print(json.dumps({
         "hw_smoke": "pass" if ok else "FAIL",
