@@ -70,25 +70,33 @@ def lane_shapecast_supported() -> bool:
     ("unsupported shape cast"), in which case those kernels route to their
     XLA drivers (same core math, reshapes lowered by XLA) — runtime
     capability dispatch, the reference's isadetection.h idea applied to
-    the kernel toolchain. Probed once per process with a one-tile kernel;
-    interpret mode always supports them."""
+    the kernel toolchain. Probed once per process with a one-tile kernel
+    at the kernels' REAL shapes (64 rows, k=2 and k=4 lane splits — an
+    8-row/k=2 probe passes on toolchains that still reject the wider
+    casts); interpret mode always supports them. A transient compile
+    failure caches False, which only costs the pallas path, never
+    correctness."""
     if _interpret():
         return True
     try:
         def k(x_ref, o_ref):
-            x = x_ref[...]
-            half = x.reshape(8, 128, 2)
+            x = x_ref[...]  # (64, 512)
+            quads = x.reshape(64, 128, 4)  # k=4 read split
+            a = quads[..., 0] ^ quads[..., 3]
+            b = quads[..., 1] ^ quads[..., 2]
+            two = jnp.stack([a, b], axis=-1).reshape(64, 256)  # k=2 write
+            pairs = two.reshape(64, 128, 2)  # k=2 read split
             o_ref[...] = jnp.stack(
-                [half[..., 1], half[..., 0]], axis=-1
-            ).reshape(8, 256)
+                [pairs[..., 0], pairs[..., 1], a, b], axis=-1
+            ).reshape(64, 512)  # k=4 write
 
         out = pl.pallas_call(
             k,
             grid=(1,),
-            in_specs=[pl.BlockSpec((8, 256), lambda i: (0, 0))],
-            out_specs=pl.BlockSpec((8, 256), lambda i: (0, 0)),
-            out_shape=jax.ShapeDtypeStruct((8, 256), jnp.int32),
-        )(jnp.zeros((8, 256), jnp.int32))
+            in_specs=[pl.BlockSpec((64, 512), lambda i: (0, 0))],
+            out_specs=pl.BlockSpec((64, 512), lambda i: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((64, 512), jnp.int32),
+        )(jnp.zeros((64, 512), jnp.int32))
         jax.block_until_ready(out)
         return True
     except Exception:

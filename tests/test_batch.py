@@ -164,3 +164,41 @@ def test_utf16_count_length_batch():
     got_l = list(batch.utf8_length_from_utf16le_batch(items))
     assert got_c == [su.count_utf16le(it) for it in items]
     assert got_l == [su.utf8_length_from_utf16le(it) for it in items]
+
+
+def test_batch_ascii_fast_paths_match_general():
+    """The whole-batch ASCII widen/narrow fast paths must be
+    byte-identical to the general vmapped engine, including Result
+    shapes; mixed batches must take the general path unchanged."""
+    ascii_items = [b"hello world " * 40, b"", b"a", b"x" * 999,
+                   bytes(range(0x20, 0x7F)) * 8]
+    # force both paths and compare
+    buf, lens = batch._pack(ascii_items)
+    assert batch._ascii_widen_batch(buf, lens) is not None
+    got = batch.convert_utf8_to_utf16le_batch(ascii_items)
+    for (res, out), item in zip(got, ascii_items):
+        assert res.is_ok and res.count == len(item)
+        assert out == item.decode().encode("utf-16-le")
+
+    u16_items = [s.decode().encode("utf-16-le") for s in ascii_items]
+    got16 = batch.convert_utf16le_to_utf8_batch(u16_items)
+    for (res, out), item in zip(got16, ascii_items):
+        assert res.is_ok and res.count == len(item)
+        assert out == item
+
+    # a single non-ASCII byte anywhere must fall back (peek may miss it;
+    # the kernel flag is the proof) and still produce exact results
+    mixed = [b"hello", "héllo".encode(), b"world"]
+    bufm, lensm = batch._pack(mixed)
+    assert batch._ascii_widen_batch(bufm, lensm) is None
+    gotm = batch.convert_utf8_to_utf16le_batch(mixed)
+    for (res, out), item in zip(gotm, mixed):
+        assert res.is_ok
+        assert out == item.decode().encode("utf-16-le")
+
+    # invalid UTF-8 in a non-ASCII batch: exact per-item error positions
+    bad = [b"ok", b"ab\xffcd", "héllo".encode()]
+    gotb = batch.convert_utf8_to_utf16le_batch(bad)
+    assert gotb[0][0].is_ok
+    assert not gotb[1][0].is_ok and gotb[1][0].count == 2
+    assert gotb[2][0].is_ok
