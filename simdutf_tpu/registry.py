@@ -29,6 +29,76 @@ _priority = ["pallas", "xla", "cnative", "fallback"]  # best-first, like the ref
 # icelake->haswell->...->fallback listing order (implementation.cpp:758-786)
 
 ENV_FORCE = "SIMDUTF_TPU_FORCE_IMPLEMENTATION"
+ENV_SMALL = "SIMDUTF_TPU_SMALL_INPUT_BYTES"
+# Below this many input bytes, auto-selected device tiers answer from the
+# scalar tier instead: one device launch costs ~100 us on a local TPU host
+# (~ms through a tunnel), while the C tier moves ~4-5 GB/s, so the
+# crossover sits near overhead x scalar-throughput ~ 0.5 MB. 256 KiB is
+# the conservative default; measured on-host in tools/bench_all.py.
+_SMALL_DEFAULT = 256 * 1024
+
+
+class SmallInputRouter:
+    """Proxy around a device-tier implementation that answers small calls
+    from the scalar tier (cnative when built, NumPy fallback otherwise).
+
+    The reference ends every SIMD kernel with a scalar tail because below
+    a block the vector machinery costs more than it saves; on an
+    accelerator the same cliff sits at the *call* level (device launch +
+    host<->HBM staging), so the dispatch layer applies the identical cure
+    at call granularity. Applied only to the AUTO-selected tier: a forced
+    tier (env or set_active_implementation) always runs what was asked,
+    keeping per-tier conformance runs and pinned benchmarks exact.
+    Disable with SIMDUTF_TPU_SMALL_INPUT_BYTES=0 (or tune the threshold).
+    """
+
+    def __init__(self, device: Implementation, scalar: Implementation,
+                 threshold: int):
+        self._device = device
+        self._scalar = scalar
+        self._threshold = threshold
+        self.name = device.name
+        self.description = (
+            f"{device.description} (+{scalar.name} for inputs "
+            f"<= {threshold} B)"
+        )
+
+    def __getattr__(self, attr):
+        dev = getattr(self._device, attr)
+        if attr.startswith("_") or not callable(dev):
+            return dev
+        sca = getattr(self._scalar, attr, None)
+        if sca is None:
+            return dev
+        threshold = self._threshold
+
+        import functools
+
+        import numpy as np
+
+        @functools.wraps(dev)
+        def routed(*args, **kw):
+            if (
+                args
+                and isinstance(args[0], np.ndarray)
+                and args[0].nbytes <= threshold
+            ):
+                return sca(*args, **kw)
+            return dev(*args, **kw)
+
+        setattr(self, attr, routed)  # cache: resolve each method once
+        return routed
+
+
+def _with_small_routing(impl: Implementation) -> Implementation:
+    try:
+        threshold = int(os.environ.get(ENV_SMALL, _SMALL_DEFAULT))
+    except ValueError:
+        threshold = _SMALL_DEFAULT
+    if threshold <= 0 or impl.name not in ("pallas", "xla"):
+        return impl
+    scalar = _implementations.get("cnative") or _implementations["fallback"]
+    return SmallInputRouter(impl, scalar, threshold)
 
 
 def register(impl: Implementation) -> None:
@@ -88,7 +158,7 @@ def _detect_best() -> Implementation:
             and impl.supported_by_runtime_system()
             and impl.preferred_by_runtime()
         ):
-            return impl
+            return _with_small_routing(impl)
     raise RuntimeError("no usable simdutf_tpu implementation registered")
 
 
