@@ -91,6 +91,9 @@ def main():
     backend = jax.default_backend()
     dev = str(jax.devices()[0])
     log(f"backend={backend} device={dev}")
+    from simdutf_tpu.kernels.validate import lane_shapecast_supported
+
+    log(f"mosaic lane shape casts: {'supported' if lane_shapecast_supported() else 'UNSUPPORTED - rate-converting pallas rows run their XLA drivers'}")
     hbm = next((v for k, v in HBM_GBPS.items() if k in dev.lower()), 819.0)
 
     import simdutf_tpu.ops.impl as oi

@@ -580,6 +580,9 @@ def main():
     dev = str(jax.devices()[0])
     hbm = next((v for k, v in HBM_GBPS.items() if k in dev.lower()), 819.0)
     log(f"backend={jax.default_backend()} device={dev} hbm={hbm} GB/s")
+    from simdutf_tpu.kernels.validate import lane_shapecast_supported
+
+    log(f"mosaic lane shape casts: {'supported' if lane_shapecast_supported() else 'UNSUPPORTED - rate-converting pallas rows run their XLA drivers'}")
 
     nbytes = size * MB - 4096
     corp = _corpora(nbytes)
