@@ -108,6 +108,28 @@ def main() -> int:
     check("2byte:u16be->u8",
           su.convert_utf16be_to_utf8(cyr.encode("utf-16-be")), cyr.encode())
 
+    # whole-repertoire sweep: every Unicode scalar (1,112,064 codepoints)
+    # in one buffer, transcoded on-device in a single call per direction
+    # and compared byte-for-byte with CPython — the exhaustive CPU-tier
+    # test (tests/test_exhaustive.py) executed against real Mosaic/XLA
+    # lowering instead of interpret mode.
+    scalars = list(range(0, 0xD800)) + list(range(0xE000, 0x110000))
+    rep = "".join(map(chr, scalars))
+    r8, r16, r32 = (rep.encode(), rep.encode("utf-16-le"),
+                    rep.encode("utf-32-le"))
+    check("repertoire:validate8", su.validate_utf8(r8), True)
+    check("repertoire:validate16", su.validate_utf16le(r16), True)
+    check("repertoire:validate32", su.validate_utf32(r32), True)
+    check("repertoire:u8->u16", su.convert_utf8_to_utf16le(r8), r16)
+    check("repertoire:u8->u32", su.convert_utf8_to_utf32(r8), r32)
+    check("repertoire:u16->u8", su.convert_utf16le_to_utf8(r16), r8)
+    check("repertoire:u16->u32", su.convert_utf16le_to_utf32(r16), r32)
+    check("repertoire:u32->u8", su.convert_utf32_to_utf8(r32), r8)
+    check("repertoire:u32->u16", su.convert_utf32_to_utf16le(r32), r16)
+    check("repertoire:count8", su.count_utf8(r8), len(rep))
+    check("repertoire:u16len", su.utf16_length_from_utf8(r8),
+          len(r16) // 2)
+
     ok = all(checks.values())
     print(json.dumps({
         "hw_smoke": "pass" if ok else "FAIL",
