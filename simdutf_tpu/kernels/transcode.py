@@ -568,13 +568,65 @@ def _bmp_widen_kernel(x_ref, o_ref, f_ref, *, big_endian: bool):
     o_ref[...] = out
 
 
+def _butterfly_enabled() -> bool:
+    """Opt-in third path for lane-split kernels: synthesize the interleave
+    in-kernel from roll+select (kernels/shuffle.py) instead of routing to
+    the XLA driver. Never the silent default — enable to measure it
+    (SIMDUTF_TPU_BUTTERFLY=1)."""
+    import os
+
+    return os.environ.get("SIMDUTF_TPU_BUTTERFLY") == "1"
+
+
 def bmp_widen_utf32(x32: jnp.ndarray, big_endian: bool = False):
     """UTF-16 -> UTF-32 when no surrogates exist (zero-padding is
     surrogate-free, so no length masking is needed). Returns
     ((R, 512) int32 UTF-32LE stream, flag)."""
+    if _butterfly_enabled():
+        return _bmp_widen_bf(x32, big_endian)
     if not kv.lane_shapecast_supported():
         return _xla_driver(_bmp_widen_core, x32, 0, big_endian)
     return _bmp_widen_pallas(x32, big_endian)
+
+
+def _bmp_widen_bf_kernel(x_ref, o_ref, f_ref, *, big_endian: bool):
+    from . import shuffle as ksh
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        f_ref[0, 0] = 0
+
+    w = x_ref[...]  # (RU, 256) int32: 2 u16 units per lane
+    u0, u1 = _units(w, big_endian)
+    bad = vany(((u0 & 0xF800) == 0xD800) | ((u1 & 0xF800) == 0xD800))
+
+    @pl.when(bad)
+    def _flag():
+        f_ref[0, 0] = 1
+
+    o_ref[...] = ksh.interleave2(u0, u1)
+
+
+@functools.partial(jax.jit, static_argnames=("big_endian",))
+def _bmp_widen_bf(x32: jnp.ndarray, big_endian: bool = False):
+    grid = x32.shape[0] // RU
+    out, flag = pl.pallas_call(
+        functools.partial(_bmp_widen_bf_kernel, big_endian=big_endian),
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((RU, 256), lambda i: (i, 0))],
+        out_specs=(
+            pl.BlockSpec((RU, 512), lambda i: (i, 0)),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((x32.shape[0], 512), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        interpret=_interpret(),
+    )(x32)
+    return out, flag[0, 0]
 
 
 @functools.partial(jax.jit, static_argnames=("big_endian",))
@@ -638,9 +690,62 @@ def bmp_narrow_utf16(x32: jnp.ndarray, big_endian: bool = False):
     """UTF-32 -> UTF-16 when every codepoint is BMP and non-surrogate
     (flag-clean implies valid UTF-32; zero padding never flags). Returns
     ((R, 256) int32 u16-pair stream, flag)."""
+    if _butterfly_enabled():
+        return _bmp_narrow_bf(x32, big_endian)
     if not kv.lane_shapecast_supported():
         return _xla_driver(_bmp_narrow_core, x32, 0, big_endian)
     return _bmp_narrow_pallas(x32, big_endian)
+
+
+def _bmp_narrow_bf_kernel(x_ref, o_ref, f_ref, *, big_endian: bool):
+    from . import shuffle as ksh
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        f_ref[0, 0] = 0
+
+    x = x_ref[...]  # (RU, 512) int32: one u32 codepoint per lane
+    c0, c1 = ksh.deinterleave2(x)
+    lu = jnp.uint32
+
+    def bad1(c):
+        cu = c.astype(lu)
+        return (cu > 0xFFFF) | ((c & (-2048)) == 0xD800)
+
+    bad = vany(bad1(c0) | bad1(c1))
+
+    @pl.when(bad)
+    def _flag():
+        f_ref[0, 0] = 1
+
+    u0 = c0 & 0xFFFF
+    u1 = c1 & 0xFFFF
+    if big_endian:
+        u0 = ((u0 >> 8) | (u0 << 8)) & 0xFFFF
+        u1 = ((u1 >> 8) | (u1 << 8)) & 0xFFFF
+    o_ref[...] = u0 | (u1 << 16)
+
+
+@functools.partial(jax.jit, static_argnames=("big_endian",))
+def _bmp_narrow_bf(x32: jnp.ndarray, big_endian: bool = False):
+    grid = x32.shape[0] // RU
+    out, flag = pl.pallas_call(
+        functools.partial(_bmp_narrow_bf_kernel, big_endian=big_endian),
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((RU, 512), lambda i: (i, 0))],
+        out_specs=(
+            pl.BlockSpec((RU, 256), lambda i: (i, 0)),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((x32.shape[0], 256), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        interpret=_interpret(),
+    )(x32)
+    return out, flag[0, 0]
 
 
 @functools.partial(jax.jit, static_argnames=("big_endian",))

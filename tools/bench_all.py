@@ -410,6 +410,36 @@ def build_procedures():
             ktr.astral_wordmap(x, n, "u16pair_to_u32")[0].reshape(-1),
             n // 2)),
         lambda nb: 3 * nb)
+    # BMP utf16<->utf32 lane-split kernel variants: the dispatch default
+    # (shape-cast pallas where Mosaic supports it, XLA driver otherwise)
+    # vs the roll+select butterfly (kernels/shuffle.py) — promotion
+    # evidence for SIMDUTF_TPU_BUTTERFLY
+    def _pad_bmp16(a):
+        w = a.view(np.uint16)
+        from simdutf_tpu.kernels.impl import _pad_narrow
+
+        return _pad_narrow(w)[0], np.int32(w.shape[0])
+
+    add("utf16_to_utf32_bmp_default", "utf16", _pad_bmp16,
+        _chain_out(lambda x, n: (
+            ktr.bmp_widen_utf32(x)[0].reshape(-1), n)),
+        lambda nb: 3 * nb)
+    add("utf16_to_utf32_bmp_butterfly", "utf16", _pad_bmp16,
+        _chain_out(lambda x, n: (
+            ktr._bmp_widen_bf(x)[0].reshape(-1), n)),
+        lambda nb: 3 * nb)
+    add("utf32_to_utf16_bmp_default", "utf32", pad32,
+        _chain_out(lambda x, n: (
+            ktr.bmp_narrow_utf16(
+                x.reshape(-1).view(jnp.int32).reshape(-1, 512)
+            )[0].reshape(-1), n)),
+        lambda nb: nb + nb // 2)
+    add("utf32_to_utf16_bmp_butterfly", "utf32", pad32,
+        _chain_out(lambda x, n: (
+            ktr._bmp_narrow_bf(
+                x.reshape(-1).view(jnp.int32).reshape(-1, 512)
+            )[0].reshape(-1), n)),
+        lambda nb: nb + nb // 2)
     add("utf32_validate", "utf32", pad32,
         _chain_scalarish(lambda x, n: o32.validate_with_errors(x, n)[1]),
         lambda nb: nb)
