@@ -24,6 +24,33 @@ jax.config.update("jax_platforms", "cpu")
 import pytest  # noqa: E402
 
 
+def _ensure_cnative_built():
+    """Build the C extension in-place when it is missing so a fresh
+    checkout tests all four tiers (without it the cnative tier — and its
+    ~1000 parametrized tests — would silently vanish from the run)."""
+    try:
+        import simdutf_tpu._cnative  # noqa: F401
+
+        return
+    except ImportError:
+        pass
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        subprocess.run(
+            [sys.executable, "setup.py", "build_ext", "--inplace"],
+            cwd=root, capture_output=True, timeout=600, check=True,
+        )
+    except Exception as exc:  # noqa: BLE001 - toolchain may be absent
+        print(f"warning: cnative build failed ({exc}); "
+              "the cnative tier will not be tested", file=__import__("sys").stderr)
+
+
+_ensure_cnative_built()
+
+
 def _available_impls():
     import simdutf_tpu as su
 
