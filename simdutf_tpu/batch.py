@@ -77,10 +77,6 @@ def _pack_matrix(arrs, item_lens, dtype, tag: str, row_align: int = 1):
     lens[: len(arrs)] = item_lens
     buf = staging_buffer((B, L), dtype, fill_len=B * L, tag=tag)
     _fill_rows(buf, arrs)
-    # zero the pad rows: the pooled buffer is reused across calls, and the
-    # whole-matrix fast paths (ascii widen/narrow) read every row — stale
-    # bytes there would spuriously raise the non-ASCII flag
-    buf[len(arrs):] = 0
     return buf, lens
 
 
@@ -131,39 +127,56 @@ _j_transcode_batch = jax.jit(
 )
 
 
-def _rows_view(flat: np.ndarray, view_dtype, lanes: int, rows_mult: int):
-    """View a packed matrix's flat bytes as kernel rows, zero-padding the
-    row count up to a multiple of ``rows_mult`` (only ever needed for tiny
-    batches: B and L are powers of two, so rows >= rows_mult is already a
-    multiple)."""
-    x = flat.view(view_dtype).reshape(-1, lanes)
-    if x.shape[0] % rows_mult:
-        pad = np.zeros(
-            (rows_mult - x.shape[0] % rows_mult, lanes), x.dtype)
-        x = np.concatenate([x, pad], axis=0)
-    return x
+def _item_rows_view(buf: np.ndarray, n_items: int, view_dtype, lanes: int,
+                    rows_mult: int):
+    """Kernel-row view of the item rows of a packed matrix.
+
+    The pooled buffer's PAD rows (beyond ``n_items``) hold stale bytes
+    from earlier calls and must not reach the whole-matrix kernels, so
+    the view covers only the rows spanning the items, rounded up to the
+    kernel's ``rows_mult`` grid — the round-up slack (< rows_mult kernel
+    rows, at most 32 KiB) is zeroed in place. A batch smaller than one
+    kernel tile is pad-copied into a fresh tile instead (bounded,
+    <= rows_mult kernel rows)."""
+    B, L = buf.shape
+    row_bytes = lanes * view_dtype().itemsize
+    total_rows = B * L * buf.dtype.itemsize // row_bytes
+    items_rows = -(-n_items * L * buf.dtype.itemsize // row_bytes)
+    used = -(-items_rows // rows_mult) * rows_mult
+    flat = buf.reshape(-1)
+    elems_per_row = row_bytes // buf.dtype.itemsize
+    if used > total_rows:
+        tile = np.zeros(used * elems_per_row, buf.dtype)
+        tile[: n_items * L] = flat[: n_items * L]
+        return tile.view(view_dtype).reshape(-1, lanes)
+    flat[n_items * L: used * elems_per_row] = 0  # round-up slack only
+    return flat[: used * elems_per_row].view(view_dtype).reshape(-1, lanes)
 
 
-def _ascii_widen_batch(buf: np.ndarray, lens: np.ndarray):
+def _ascii_widen_batch(buf: np.ndarray, lens: np.ndarray, n_items: int):
     """Whole-batch ASCII fast path for utf8->utf16: the packed (B, L)
     matrix is already the widen kernel's memory layout, and the fixed 1:2
     rate keeps every row self-aligned (item i's units land at u16 offset
     i*L). A strided peek avoids a wasted launch; the kernel's own flag is
     the validity proof (reference's per-block is_ascii short-circuit,
     generic/utf8_to_utf16/utf8_to_utf16.h:237-240, at batch scale).
-    Returns a (B, L) uint16 matrix or None."""
+    Returns a (n_items, L) uint16 matrix or None."""
     B, L = buf.shape
-    sample = buf[:: max(1, B // 64), :: max(1, L // 64)]
+    items = buf[:n_items]
+    sample = items[:, :: max(1, L // 64)]
     if sample.size == 0 or int(sample.max()) >= 0x80:
         return None
     from .kernels import transcode as ktr
 
-    x16 = _rows_view(buf.reshape(-1), np.int16, ktr.W16, ktr.RU)
+    x16 = _item_rows_view(buf, n_items, np.int16, ktr.W16, ktr.RU)
+    if x16 is None:
+        return None
     out, flag = ktr.ascii_widen_utf16(x16, big_endian=False)
     if int(flag):
         return None
     return (
-        np.asarray(out).view(np.uint16).reshape(-1)[: B * L].reshape(B, L)
+        np.asarray(out).view(np.uint16).reshape(-1)[: n_items * L]
+        .reshape(n_items, L)
     )
 
 
@@ -175,7 +188,7 @@ def convert_utf8_to_utf16le_batch(
     if not items:
         return []
     buf, lens = _pack(items)
-    fast = _ascii_widen_batch(buf, lens)
+    fast = _ascii_widen_batch(buf, lens, len(items))
     if fast is not None:
         return [
             (Result(ec.SUCCESS, int(lens[i])),
@@ -229,22 +242,26 @@ def validate_utf16le_batch(items: Sequence[bytes]) -> list[Result]:
     ]
 
 
-def _ascii_narrow_batch(buf: np.ndarray, lens: np.ndarray):
+def _ascii_narrow_batch(buf: np.ndarray, lens: np.ndarray, n_items: int):
     """Whole-batch ASCII fast path for utf16->utf8 (fixed 2:1 rate; item
-    i's bytes land at offset i*L). Returns a (B, L) uint8 matrix or
+    i's bytes land at offset i*L). Returns a (n_items, L) uint8 matrix or
     None."""
     B, L = buf.shape
-    sample = buf[:: max(1, B // 64), :: max(1, L // 64)]
+    items = buf[:n_items]
+    sample = items[:, :: max(1, L // 64)]
     if sample.size == 0 or int(sample.max()) >= 0x80:
         return None
     from .kernels import transcode as ktr
 
-    x32 = _rows_view(buf.reshape(-1), np.int32, ktr.W16, ktr.RU)
+    x32 = _item_rows_view(buf, n_items, np.int32, ktr.W16, ktr.RU)
+    if x32 is None:
+        return None
     out, flag = ktr.ascii_narrow_utf8(x32, big_endian=False)
     if int(flag):
         return None
     return (
-        np.asarray(out).view(np.uint8).reshape(-1)[: B * L].reshape(B, L)
+        np.asarray(out).view(np.uint8).reshape(-1)[: n_items * L]
+        .reshape(n_items, L)
     )
 
 
@@ -254,7 +271,7 @@ def convert_utf16le_to_utf8_batch(
     if not items:
         return []
     buf, lens = _pack16(items)
-    fast = _ascii_narrow_batch(buf, lens)
+    fast = _ascii_narrow_batch(buf, lens, len(items))
     if fast is not None:
         return [
             (Result(ec.SUCCESS, int(lens[i])),

@@ -30,7 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .validate import _interpret, lane_shapecast_supported, vany
+from .validate import (_interpret, lane_shapecast_supported, vany,
+                       xla_driver)
 
 RB = 16  # rows per tile: (16, 512) int32 = 32 KiB of chars
 
@@ -98,16 +99,6 @@ def _decode_kernel(n_ref, x_ref, o_ref, f_ref, *, url: bool, both: bool):
     o_ref[...] = out
 
 
-@functools.cache
-def _decode_xla(url: bool, both: bool):
-    @jax.jit
-    def f(x, n):
-        out, bad = _decode_core(x, 0, n, url, both)
-        return out, bad.astype(jnp.int32)
-
-    return f
-
-
 def clean_decode(x32: jnp.ndarray, nwords, url: bool = False,
                  both: bool = False):
     """x32: (R, 512) int32 view of the padded char buffer (R % RB == 0);
@@ -116,7 +107,7 @@ def clean_decode(x32: jnp.ndarray, nwords, url: bool = False,
 
     Returns (out (R, 384) int32 = decoded byte stream, flag)."""
     if not lane_shapecast_supported():
-        return _decode_xla(url, both)(x32, jnp.asarray(nwords, jnp.int32))
+        return xla_driver(_decode_core, x32, nwords, url, both)
     return _clean_decode_pallas(x32, nwords, url, both)
 
 

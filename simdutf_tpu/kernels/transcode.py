@@ -40,24 +40,8 @@ from . import validate as kv
 from .validate import BR, _interpret, vany
 
 
-@functools.cache
-def _xla_fn(core, *static):
-    """Jitted whole-array XLA driver of a kernel ``core(x, i, n, *static)
-    -> (out, bad)``: tile index 0 makes the core's row iota global, so the
-    result is bit-identical to the gridded Pallas run. Used when the
-    Mosaic toolchain lacks lane shape casts (kv.lane_shapecast_supported);
-    XLA lowers the reshapes/stacks natively and fuses the whole body."""
-
-    @jax.jit
-    def f(x, n):
-        out, bad = core(x, 0, n, *static)
-        return out, bad.astype(jnp.int32)
-
-    return f
-
-
-def _xla_driver(core, x, n, *static):
-    return _xla_fn(core, *static)(x, jnp.asarray(n, jnp.int32))
+# whole-array XLA drivers of the kernel cores (shared with base64_kernel)
+_xla_driver = kv.xla_driver
 
 
 W16 = 256  # int16 lanes per row (512 bytes)
@@ -544,12 +528,18 @@ def _l1_32_pallas(x16: jnp.ndarray):
     )(x16)
 
 
-def _bmp_widen_core(w, i, n, big_endian: bool):
-    del i, n  # zero padding is surrogate-free: no length masking needed
-    R = w.shape[0]
+def _bmp_widen_planes(w, big_endian: bool):
+    """Unit planes + surrogate flag of a u16-pair word tile (shared by
+    the shape-cast core and the butterfly kernel)."""
     u0, u1 = _units(w, big_endian)
     bad = vany(((u0 & 0xF800) == 0xD800) | ((u1 & 0xF800) == 0xD800))
-    return jnp.stack([u0, u1], axis=-1).reshape(R, 512), bad
+    return u0, u1, bad
+
+
+def _bmp_widen_core(w, i, n, big_endian: bool):
+    del i, n  # zero padding is surrogate-free: no length masking needed
+    u0, u1, bad = _bmp_widen_planes(w, big_endian)
+    return jnp.stack([u0, u1], axis=-1).reshape(w.shape[0], 512), bad
 
 
 def _bmp_widen_kernel(x_ref, o_ref, f_ref, *, big_endian: bool):
@@ -599,8 +589,7 @@ def _bmp_widen_bf_kernel(x_ref, o_ref, f_ref, *, big_endian: bool):
         f_ref[0, 0] = 0
 
     w = x_ref[...]  # (RU, 256) int32: 2 u16 units per lane
-    u0, u1 = _units(w, big_endian)
-    bad = vany(((u0 & 0xF800) == 0xD800) | ((u1 & 0xF800) == 0xD800))
+    u0, u1, bad = _bmp_widen_planes(w, big_endian)
 
     @pl.when(bad)
     def _flag():
@@ -649,11 +638,9 @@ def _bmp_widen_pallas(x32: jnp.ndarray, big_endian: bool = False):
     return out, flag[0, 0]
 
 
-def _bmp_narrow_core(x, i, n, big_endian: bool):
-    del i, n  # zero padding is BMP: no length masking needed
-    R = x.shape[0]
-    I = x.reshape(R, 256, 2)
-    c0, c1 = I[..., 0], I[..., 1]
+def _bmp_narrow_from_planes(c0, c1, big_endian: bool):
+    """(u16-pair words, flag) from two codepoint planes (shared by the
+    shape-cast core and the butterfly kernel)."""
     lu = jnp.uint32
 
     def bad1(c):
@@ -668,6 +655,12 @@ def _bmp_narrow_core(x, i, n, big_endian: bool):
         u0 = ((u0 >> 8) | (u0 << 8)) & 0xFFFF
         u1 = ((u1 >> 8) | (u1 << 8)) & 0xFFFF
     return u0 | (u1 << 16), bad
+
+
+def _bmp_narrow_core(x, i, n, big_endian: bool):
+    del i, n  # zero padding is BMP: no length masking needed
+    I = x.reshape(x.shape[0], 256, 2)
+    return _bmp_narrow_from_planes(I[..., 0], I[..., 1], big_endian)
 
 
 def _bmp_narrow_kernel(x_ref, o_ref, f_ref, *, big_endian: bool):
@@ -708,24 +701,13 @@ def _bmp_narrow_bf_kernel(x_ref, o_ref, f_ref, *, big_endian: bool):
 
     x = x_ref[...]  # (RU, 512) int32: one u32 codepoint per lane
     c0, c1 = ksh.deinterleave2(x)
-    lu = jnp.uint32
-
-    def bad1(c):
-        cu = c.astype(lu)
-        return (cu > 0xFFFF) | ((c & (-2048)) == 0xD800)
-
-    bad = vany(bad1(c0) | bad1(c1))
+    out, bad = _bmp_narrow_from_planes(c0, c1, big_endian)
 
     @pl.when(bad)
     def _flag():
         f_ref[0, 0] = 1
 
-    u0 = c0 & 0xFFFF
-    u1 = c1 & 0xFFFF
-    if big_endian:
-        u0 = ((u0 >> 8) | (u0 << 8)) & 0xFFFF
-        u1 = ((u1 >> 8) | (u1 << 8)) & 0xFFFF
-    o_ref[...] = u0 | (u1 << 16)
+    o_ref[...] = out
 
 
 @functools.partial(jax.jit, static_argnames=("big_endian",))

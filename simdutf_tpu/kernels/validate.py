@@ -60,6 +60,26 @@ def vany(m) -> jnp.ndarray:
 
 
 @functools.cache
+def xla_fn(core, *static):
+    """Jitted whole-array XLA driver of a kernel ``core(x, i, n, *static)
+    -> (out, bad)``: tile index 0 makes the core's row iota global, so the
+    result is bit-identical to the gridded Pallas run. Used when the
+    Mosaic toolchain lacks lane shape casts (lane_shapecast_supported);
+    XLA lowers the reshapes/stacks natively and fuses the whole body."""
+
+    @jax.jit
+    def f(x, n):
+        out, bad = core(x, 0, n, *static)
+        return out, bad.astype(jnp.int32)
+
+    return f
+
+
+def xla_driver(core, x, n, *static):
+    return xla_fn(core, *static)(x, jnp.asarray(n, jnp.int32))
+
+
+@functools.cache
 def lane_shapecast_supported() -> bool:
     """Whether the active Mosaic toolchain lowers lane-splitting vector
     shape casts — ``x.reshape(R, L, k)`` deinterleaves and

@@ -82,8 +82,12 @@ def local_shards(outs, out_lens):
     lens = _host_view(out_lens)
     got = []
     for s in outs.addressable_shards:
-        k = int(s.index[0].start or 0) if s.index else 0
-        got.append((k, np.asarray(s.data)[0, : int(lens[k])]))
+        k0 = int(s.index[0].start or 0) if s.index else 0
+        rows = np.asarray(s.data)
+        # one row per device under stage()'s plan==mesh invariant, but a
+        # caller may place multiple shard rows per device — emit them all
+        for r in range(rows.shape[0]):
+            got.append((k0 + r, rows[r, : int(lens[k0 + r])]))
     got.sort(key=lambda t: t[0])
     return got
 

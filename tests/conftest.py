@@ -38,14 +38,37 @@ def _ensure_cnative_built():
     import sys
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # serialize concurrent pytest invocations (e.g. xdist workers): two
+    # overlapping in-place builds can interleave into a truncated .so
+    lock_path = os.path.join(root, "build", ".cnative_build_lock")
+    os.makedirs(os.path.dirname(lock_path), exist_ok=True)
+    lock = open(lock_path, "w")
     try:
-        subprocess.run(
+        import fcntl
+
+        fcntl.flock(lock, fcntl.LOCK_EX)
+    except ImportError:  # non-POSIX: accept the (rare) race
+        pass
+    try:
+        try:
+            import simdutf_tpu._cnative  # noqa: F401  (another run built it)
+
+            return
+        except ImportError:
+            pass
+        proc = subprocess.run(
             [sys.executable, "setup.py", "build_ext", "--inplace"],
-            cwd=root, capture_output=True, timeout=600, check=True,
+            cwd=root, capture_output=True, text=True, timeout=600,
         )
+        if proc.returncode != 0:
+            print("warning: cnative build failed; the cnative tier will "
+                  f"not be tested. stderr:\n{proc.stderr[-2000:]}",
+                  file=sys.stderr)
     except Exception as exc:  # noqa: BLE001 - toolchain may be absent
         print(f"warning: cnative build failed ({exc}); "
-              "the cnative tier will not be tested", file=__import__("sys").stderr)
+              "the cnative tier will not be tested", file=sys.stderr)
+    finally:
+        lock.close()
 
 
 _ensure_cnative_built()

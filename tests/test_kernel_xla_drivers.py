@@ -154,14 +154,14 @@ def test_clean_decode(url, both):
     n = len(chars) // 4
     _check(
         kb64._clean_decode_pallas(x, n, url, both),
-        kb64._decode_xla(url, both)(x, jnp.int32(n)),
+        kb64.xla_driver(kb64._decode_core, x, n, url, both),
     )
     # dirty input must flag on both paths
     dirty = bytearray(chars)
     dirty[100] = ord(" ")
     xd = _arr32(bytes(dirty), 512, kb64.RB)
     p = kb64._clean_decode_pallas(xd, n, url, both)
-    q = kb64._decode_xla(url, both)(xd, jnp.int32(n))
+    q = kb64.xla_driver(kb64._decode_core, xd, n, url, both)
     assert int(p[1]) == 1 and int(q[1]) == 1
 
 

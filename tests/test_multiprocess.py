@@ -48,10 +48,19 @@ def test_two_process_mesh_parity():
             text=True,
         )
 
-    p1 = launch(1)
-    p0 = launch(0)
-    out0, err0 = p0.communicate(timeout=540)
-    out1, err1 = p1.communicate(timeout=60)
+    # the free-port probe can race another process grabbing the port
+    # between close and the coordinator bind; retry with a fresh port
+    for attempt in range(3):
+        p1 = launch(1)
+        p0 = launch(0)
+        out0, err0 = p0.communicate(timeout=540)
+        out1, err1 = p1.communicate(timeout=60)
+        if p0.returncode == 0 and p1.returncode == 0:
+            break
+        bindish = "bind" in err0.lower() or "address" in err0.lower()
+        if attempt == 2 or not bindish:
+            break
+        port = _free_port()
     assert p0.returncode == 0, f"p0 failed:\n{out0}\n{err0[-3000:]}"
     assert p1.returncode == 0, f"p1 failed:\n{out1}\n{err1[-3000:]}"
 
