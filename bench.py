@@ -375,6 +375,20 @@ def main():
         record["best_recorded_gbps"] = best[0]
         record["best_recorded_at"] = best[1]
     print(json.dumps(record))
+    _log_attempt(record)
+
+
+def _log_attempt(record: dict) -> None:
+    """Append every run's JSON (plus timestamp) to
+    perf_records/bench_attempts.jsonl: a committed timeline of measured
+    states, so a degraded official run carries the evidence that the
+    degradation is environmental (probe included in each line)."""
+    try:
+        path = __file__.rsplit("/", 1)[0] + "/perf_records/bench_attempts.jsonl"
+        with open(path, "a") as f:
+            f.write(json.dumps({"ts": time.time(), **record}) + "\n")
+    except OSError:
+        pass  # read-only checkout: the stdout line is still the record
 
 
 def best_recorded():

@@ -34,10 +34,24 @@ print(round(16/1024/((time.perf_counter()-t0)/10), 1))
 PY
 }
 echo "=== watcher start $(date -u)" >> $LOG
+BEST=0
 for i in $(seq 1 500); do
   GBPS=$(probe_gbps)
   NOW=$(date +%s)
   echo "--- attempt $i probe=${GBPS:-fail} GB/s $(date -u)" >> $LOG
+  # adaptive insurance: if the chip never reaches the healthy bar but
+  # climbs well above anything seen so far, capture a short bench-only
+  # record from the best state available (tagged by its probe value)
+  if [ -n "$GBPS" ] && python -c "exit(0 if 25 <= float('$GBPS') < 50 and float('$GBPS') > 2*float('$BEST') else 1)" 2>/dev/null; then
+    BEST=$GBPS
+    STAMP=$(date -u +%Y%m%dT%H%M%SZ)
+    REC=/root/repo/perf_records/partial_$STAMP
+    mkdir -p "$REC"
+    echo "$GBPS" > "$REC/probe_gbps.txt"
+    echo "=== PARTIAL capture ($GBPS GB/s) -> $REC" >> $LOG
+    timeout 1500 python bench.py > "$REC/bench.json" 2> "$REC/bench.stderr"
+    echo "=== partial bench rc=$? $(date -u): $(cat "$REC/bench.json")" >> $LOG
+  fi
   if [ -n "$GBPS" ] && python -c "exit(0 if float('$GBPS') >= 50 else 1)" 2>/dev/null; then
     if [ $((NOW - LASTRUN)) -gt 1800 ]; then
       LASTRUN=$NOW
