@@ -455,7 +455,12 @@ def convert_latin1_to_utf8(data) -> bytes:
 def convert_latin1_to_utf8_safe(data, capacity: int) -> bytes:
     """Capacity-limited variant (implementation.h:547-560): writes as many
     whole characters as fit into ``capacity`` bytes."""
-    out = _impl().convert_latin1_to_utf8(as_u8(data))
+    arr = as_u8(data)
+    # every Latin-1 char emits >= 1 byte, so the first ``capacity`` chars
+    # already cover the output budget — don't convert a gigabyte to keep 16 B
+    if arr.shape[0] > capacity:
+        arr = arr[:capacity]
+    out = _impl().convert_latin1_to_utf8(arr)
     if out.shape[0] <= capacity:
         return _out_bytes(out)
     out = out[:capacity]

@@ -311,7 +311,7 @@ def _j_b64dec_batch(chars, lens, url, both):
 
 @jax.jit
 def _j_b64enc_batch(data, alpha):
-    return jax.vmap(lambda d: base64_ops.encode_bulk(d, 0, alpha))(data)
+    return jax.vmap(lambda d: base64_ops.encode_bulk(d, alpha))(data)
 
 
 def base64_to_binary_batch(

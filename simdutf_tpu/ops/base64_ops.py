@@ -24,21 +24,7 @@ from ..golden import base64_impl as gb
 from .common import BIG, excl_scan, positions, scatter_writes
 
 
-def _tables():
-    return {opt: jnp.asarray(gb.value_table(opt)) for opt in (0, 1, 8)}
-
-
-_TABLE_CACHE = None
 _ALPHA_CACHE = None
-
-
-def table_for(options: int) -> jnp.ndarray:
-    global _TABLE_CACHE
-    if _TABLE_CACHE is None:
-        _TABLE_CACHE = _tables()
-    if options & gb.BASE64_DEFAULT_OR_URL:
-        return _TABLE_CACHE[8]
-    return _TABLE_CACHE[options & gb.BASE64_URL]
 
 
 def alphabet_for(options: int) -> jnp.ndarray:
@@ -114,9 +100,10 @@ def decode_bulk(chars: jnp.ndarray, length, url: bool, both: bool):
     return first_bad, nvalid, nvalid_at_bad, packed, tail_vals, tail_start
 
 
-def encode_bulk(data: jnp.ndarray, length, alpha: jnp.ndarray):
-    """data: padded uint8[N] with N % 3 == 0. Encodes whole 3-byte groups;
-    host appends the <=2-byte tail + padding. Returns u8[4N/3]."""
+def encode_bulk(data: jnp.ndarray, alpha: jnp.ndarray):
+    """data: padded uint8[N] with N % 3 == 0. Encodes whole 3-byte groups
+    (the caller slices the valid prefix on the host and appends the
+    <=2-byte tail + padding). Returns u8[4N/3]."""
     n = data.shape[0]
     d = data.astype(jnp.int32).reshape(n // 3, 3)
     t = (d[:, 0] << 16) | (d[:, 1] << 8) | d[:, 2]

@@ -257,8 +257,7 @@ class XLAImplementation(Implementation):
     description = "jax.numpy ops lowered by XLA (TPU/CPU/GPU)"
 
     def __init__(self):
-        super().__init__()
-        tune_host_allocator()
+        super().__init__()  # base __init__ already tunes the host allocator
 
     def supported_by_runtime_system(self) -> bool:
         try:
@@ -521,6 +520,6 @@ class XLAImplementation(Implementation):
         nfull = n // 3 * 3
         alpha = base64_ops.alphabet_for(options)
         p, _ = _pad(src[:nfull], multiple=3)
-        body = np.asarray(_j_b64_encode(p, np.int32(nfull), alpha))[: nfull // 3 * 4]
+        body = np.asarray(_j_b64_encode(p, alpha))[: nfull // 3 * 4]
         tail = gb.encode(src[nfull:], options)
         return np.concatenate([body, tail])

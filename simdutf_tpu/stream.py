@@ -335,6 +335,7 @@ class Base64StreamDecoder:
         self._options = options
         self._last = last_chunk_handling
         self._tab = gb.value_table(options)
+        self._garbage = bool(gb.ignore_garbage(options))
         self._buf = bytearray()
         self._chars = 0  # global chars consumed into decodes
         self._out = 0  # global bytes produced
@@ -358,8 +359,16 @@ class Base64StreamDecoder:
             # remainder of the stream (padding is terminal in practice)
             return b""
         arr = np.frombuffer(chunk, dtype=np.uint8)
-        eqpos = np.nonzero(arr == 0x3D)[0]
-        region = int(eqpos[0]) if eqpos.size else arr.shape[0]
+        if self._garbage:
+            # with accept_garbage, '=' is an insignificant character like
+            # any other garbage (golden/base64_impl semantics), so eager
+            # quad decoding continues through it — without this, one stray
+            # '=' would buffer the entire remaining stream until finish()
+            region = arr.shape[0]
+            eqpos = np.zeros(0, dtype=np.int64)
+        else:
+            eqpos = np.nonzero(arr == 0x3D)[0]
+            region = int(eqpos[0]) if eqpos.size else arr.shape[0]
         new_sig = np.nonzero(self._tab[arr[:region]] < 64)[0]
         self._sig_pos.extend((new_sig + base).tolist())
         if eqpos.size:
