@@ -76,6 +76,31 @@ def main() -> int:
     n_cp = count_sharded(plan, mesh, "utf8")
     assert n_cp == len(data.decode()), n_cp
 
+    # sharded forgiving base64 across processes: whitespace + '=' padding
+    # exercises every cross-process _host_view site incl. the final-shard
+    # tail fetch (tails/tstarts live on the LAST process's devices)
+    import base64 as pyb64
+
+    from simdutf_tpu.parallel.distributed import base64_to_binary_sharded
+    from simdutf_tpu.parallel.planner import plan_shards_base64
+
+    payload = data[: 3 * (len(data) // 3) + 1]  # force '=' padding
+    b64 = bytearray(pyb64.b64encode(payload))
+    for k in range(40, len(b64), 97):
+        b64.insert(k, ord(" "))
+    b64 = bytes(b64)
+    planb = plan_shards_base64(b64, n_dev)
+    full, packed, out_lens_b, extra = base64_to_binary_sharded(
+        b64, planb, mesh
+    )
+    assert full.error == 0, full
+    assert full.output_count == len(payload), (full, len(payload))
+    from simdutf_tpu.parallel.distributed import local_shards
+
+    mine_b = local_shards(packed, out_lens_b)
+    local_b64_bytes = sum(a.shape[0] for _, a in mine_b)
+    assert local_b64_bytes >= 0
+
     print(
         "PIECES "
         + json.dumps({"pid": pid, "lens": lens, "pieces": pieces}),
