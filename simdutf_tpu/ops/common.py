@@ -10,6 +10,12 @@ import jax.numpy as jnp
 BIG = 2**31 - 1
 
 
+def bswap16(w: jnp.ndarray) -> jnp.ndarray:
+    """Byteswap the low 16 bits of each lane (the UTF-16 BE<->native
+    step; one shared definition so every direction lowers identically)."""
+    return ((w << 8) | (w >> 8)) & 0xFFFF
+
+
 def shift_left(b: jnp.ndarray, k: int) -> jnp.ndarray:
     """out[i] = b[i+k], zero-filled past the end.
 

@@ -12,6 +12,7 @@ import jax.numpy as jnp
 from ..errors import error_code as ec
 from .common import (
     BIG,
+    bswap16,
     excl_scan,
     positions,
     scatter_writes,
@@ -26,7 +27,7 @@ _TOO_LARGE = int(ec.TOO_LARGE)
 def native(words: jnp.ndarray, length, big_endian: bool) -> jnp.ndarray:
     w = words.astype(jnp.int32)
     if big_endian:
-        w = ((w << 8) | (w >> 8)) & 0xFFFF
+        w = bswap16(w)
     return zero_tail(w, length)
 
 
@@ -70,7 +71,7 @@ def utf8_length(words: jnp.ndarray, length, big_endian: bool):
 
 def change_endianness(words: jnp.ndarray):
     w = words.astype(jnp.int32)
-    return (((w << 8) | (w >> 8)) & 0xFFFF).astype(jnp.uint16)
+    return bswap16(w).astype(jnp.uint16)
 
 
 def to_well_formed(words: jnp.ndarray, length, big_endian: bool):
@@ -86,7 +87,7 @@ def to_well_formed(words: jnp.ndarray, length, big_endian: bool):
     bad = (is_high & ~next_low) | (is_low & ~prev_high)
     out = jnp.where(bad & in_r, 0xFFFD, w)
     if big_endian:
-        out = ((out << 8) | (out >> 8)) & 0xFFFF
+        out = bswap16(out)
     # restore original (unswapped) payload outside range for cleanliness
     out = jnp.where(in_r, out, words.astype(jnp.int32))
     return out.astype(jnp.uint16)
@@ -151,13 +152,24 @@ def to_utf8(words: jnp.ndarray, length, big_endian: bool):
     width = _utf8_widths(cp, start)
     out, off, total = _emit_utf8(cp, start, width, n)
     clamped = jnp.minimum(err_pos, n - 1)
-    out_len = jnp.where(ok, total, jnp.where(err_pos == 0, 0, off[clamped]))
+    # off[0] == 0 for an exclusive scan, so err_pos == 0 needs no special case
+    out_len = jnp.where(ok, total, off[clamped])
     return (
         jnp.where(ok, 0, err_code),
         jnp.where(ok, length, err_pos),
         out,
         out_len,
     )
+
+
+def _emit_utf32(cp, start, n):
+    """Shared UTF-32 emission: scan the start mask, scatter codepoints.
+    Returns (out u32[n], off, total)."""
+    width = start.astype(jnp.int32)
+    off, off_inc = excl_scan(width, n)
+    total = off_inc[n - 1]
+    out = scatter_writes(n, jnp.uint32, [(start, off, cp)])
+    return out, off, total
 
 
 def to_utf32(words: jnp.ndarray, length, big_endian: bool):
@@ -167,12 +179,10 @@ def to_utf32(words: jnp.ndarray, length, big_endian: bool):
     err_pos, err_code = first_error(w, length)
     ok = err_pos == BIG
     cp, start = _codepoints(w, length)
-    width = start.astype(jnp.int32)
-    off, off_inc = excl_scan(width, n)
-    total = off_inc[n - 1]
-    out = scatter_writes(n, jnp.uint32, [(start, off, cp)])
+    out, off, total = _emit_utf32(cp, start, n)
     clamped = jnp.minimum(err_pos, n - 1)
-    out_len = jnp.where(ok, total, jnp.where(err_pos == 0, 0, off[clamped]))
+    # off[0] == 0 for an exclusive scan, so err_pos == 0 needs no special case
+    out_len = jnp.where(ok, total, off[clamped])
     return (
         jnp.where(ok, 0, err_code),
         jnp.where(ok, length, err_pos),
@@ -222,8 +232,5 @@ def to_utf32_valid(words: jnp.ndarray, length, big_endian: bool):
     n = words.shape[0]
     w = native(words, length, big_endian)
     cp, start = _codepoints(w, length)
-    width = start.astype(jnp.int32)
-    off, off_inc = excl_scan(width, n)
-    total = off_inc[n - 1]
-    out = scatter_writes(n, jnp.uint32, [(start, off, cp)])
+    out, _, total = _emit_utf32(cp, start, n)
     return out, total

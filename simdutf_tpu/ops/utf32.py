@@ -6,7 +6,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..errors import error_code as ec
-from .common import BIG, excl_scan, positions, scatter_writes, zero_tail
+from .common import BIG, bswap16, excl_scan, positions, scatter_writes, zero_tail
 
 _SURROGATE = int(ec.SURROGATE)
 _TOO_LARGE = int(ec.TOO_LARGE)
@@ -24,8 +24,10 @@ def first_error(w, length):
     too_large = (w > 0x10FFFF) & in_r
     surrogate = (w >= 0xD800) & (w <= 0xDFFF) & in_r
     bad = too_large | surrogate
-    pos = jnp.min(jnp.where(bad, idx, BIG))
+    # one reduction: the key equals idx wherever bad, so argmin alone
+    # locates the first bad word; bad[k] distinguishes "none bad"
     k = jnp.argmin(jnp.where(bad, idx, BIG))
+    pos = jnp.where(bad[k], k.astype(jnp.int32), BIG)
     code = jnp.where(too_large[k], _TOO_LARGE, _SURROGATE)
     return pos, code
 
@@ -103,8 +105,8 @@ def _emit_utf16(w64, length, n, big_endian):
     unit0 = jnp.where(is4, 0xD800 + (cpx >> 10), cp)
     unit1 = 0xDC00 + (cpx & 0x3FF)
     if big_endian:
-        unit0 = ((unit0 << 8) | (unit0 >> 8)) & 0xFFFF
-        unit1 = ((unit1 << 8) | (unit1 >> 8)) & 0xFFFF
+        unit0 = bswap16(unit0)
+        unit1 = bswap16(unit1)
     out = scatter_writes(cap, jnp.uint16, [
         (in_r, off, unit0),
         (is4, off + 1, unit1),
@@ -120,7 +122,8 @@ def to_utf8(words: jnp.ndarray, length):
     ok = err_pos == BIG
     out, off, total = _emit_utf8(w64, length, n)
     clamped = jnp.minimum(err_pos, n - 1)
-    out_len = jnp.where(ok, total, jnp.where(err_pos == 0, 0, off[clamped]))
+    # off[0] == 0 for an exclusive scan, so err_pos == 0 needs no special case
+    out_len = jnp.where(ok, total, off[clamped])
     return (
         jnp.where(ok, 0, err_code),
         jnp.where(ok, length, err_pos),
@@ -146,7 +149,8 @@ def to_utf16(words: jnp.ndarray, length, big_endian: bool):
     ok = err_pos == BIG
     out, off, total = _emit_utf16(w64, length, n, big_endian)
     clamped = jnp.minimum(err_pos, n - 1)
-    out_len = jnp.where(ok, total, jnp.where(err_pos == 0, 0, off[clamped]))
+    # off[0] == 0 for an exclusive scan, so err_pos == 0 needs no special case
+    out_len = jnp.where(ok, total, off[clamped])
     return (
         jnp.where(ok, 0, err_code),
         jnp.where(ok, length, err_pos),

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from ..errors import error_code as ec
 from .common import (
     BIG,
+    bswap16,
     excl_scan,
     positions,
     scatter_writes,
@@ -191,8 +192,8 @@ def _emit_utf16_units(cp, lead, lead4, n, big_endian: bool):
     unit0 = jnp.where(cp > 0xFFFF, 0xD800 + (cpx >> 10), cp)
     unit1 = 0xDC00 + (cpx & 0x3FF)
     if big_endian:
-        unit0 = ((unit0 << 8) | (unit0 >> 8)) & 0xFFFF
-        unit1 = ((unit1 << 8) | (unit1 >> 8)) & 0xFFFF
+        unit0 = bswap16(unit0)
+        unit1 = bswap16(unit1)
     after_lead4 = shift_right((lead & lead4).astype(jnp.int32), 1).astype(bool)
     keep = lead | after_lead4
     val = jnp.where(after_lead4, shift_right(unit1, 1), unit0)
@@ -221,7 +222,8 @@ def to_utf16(b: jnp.ndarray, length, big_endian: bool):
     )
     # on error, units written = offset at the error position
     clamped = jnp.minimum(err_pos, n - 1)
-    out_len = jnp.where(ok, total, jnp.where(err_pos == 0, 0, off[clamped]))
+    # off[0] == 0 for an exclusive scan, so err_pos == 0 needs no special case
+    out_len = jnp.where(ok, total, off[clamped])
     return jnp.where(ok, 0, err_code), jnp.where(ok, length, err_pos), out, out_len
 
 
@@ -239,7 +241,8 @@ def to_utf32(b: jnp.ndarray, length):
     total = off_inc[n - 1]
     out = scatter_writes(n, jnp.uint32, [(lead, off, cls["cp"])])
     clamped = jnp.minimum(err_pos, n - 1)
-    out_len = jnp.where(ok, total, jnp.where(err_pos == 0, 0, off[clamped]))
+    # off[0] == 0 for an exclusive scan, so err_pos == 0 needs no special case
+    out_len = jnp.where(ok, total, off[clamped])
     return (
         jnp.where(ok, 0, err_code),
         jnp.where(ok, length, err_pos),
@@ -291,7 +294,8 @@ def to_latin1(b: jnp.ndarray, length):
     vals = jnp.where(ascii_, bb, cp2)
     out = scatter_writes(n, jnp.uint8, [(lead, off, vals)])
     clamped = jnp.minimum(err_pos, n - 1)
-    out_len = jnp.where(ok, total, jnp.where(err_pos == 0, 0, off[clamped]))
+    # off[0] == 0 for an exclusive scan, so err_pos == 0 needs no special case
+    out_len = jnp.where(ok, total, off[clamped])
     return (
         jnp.where(ok, 0, err_code),
         jnp.where(ok, length, err_pos),

@@ -15,13 +15,15 @@ import numpy as np
 
 
 class ShardPlan(NamedTuple):
-    #: (n_shards, shard_cap) zero-padded payloads
+    #: (n_shards, shard_cap) zero-padded payloads (uint8, or uint16/uint32
+    #: for unit=2/4 plans)
     shards: np.ndarray
-    #: (n_shards,) logical byte length of each shard
+    #: (n_shards,) logical length of each shard, in CODE UNITS of the plan
+    #: (bytes for unit=1, u16 units for unit=2, words for unit=4)
     lengths: np.ndarray
-    #: (n_shards,) global offset of each shard's first byte
+    #: (n_shards,) global offset of each shard's first code unit
     offsets: np.ndarray
-    #: total logical bytes (== lengths.sum())
+    #: total logical code units (== lengths.sum())
     total: int
 
 
@@ -46,7 +48,10 @@ def plan_shards(
     if not isinstance(data, np.ndarray):
         data = np.frombuffer(bytes(data), dtype=np.uint8)
     if data.dtype in (np.dtype(np.uint16), np.dtype(np.uint32)):
-        assert unit == data.dtype.itemsize
+        if unit != data.dtype.itemsize:
+            raise ValueError(
+                f"unit={unit} disagrees with dtype {data.dtype} "
+                f"({data.dtype.itemsize}-byte code units)")
         data = data.view(np.uint8) if data.flags["C_CONTIGUOUS"] else (
             np.ascontiguousarray(data).view(np.uint8)
         )
@@ -72,6 +77,12 @@ def plan_shards(
     cuts.append(n)
     lengths = np.array([cuts[i + 1] - cuts[i] for i in range(n_shards)], np.int64)
     offsets = np.array(cuts[:-1], dtype=np.int64)
+    if int(lengths.max(initial=0)) >= 2**31 - 512:
+        # shard-local positions are int32 on device (BIG sentinel); a
+        # wrapped length would silently validate nothing
+        raise ValueError(
+            f"largest shard is {int(lengths.max())} bytes; use more than "
+            f"{n_shards} shards so each stays under 2**31-512")
     cap = int(lengths.max(initial=1))
     cap = (cap + align - 1) // align * align
     shards = np.zeros((n_shards, cap), dtype=np.uint8)
@@ -121,6 +132,12 @@ def plan_shards_base64(
     cuts.append(n)
     lengths = np.array([cuts[i + 1] - cuts[i] for i in range(n_shards)], np.int64)
     offsets = np.array(cuts[:-1], dtype=np.int64)
+    if int(lengths.max(initial=0)) >= 2**31 - 512:
+        # shard-local positions are int32 on device (BIG sentinel); a
+        # wrapped length would silently validate nothing
+        raise ValueError(
+            f"largest shard is {int(lengths.max())} bytes; use more than "
+            f"{n_shards} shards so each stays under 2**31-512")
     cap = max(int(lengths.max(initial=1)), 4)
     cap = (cap + align - 1) // align * align
     shards = np.zeros((n_shards, cap), dtype=np.uint8)
