@@ -68,6 +68,38 @@ class Utf8Analysis:
         return Result(ec(self.err_code), int(self.err_pos))
 
 
+def _first_event(lead, err, seqlen, is_cont, n):
+    """Merge the three error-event families into the global first
+    (err_pos, err_code); (_NO_ERROR, 0) when clean.
+
+    Events: (1) an invalid lead sequence at the lead's own position;
+    (2) an unconsumed continuation byte right after a valid sequence,
+    registered at the continuation's position as TOO_LONG; (3) the input
+    starting with a continuation byte (TOO_LONG at 0). (1) and (2) live at
+    disjoint positions (lead vs continuation bytes), so a plain min-merge
+    is exact.
+    """
+    pos = np.arange(n, dtype=np.int32)
+    event_pos = np.where(lead & (err != 0), pos, _NO_ERROR)
+    event_code = err
+    good_lead = lead & (err == 0)
+    nxt = pos + seqlen
+    nxt_in = good_lead & (nxt < n)
+    nxt_cont = np.zeros(n, dtype=bool)
+    nxt_cont[nxt_in] = is_cont[nxt[nxt_in]]
+    tl_pos = np.where(nxt_in & nxt_cont, nxt, _NO_ERROR)
+    event_pos = np.minimum(event_pos, tl_pos)
+    event_code = np.where(event_pos == tl_pos, int(ec.TOO_LONG), event_code)
+
+    err_pos, err_code = _NO_ERROR, 0
+    if event_pos.min(initial=_NO_ERROR) != _NO_ERROR:
+        k = int(np.argmin(event_pos))
+        err_pos, err_code = int(event_pos[k]), int(event_code[k])
+    if n and is_cont[0] and 0 < err_pos:
+        err_pos, err_code = 0, int(ec.TOO_LONG)
+    return err_pos, err_code
+
+
 def analyze(b: np.ndarray) -> Utf8Analysis:
     """Full structural analysis of a uint8 buffer."""
     n = int(b.shape[0])
@@ -119,39 +151,8 @@ def analyze(b: np.ndarray) -> Utf8Analysis:
     cp = np.where(lead3, cp3, cp)
     cp = np.where(lead4, cp4, cp)
 
-    # --- error events ---
-    pos = np.arange(n, dtype=np.int32)
-    event_pos = np.full(n, _NO_ERROR, dtype=np.int32)
-    event_code = np.zeros(n, dtype=np.int32)
-
-    # (1) invalid lead sequences
-    bad_lead = lead & (err != 0)
-    event_pos = np.where(bad_lead, pos, event_pos)
-    event_code = np.where(bad_lead, err, event_code)
-    # (2) unconsumed continuation after a valid sequence
-    good_lead = lead & (err == 0) & ~badlead
-    nxt = pos + seqlen
-    nxt_in = good_lead & (nxt < n)
-    nxt_cont = np.zeros(n, dtype=bool)
-    idx = nxt[nxt_in]
-    nxt_cont[nxt_in] = is_cont[idx]
-    # register TOO_LONG event at the continuation's own position
-    tl_pos = np.where(nxt_in & nxt_cont, nxt, _NO_ERROR)
-    # merge: events (1) and (2) live at disjoint positions (lead vs cont)
-    event_pos = np.minimum(event_pos, tl_pos)
-    event_code = np.where(event_pos == tl_pos, int(ec.TOO_LONG), event_code)
-    # (3) input starts with a continuation byte
-    if is_cont[0]:
-        first = (0, int(ec.TOO_LONG))
-    else:
-        first = None
-
-    if event_pos.min(initial=_NO_ERROR) == _NO_ERROR and first is None:
-        return Utf8Analysis(n, is_cont, lead, seqlen, cp, _NO_ERROR, 0)
-    k = int(np.argmin(event_pos))
-    err_pos, err_code_v = int(event_pos[k]), int(event_code[k])
-    if first is not None and first[0] < err_pos:
-        err_pos, err_code_v = first
+    # --- error events (shared merge) ---
+    err_pos, err_code_v = _first_event(lead, err, seqlen, is_cont, n)
     return Utf8Analysis(n, is_cont, lead, seqlen, cp, err_pos, err_code_v)
 
 
@@ -280,25 +281,7 @@ def convert_to_latin1_with_errors(b: np.ndarray):
 
     lead = ~is_cont
     seqlen = np.where(ascii_, 1, 2)
-    pos = np.arange(n, dtype=np.int32)
-    event_pos = np.where(lead & (err != 0), pos, _NO_ERROR)
-    event_code = err
-    good_lead = lead & (err == 0)
-    nxt = pos + seqlen
-    nxt_in = good_lead & (nxt < n)
-    nxt_cont = np.zeros(n, dtype=bool)
-    nxt_cont[nxt_in] = is_cont[nxt[nxt_in]]
-    tl_pos = np.where(nxt_in & nxt_cont, nxt, _NO_ERROR)
-    event_pos = np.minimum(event_pos, tl_pos)
-    event_code = np.where(event_pos == tl_pos, int(ec.TOO_LONG), event_code)
-
-    err_pos = _NO_ERROR
-    err_code = 0
-    if event_pos.min(initial=_NO_ERROR) != _NO_ERROR:
-        k = int(np.argmin(event_pos))
-        err_pos, err_code = int(event_pos[k]), int(event_code[k])
-    if is_cont[0] and 0 < err_pos:
-        err_pos, err_code = 0, int(ec.TOO_LONG)
+    err_pos, err_code = _first_event(lead, err, seqlen, is_cont, n)
 
     upto = n if err_pos == _NO_ERROR else err_pos
     lead_idx = np.flatnonzero(lead[:upto])

@@ -177,11 +177,10 @@ def _ascii_swar_kernel(x_ref, out_ref):
     @pl.when(i == 0)
     def _init():
         out_ref[0, 0] = BIG
+        out_ref[0, 1] = 0  # unused slot: deterministic output
 
     b = x_ref[...]
-    from .validate import _iotas as _io
-
-    row, lane = _io(b.shape)
+    row, lane = _iotas(b.shape)
     hit = (b & _HIGH) != 0
     pos = jnp.min(jnp.where(hit, (i * BR + row) * W32 + lane, BIG))
 
@@ -223,20 +222,28 @@ def _eq16(w, mask, val):
     return _hz16((w & _i32(mask * _HONES)) ^ _i32(val * _HONES))
 
 
+def _bswap16x2(w):
+    """Byteswap both u16 units packed in each int32 word (BE -> native);
+    one definition shared by the tile, next-halo and prev-halo reads."""
+    return ((w << 8) & _i32(0xFF00FF00)) | (
+        (w.astype(jnp.uint32) >> 8).astype(jnp.int32) & 0x00FF00FF
+    )
+
+
 def _utf16_swar_kernel(x_ref, nxt_ref, prv_ref, out_ref, *, be: bool):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _init():
         out_ref[0, 0] = BIG
+        out_ref[0, 1] = 0  # unused slot: deterministic output
 
     wr = x_ref[...]
     if be:
-        wr = ((wr << 8) & _i32(0xFF00FF00)) | (
-            (wr.astype(jnp.uint32) >> 8).astype(jnp.int32) & 0x00FF00FF
-        )
-    # surrogate-free fast path: no D800..DFFF units in the tile or in the
-    # neighbor halo words -> nothing to check
+        wr = _bswap16x2(wr)
+    # surrogate-free fast path: a first-error position can only sit ON a
+    # surrogate unit, so a tile with no D800..DFFF units contributes no
+    # errors regardless of its neighbors — no halo read needed here
     sur_here = vany(_eq16(wr, 0xF800, 0xD800) != 0)
 
     @pl.when(sur_here)
@@ -247,9 +254,7 @@ def _utf16_swar_kernel(x_ref, nxt_ref, prv_ref, out_ref, *, be: bool):
 def _utf16_swar_body(x_ref, nxt_ref, prv_ref, out_ref, i, be):
     w = x_ref[...]
     if be:
-        w = ((w << 8) & _i32(0xFF00FF00)) | (
-            (w.astype(jnp.uint32) >> 8).astype(jnp.int32) & 0x00FF00FF
-        )
+        w = _bswap16x2(w)
     _, lane = _iotas(w.shape)
 
     high = _eq16(w, 0xFC00, 0xD800)  # 0x8000 bit per high surrogate
@@ -261,17 +266,13 @@ def _utf16_swar_body(x_ref, nxt_ref, prv_ref, out_ref, i, be):
         return (m.astype(lu) >> k).astype(jnp.int32)
 
     # next unit's low-flag aligned at current unit
-    nxt_word_low = jnp.where(
-        lane < W32 - 1,
-        pltpu.roll(low, shift=W32 - 1, axis=1),
-        jnp.concatenate([low[1:, :1], jnp.zeros_like(low[0:1, :1])], axis=0),
-    )
+    # the roll's wrapped value at lane W32-1 is immediately overwritten by
+    # the raw-next-word recompute below, so no same-tile splice is needed
+    nxt_word_low = pltpu.roll(low, shift=W32 - 1, axis=1)
     # boundary: recompute from the raw next word (masks can't cross tiles)
     nxt_raw = jnp.concatenate([x_ref[1:, :1], nxt_ref[0:1, :1]], axis=0)
     if be:
-        nxt_raw = ((nxt_raw << 8) & _i32(0xFF00FF00)) | (
-            (nxt_raw.astype(jnp.uint32) >> 8).astype(jnp.int32) & 0x00FF00FF
-        )
+        nxt_raw = _bswap16x2(nxt_raw)
     nxt_low_b = _eq16(nxt_raw, 0xFC00, 0xDC00)
     nxt_word_low = jnp.where(lane < W32 - 1, nxt_word_low, nxt_low_b)
     next_low = lsr(low, 16) | (nxt_word_low << 16)
@@ -286,9 +287,7 @@ def _utf16_swar_body(x_ref, nxt_ref, prv_ref, out_ref, i, be):
         [prv_ref[7:8, HALO - 1 :], x_ref[:-1, W32 - 1 :]], axis=0
     )
     if be:
-        prv_raw = ((prv_raw << 8) & _i32(0xFF00FF00)) | (
-            (prv_raw.astype(jnp.uint32) >> 8).astype(jnp.int32) & 0x00FF00FF
-        )
+        prv_raw = _bswap16x2(prv_raw)
     prv_high_b = _eq16(prv_raw, 0xFC00, 0xD800)
     prv_word_high = jnp.where(lane > 0, prv_word_high, prv_high_b)
     prev_high = (high << 16) | lsr(prv_word_high, 16)

@@ -18,6 +18,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..errors import error_code as ec
+from ..ops.common import bswap16
 from .validate import BIG, BR, _interpret, _iotas
 
 W16 = 256  # units per row
@@ -29,7 +30,7 @@ _SURROGATE = int(ec.SURROGATE)
 def _native(x, be: bool):
     w = x.astype(jnp.int32)
     if be:
-        w = ((w << 8) | (w >> 8)) & 0xFFFF
+        w = bswap16(w)
     return w
 
 
@@ -96,7 +97,7 @@ def _wf_kernel(x_ref, nxt_ref, prv_ref, out_ref, *, be: bool):
     bad = (is_high & ~next_low) | (is_low & ~prev_high)
     out = jnp.where(bad, 0xFFFD, w)
     if be:
-        out = ((out << 8) | (out >> 8)) & 0xFFFF
+        out = bswap16(out)
     out_ref[...] = out.astype(jnp.uint16)
 
 
