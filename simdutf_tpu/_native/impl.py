@@ -75,24 +75,6 @@ class CNativeImplementation(Implementation):
     def to_well_formed_utf16be(self, w):
         return _u16out(C.to_well_formed_utf16(w, True))
 
-    def detect_encodings(self, b):
-        """Sequential C validations, the reference fallback backend's
-        strategy (fallback/implementation.cpp:6-30); BOM first."""
-        from ..encodings import check_bom, encoding_type
-
-        bom = check_bom(b[:4].tobytes())
-        if bom != encoding_type.unspecified:
-            return int(bom)
-        n = int(b.shape[0])
-        out = 0
-        if self.validate_utf8(b):
-            out |= int(encoding_type.UTF8)
-        if n % 2 == 0 and self.validate_utf16le(b.view(np.uint16)):
-            out |= int(encoding_type.UTF16_LE)
-        if n % 4 == 0 and self.validate_utf32(b.view(np.uint32)):
-            out |= int(encoding_type.UTF32_LE)
-        return out
-
     # -- counts / lengths ----------------------------------------------------
     def count_utf8(self, b):
         return C.count_utf8(b)

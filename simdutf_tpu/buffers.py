@@ -38,6 +38,7 @@ def as_u16(data) -> np.ndarray:
     Byte-length inputs must be even, mirroring the reference's char16_t* +
     length-in-units contract."""
     if isinstance(data, np.ndarray) and data.dtype == np.uint16:
+        _check_size(data.shape[0] * 2)  # same int32-offset guard as as_u8
         return np.ascontiguousarray(data)
     b = as_u8(data)
     if b.shape[0] % 2 != 0:
@@ -47,6 +48,7 @@ def as_u16(data) -> np.ndarray:
 
 def as_u32(data) -> np.ndarray:
     if isinstance(data, np.ndarray) and data.dtype == np.uint32:
+        _check_size(data.shape[0] * 4)  # same int32-offset guard as as_u8
         return np.ascontiguousarray(data)
     b = as_u8(data)
     if b.shape[0] % 4 != 0:

@@ -59,8 +59,12 @@ def _convert(data: bytes, src: str, dst: str) -> bytes:
         ("utf32", "utf16le"): api.convert_utf32_to_utf16le_with_errors,
         ("utf32", "utf16be"): api.convert_utf32_to_utf16be_with_errors,
         ("utf32", "latin1"): api.convert_utf32_to_latin1_with_errors,
-        ("utf16le", "utf16be"): lambda d: (None, api.change_endianness_utf16(d)),
-        ("utf16be", "utf16le"): lambda d: (None, api.change_endianness_utf16(d)),
+        ("utf16le", "utf16be"): lambda d: (
+            api.validate_utf16le_with_errors(d),
+            api.change_endianness_utf16(d)),
+        ("utf16be", "utf16le"): lambda d: (
+            api.validate_utf16be_with_errors(d),
+            api.change_endianness_utf16(d)),
     }.get(key)
     if fn is None and src == "latin1":
         plain = {
@@ -199,6 +203,10 @@ def main(argv=None) -> int:
     ap.add_argument("files", nargs="*")
     args = ap.parse_args(argv)
 
+    if args.stream_mb is not None and args.stream_mb <= 0:
+        print("sutf: --stream-mb must be a positive chunk size",
+              file=sys.stderr)
+        return 2
     if args.stream_mb:
         if args.base64_encode or args.base64_decode:
             if not args.files:
@@ -239,16 +247,16 @@ def main(argv=None) -> int:
             return 1
         return 0
 
-    chunks = []
-    if args.files:
-        for path in args.files:
-            with open(path, "rb") as f:
-                chunks.append(f.read())
-    else:
-        chunks.append(sys.stdin.buffer.read())
-    data = b"".join(chunks)
-
     try:
+        chunks = []
+        if args.files:
+            for path in args.files:
+                with open(path, "rb") as f:
+                    chunks.append(f.read())
+        else:
+            chunks.append(sys.stdin.buffer.read())
+        data = b"".join(chunks)
+
         if args.base64_encode:
             out = api.binary_to_base64(
                 data, api.base64_url if args.url else api.base64_default
@@ -268,15 +276,19 @@ def main(argv=None) -> int:
                 out = _codec_fallback(data, args.src, args.dst)
             else:
                 out = _convert(data, src, dst)
-    except (ValueError, LookupError, UnicodeError) as e:
+    except (ValueError, LookupError, UnicodeError, OSError) as e:
         print(f"sutf: {e}", file=sys.stderr)
         return 1
 
-    if args.output:
-        with open(args.output, "wb") as f:
-            f.write(out)
-    else:
-        sys.stdout.buffer.write(out)
+    try:
+        if args.output:
+            with open(args.output, "wb") as f:
+                f.write(out)
+        else:
+            sys.stdout.buffer.write(out)
+    except OSError as e:
+        print(f"sutf: {e}", file=sys.stderr)
+        return 1
     return 0
 
 

@@ -25,15 +25,16 @@ _M_MMAP_MAX = -4
 _M_TRIM_THRESHOLD = -1
 
 _tuned = False
+_attempted = False
 _lock = threading.Lock()
 
 
 def tune_host_allocator() -> bool:
     """Idempotent; returns True if tuning was applied (glibc only)."""
-    global _tuned
+    global _tuned, _attempted
     with _lock:
-        if _tuned:
-            return True
+        if _attempted:
+            return _tuned
         try:
             libc = ctypes.CDLL("libc.so.6", use_errno=True)
             ok1 = libc.mallopt(_M_MMAP_MAX, 0)
@@ -41,6 +42,10 @@ def tune_host_allocator() -> bool:
             _tuned = bool(ok1 and ok2)
         except Exception:  # non-glibc platforms: harmless no-op
             _tuned = False
+        finally:
+            # cache the ATTEMPT either way: without this, every batch call
+            # on non-glibc hosts repeats a failing dlopen under the lock
+            _attempted = True
         return _tuned
 
 

@@ -166,3 +166,32 @@ def test_fastbase64_module_default_encodes_and_decodes_back():
     dec = _run_module("simdutf_tpu.fastbase64", ["-d"], enc.stdout)
     assert dec.returncode == 0, dec.stderr
     assert dec.stdout == payload
+
+
+def test_cli_error_paths(tmp_path):
+    """Regression coverage for CLI robustness fixes: invalid --stream-mb,
+    missing files with clean diagnostics, endianness swap validation."""
+    import subprocess
+    import sys
+
+    def run(*argv, data=b""):
+        return run_cli(list(argv), input_bytes=data)
+
+    inp = tmp_path / "in.txt"
+    inp.write_bytes(b"hello")
+    # non-positive stream chunk must be rejected, not loop forever
+    r = run("--stream-mb", "-1", "-f", "UTF-8", "-t", "UTF-16LE", str(inp))
+    assert r.returncode == 2 and b"positive" in r.stderr
+    # missing input file: clean sutf diagnostic, not a traceback
+    r = run("-f", "UTF-8", "-t", "UTF-16LE", str(tmp_path / "nope.txt"))
+    assert r.returncode == 1
+    assert r.stderr.startswith(b"sutf:") and b"Traceback" not in r.stderr
+    # unwritable output path: same
+    r = run("-f", "UTF-8", "-t", "UTF-16LE",
+            "-o", str(tmp_path / "no" / "dir" / "o.bin"), str(inp))
+    assert r.returncode == 1 and r.stderr.startswith(b"sutf:")
+    # endianness swap validates like every other pair (lone surrogate)
+    bad = tmp_path / "bad16.bin"
+    bad.write_bytes(b"\x00\xd8A\x00")
+    r = run("-f", "UTF-16LE", "-t", "UTF-16BE", str(bad))
+    assert r.returncode == 1 and b"SURROGATE" in r.stderr
