@@ -49,7 +49,7 @@ def _make_table(options: int) -> np.ndarray:
     return tab
 
 
-_TABLES = {opt: _make_table(opt) for opt in (0, 1, 4, 5, 8, 12)}
+_TABLES = {opt: _make_table(opt) for opt in (0, 1, 8)}  # value_table only selects these
 _ENC_STD = np.frombuffer(_STD, dtype=np.uint8)
 _ENC_URL = np.frombuffer(_URL, dtype=np.uint8)
 
@@ -281,8 +281,8 @@ def tail_decode_safe(
 ):
     """Emulates scalar base64_tail_decode_safe over src[start:start+length].
 
-    Returns (error_code, src_index, bytes_written_list_extended_in_place).
-    ``capacity`` limits how many bytes may be appended to ``out``.
+    Returns (error_code, src_index); decoded bytes are appended to
+    ``out`` in place. ``capacity`` limits how many bytes may be appended.
     """
     tab = value_table(options)
     garbage = ignore_garbage(options)
@@ -381,7 +381,6 @@ def decode_safe(
         def details_fn(s, o, lc):
             return decode(s, o, lc)
 
-    garbage = ignore_garbage(options)
     length = int(src.shape[0]) if hasattr(src, "shape") else len(src)
     max_length = maximal_binary_length(
         src if isinstance(src, np.ndarray) else np.frombuffer(bytes(src), np.uint8)

@@ -45,8 +45,12 @@ def _row_compact(val, keep):
     """Compact each row independently: val, keep: (R, W) int32/bool.
     Returns (out, counts): out[r, j] = j-th kept val of row r (0 beyond),
     counts[r] = kept per row. Pure gather: exclusive scan + binary search.
+    ``W`` must be a power of two: the halving binary search only spans
+    every index under that precondition.
     """
     R, W = val.shape
+    if W & (W - 1):
+        raise ValueError(f"row width {W} must be a power of two")
     k = keep.astype(jnp.int32)
     # inclusive prefix sum per row (Hillis-Steele with masked rolls)
     inc = k
@@ -83,8 +87,16 @@ def _compact_kernel(val_ref, keep_ref, out_ref, cnt_ref):
 
 @jax.jit
 def row_compact_pallas(val: jnp.ndarray, keep: jnp.ndarray):
-    """(val, keep): (R, W) int32. Returns (compacted (R, W), counts (R,))."""
+    """(val, keep): (R, W) int32. Returns (compacted (R, W), counts (R,)).
+
+    On real Mosaic the gather dimension is limited to one 128-lane vreg
+    (module header: "Multiple source vregs along gather dimension" probed
+    on v5e); wider rows are only valid in interpret mode."""
     R, W = val.shape
+    if W > 128 and not _interpret():
+        raise ValueError(
+            f"row width {W} > 128 cannot lower on TPU Mosaic (single-vreg "
+            "gather limit); split rows or use the XLA tier")
     out, cnt = pl.pallas_call(
         _compact_kernel,
         out_shape=(

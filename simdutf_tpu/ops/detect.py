@@ -21,10 +21,9 @@ def detect_encodings(b: jnp.ndarray, length):
     code8, _ = o8.validate_with_errors(b, length)
     w16 = b.reshape(-1, 2)
     u16 = (w16[:, 0].astype(jnp.int32) | (w16[:, 1].astype(jnp.int32) << 8))
+    # o16.first_error masks by length itself — no pre-zeroing needed
     pos16, _ = o16.first_error(
-        jnp.where(
-            jnp.arange(u16.shape[0], dtype=jnp.int32) < (length // 2), u16, 0
-        ),
+        u16,
         length // 2,
     )
     w32 = b.reshape(-1, 4).astype(jnp.uint32)
