@@ -17,12 +17,10 @@ from __future__ import annotations
 from typing import Sequence
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from .errors import Result, error_code as ec
 from .ops import utf8 as o8
-from .ops.common import BIG
 from .runtime import staging_buffer, tune_host_allocator
 
 _MIN_L = 256
@@ -169,8 +167,6 @@ def _ascii_widen_batch(buf: np.ndarray, lens: np.ndarray, n_items: int):
     from .kernels import transcode as ktr
 
     x16 = _item_rows_view(buf, n_items, np.int16, ktr.W16, ktr.RU)
-    if x16 is None:
-        return None
     out, flag = ktr.ascii_widen_utf16(x16, big_endian=False)
     if int(flag):
         return None
@@ -254,8 +250,6 @@ def _ascii_narrow_batch(buf: np.ndarray, lens: np.ndarray, n_items: int):
     from .kernels import transcode as ktr
 
     x32 = _item_rows_view(buf, n_items, np.int32, ktr.W16, ktr.RU)
-    if x32 is None:
-        return None
     out, flag = ktr.ascii_narrow_utf8(x32, big_endian=False)
     if int(flag):
         return None

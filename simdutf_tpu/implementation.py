@@ -324,7 +324,7 @@ class Implementation:
             options,
             last_chunk,
             decode_up_to_bad_char,
-            details_fn=lambda s, o, lc: self.base64_to_binary_details(s, o, lc),
+            details_fn=self.base64_to_binary_details,
         )
 
 

@@ -285,7 +285,7 @@ def build_procedures():
 
     def b64_enc(x, n):
         alpha = ob.alphabet_for(0)
-        out = oi._j_b64_encode(x, n, alpha)
+        out = oi._j_b64_encode(x, alpha)
         return out, (n // 3) * 4
 
     add("base64_encode", "binary", lambda a: oi._pad(a, multiple=3),
@@ -409,7 +409,7 @@ def build_procedures():
         _chain_out(lambda x, n: (
             ktr.astral_wordmap(x, n, "u16pair_to_u32")[0].reshape(-1),
             n // 2)),
-        lambda nb: 3 * nb)
+        lambda nb: 2 * nb)  # surrogate pairs: byte-for-byte 1:1
     # BMP utf16<->utf32 lane-split kernel variants: the dispatch default
     # (shape-cast pallas where Mosaic supports it, XLA driver otherwise)
     # vs the roll+select butterfly (kernels/shuffle.py) — promotion
@@ -614,13 +614,15 @@ def main():
 
     log(f"mosaic lane shape casts: {'supported' if lane_shapecast_supported() else 'UNSUPPORTED - rate-converting pallas rows run their XLA drivers'}")
 
-    nbytes = size * MB - 4096
-    corp = _corpora(nbytes)
     if "--list" in sys.argv:
         for name, ck, *_ in build_procedures():
             print(name, f"[{ck}]")
         return
 
+    nbytes = size * MB - 4096
+    corp = _corpora(nbytes)
+
+    warm_only = bool(os.environ.get("BENCH_ALL_WARM_ONLY"))
     from simdutf_tpu.runtime import tune_host_allocator
 
     tune_host_allocator()
@@ -643,9 +645,13 @@ def main():
                 "ms": round(dt * 1e3, 3),
                 "bytes": nb,
             }
+            if rec["ms"] != rec["ms"]:  # warm-only mode: compile happened,
+                del xj                  # NaN timing must not reach the JSONL
+                continue
             records.append(rec)
             log(f"{name:28s} {rec['gbps']:7.1f} GB/s  {rec['sol_pct']:5.1f}% SOL")
-            print(json.dumps(rec), flush=True)
+            if not warm_only:
+                print(json.dumps(rec), flush=True)
             del xj
         except Exception as e:
             log(f"{name:28s} ERROR {type(e).__name__}: {e}")
@@ -656,7 +662,7 @@ def main():
         items = [corp["mixed"][i * 8192 : (i + 1) * 8192] for i in range(512)]
         items = [it[: len(it)] for it in items if it]
         tot = sum(len(it) for it in items)
-        sb.validate_utf8_batch(items[:4])  # compile
+        sb.validate_utf8_batch(items)  # compile at the timed batch shape
         t0 = time.perf_counter()
         sb.validate_utf8_batch(items)
         dt = time.perf_counter() - t0
@@ -664,7 +670,8 @@ def main():
                "gbps": round(tot / dt / 1e9, 2), "ms": round(dt * 1e3, 2),
                "bytes": tot}
         log(f"{rec['procedure']:28s} {rec['gbps']:7.2f} GB/s (end-to-end)")
-        print(json.dumps(rec), flush=True)
+        if not warm_only:
+            print(json.dumps(rec), flush=True)
     except Exception as e:
         log(f"batch bench skipped: {e}")
 
@@ -692,7 +699,8 @@ def main():
                "ms": round(dt * 1e3, 2), "bytes": len(data),
                "chunk_bytes": chunk_sz, "units": total_units}
         log(f"{rec['procedure']:28s} {rec['gbps']:7.2f} GB/s (end-to-end)")
-        print(json.dumps(rec), flush=True)
+        if not warm_only:
+            print(json.dumps(rec), flush=True)
     except Exception as e:
         log(f"stream bench skipped: {e}")
 
@@ -736,13 +744,15 @@ def main():
                    "ms": round(dt * 1e3, 2), "bytes": tot,
                    "threads": nthreads}
             log(f"{rec['procedure']:28s} {rec['gbps']:7.2f} GB/s (end-to-end)")
-            print(json.dumps(rec), flush=True)
+            if not warm_only:
+                print(json.dumps(rec), flush=True)
     except Exception as e:
         log(f"threaded bench skipped: {e}")
 
     for rec in host_competitors(corp):
         log(f"{rec['procedure']:28s} {rec['gbps']:7.2f} GB/s (host)")
-        print(json.dumps(rec), flush=True)
+        if not warm_only:
+            print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":
