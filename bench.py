@@ -105,25 +105,43 @@ def main():
     arr = np.frombuffer(data, dtype=np.uint8)
     nbytes = len(data)
 
-    # device-health probe: a trivial chained op; far below ~50 GB/s means
-    # the tunneled dev chip is in its known degraded state and every number
-    # below under-reports the library (see PERF.md). Wait (bounded,
-    # exponential backoff) for a healthy window rather than recording a
-    # degraded-state artifact; after PROBE_MAX_WAIT_S, bench anyway and tag
-    # the JSON line with degraded=true.
-    xp = jax.device_put(np.ones(4 * 1024 * 1024, np.float32))
+    # device-health probe: distinguishes the chip's known ~50x-degraded
+    # state (elementwise ops floor at ~5-10 GB/s on ANY size, PERF.md) from
+    # mere tunnel roundtrip latency (~25 ms/call here), which a small probe
+    # cannot: 16 MiB behind a 25 ms launch reads ~6 GB/s on a perfectly
+    # healthy chip. So: (a) chain enough traffic (80 x 128 MiB = 10 GiB)
+    # that bandwidth dominates, and (b) subtract a measured null-roundtrip
+    # of the same jit+device_get path. Wait (bounded, exponential backoff)
+    # for a healthy window rather than recording a degraded-state artifact;
+    # after PROBE_MAX_WAIT_S, bench anyway and tag the JSON degraded=true.
+    xp = jax.device_put(np.ones(32 * 1024 * 1024, np.float32))  # 128 MiB
+    xnull = jax.device_put(np.ones(1024, np.float32))
+    PROBE_ITERS, PROBE_GB = 80, 80 * 128 / 1024
 
     @jax.jit
     def _probe(x, k):
         def body(i, acc):
             return acc + jnp.sum(x * (k + i).astype(jnp.float32))
-        return lax.fori_loop(0, 10, body, jnp.float32(0))
+        return lax.fori_loop(0, PROBE_ITERS, body, jnp.float32(0))
+
+    @jax.jit
+    def _null(x, k):
+        return jnp.sum(x * k)
+
+    tunnel_ms = 0.0
 
     def probe_once(salt: float) -> float:
+        nonlocal tunnel_ms
+        t0 = time.perf_counter()
+        jax.device_get(_null(xnull, jnp.float32(salt)))
+        t_null = time.perf_counter() - t0
         t0 = time.perf_counter()
         jax.device_get(_probe(xp, jnp.float32(salt)))
-        return 16 / 1024 / ((time.perf_counter() - t0) / 10)
+        t_work = time.perf_counter() - t0
+        tunnel_ms = t_null * 1e3
+        return PROBE_GB / max(t_work - t_null, 1e-4)
 
+    jax.device_get(_null(xnull, jnp.float32(0)))  # compile
     jax.device_get(_probe(xp, jnp.float32(0)))  # compile
     wait_t0, backoff, salt = time.perf_counter(), 15.0, 1.0
     probe_gbps = probe_once(salt)
@@ -140,7 +158,8 @@ def main():
             salt += 1.0
             probe_gbps = probe_once(salt)
     degraded = backend == "tpu" and probe_gbps < PROBE_HEALTHY_GBPS
-    log(f"device-health probe: {probe_gbps:.0f} GB/s "
+    log(f"device-health probe: {probe_gbps:.0f} GB/s, "
+        f"roundtrip {tunnel_ms:.1f} ms "
         f"({'DEGRADED - numbers below under-report' if degraded else 'HEALTHY'})")
 
     p, n = oi._pad(arr)
@@ -365,6 +384,7 @@ def main():
         "unit": "GB/s/chip (input bytes)",
         "vs_baseline": round(transcode_gbps / REFERENCE_GBPS, 2),
         "probe_gbps": round(probe_gbps, 1),
+        "tunnel_ms": round(tunnel_ms, 1),
         "degraded": degraded,
     }
     # Surface the best committed healthy-window artifact (captured by

@@ -18,19 +18,31 @@ cd /root/repo
 LOG=/tmp/watch_log.txt
 LASTRUN=0
 probe_gbps() {
-  timeout 120 python - <<'PY' 2>/dev/null
+  # Latency-compensated probe (see bench.py): chain 10 GiB of traffic and
+  # subtract a null roundtrip so the tunnel's ~25 ms launch latency is not
+  # misread as chip degradation (16 MiB behind 25 ms reads ~6 GB/s on a
+  # healthy chip). The degraded state floors big elementwise ops too, so
+  # this still detects it.
+  timeout 180 python - <<'PY' 2>/dev/null
 import time, jax, jax.numpy as jnp
 from jax import lax
-x = jnp.ones(4*1024*1024, jnp.float32)
+x = jnp.ones(32*1024*1024, jnp.float32)  # 128 MiB
+xn = jnp.ones(1024, jnp.float32)
 @jax.jit
 def probe(x, k):
     def body(i, acc):
         return acc + jnp.sum(x * (k + i))
-    return lax.fori_loop(0, 10, body, jnp.float32(0))
+    return lax.fori_loop(0, 80, body, jnp.float32(0))
+@jax.jit
+def null(x, k):
+    return jnp.sum(x * k)
+jax.device_get(null(xn, jnp.float32(0.)))
 jax.device_get(probe(x, jnp.float32(0.)))
-t0 = time.perf_counter()
-jax.device_get(probe(x, jnp.float32(1.)))
-print(round(16/1024/((time.perf_counter()-t0)/10), 1))
+t0 = time.perf_counter(); jax.device_get(null(xn, jnp.float32(1.)))
+t_null = time.perf_counter() - t0
+t0 = time.perf_counter(); jax.device_get(probe(x, jnp.float32(1.)))
+t_work = time.perf_counter() - t0
+print(round(80*128/1024/max(t_work - t_null, 1e-4), 1))
 PY
 }
 echo "=== watcher start $(date -u)" >> $LOG
