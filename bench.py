@@ -34,7 +34,10 @@ CACHE_DIR = "/root/.cache/jax_comp"
 # health-probe retry schedule: the tunneled dev chip intermittently falls
 # into a ~50x-degraded state (PERF.md); wait for a healthy window, bounded.
 PROBE_HEALTHY_GBPS = 50.0
-PROBE_MAX_WAIT_S = 600.0
+# healthy identity scatter is well under 1 ns/elem; the degraded state
+# serializes it to ~7-13 ns/elem (PERF.md, measured 2026-08-17/19)
+PROBE_SCATTER_NS = 2.0
+PROBE_MAX_WAIT_S = float(_os.environ.get("BENCH_PROBE_WAIT_S", "600"))
 
 
 def log(*a):
@@ -70,7 +73,9 @@ def run_chained(f, x, n_base: int):
     jax.device_get(f(x, jnp.int32(n_base)))
     ts = []
     for t in range(TRIALS):
-        nn = jnp.int32(n_base - 8 * (t + 1))
+        # fresh length per trial; multiples of 24 preserve census-class
+        # alignment (%2/%3/%4) for class-pure corpora
+        nn = jnp.int32(n_base - 24 * (t + 1))
         t0 = time.perf_counter()
         jax.device_get(f(x, nn))
         ts.append((time.perf_counter() - t0) / ITERS)
@@ -105,60 +110,117 @@ def main():
     arr = np.frombuffer(data, dtype=np.uint8)
     nbytes = len(data)
 
-    # device-health probe: distinguishes the chip's known ~50x-degraded
-    # state (elementwise ops floor at ~5-10 GB/s on ANY size, PERF.md) from
-    # mere tunnel roundtrip latency (~25 ms/call here), which a small probe
-    # cannot: 16 MiB behind a 25 ms launch reads ~6 GB/s on a perfectly
-    # healthy chip. So: (a) chain enough traffic (80 x 128 MiB = 10 GiB)
-    # that bandwidth dominates, and (b) subtract a measured null-roundtrip
-    # of the same jit+device_get path. Wait (bounded, exponential backoff)
-    # for a healthy window rather than recording a degraded-state artifact;
-    # after PROBE_MAX_WAIT_S, bench anyway and tag the JSON degraded=true.
+    # device-health probe, round-3 rewrite (VERDICT r02 weak #2: the
+    # round-2 probe's kernel `acc + sum(x*(k+i))` factored into
+    # `(k+i)*sum(x)` — XLA hoisted sum(x) out of the loop, 10 GiB of
+    # claimed traffic became one 128 MiB read, and a degraded window was
+    # stamped HEALTHY at a physically impossible 729 GB/s).
+    #
+    # Two independent signals now, each matched to a failure mode:
+    #   (a) chained-dependence bandwidth kernel: acc' = sum(|x - acc|).
+    #       Every iteration's full-array traversal consumes the previous
+    #       iteration's scalar, so no rewrite can reduce the loop to fewer
+    #       than PROBE_ITERS passes over x. Catches the uniform ~50x
+    #       elementwise slowdown.
+    #   (b) identity-scatter latency in ns/element: the other documented
+    #       degraded fingerprint is scatter serialization (~7-13 ns/elem
+    #       vs <1 ns healthy), and the flagship op IS scatter-based, so
+    #       the health verdict must include the op's own primitive.
+    # Plausibility guard (ADVICE r02): a reading above 1.2x the HBM
+    # roofline, or a clamped/non-positive timing, is a PROBE bug, never
+    # evidence of health — re-probed, and counted as degraded if it
+    # persists.
     xp = jax.device_put(np.ones(32 * 1024 * 1024, np.float32))  # 128 MiB
     xnull = jax.device_put(np.ones(1024, np.float32))
-    PROBE_ITERS, PROBE_GB = 80, 80 * 128 / 1024
+    PROBE_SMALL, PROBE_BIG = 8, 328  # iters; difference = 40 GiB of traffic
+    SCAT_N, SCAT_ITERS = 1 << 22, 8
 
-    @jax.jit
-    def _probe(x, k):
-        def body(i, acc):
-            return acc + jnp.sum(x * (k + i).astype(jnp.float32))
-        return lax.fori_loop(0, PROBE_ITERS, body, jnp.float32(0))
+    def _mk_probe(iters):
+        @jax.jit
+        def p(x, k):
+            def body(i, acc):
+                # acc feeds back into the traversal: non-factorable
+                return jnp.sum(jnp.abs(x - acc)) * 1e-9 + k
+            return lax.fori_loop(0, iters, body, jnp.float32(0))
+        return p
+
+    _probe_s, _probe_b = _mk_probe(PROBE_SMALL), _mk_probe(PROBE_BIG)
+    scat_ix = jax.device_put(np.arange(SCAT_N, dtype=np.int32))
+    scat_v = jax.device_put(np.ones(SCAT_N, np.int32))
 
     @jax.jit
     def _null(x, k):
         return jnp.sum(x * k)
 
+    @jax.jit
+    def _scat(v, ix, k):
+        def body(i, acc):
+            out = jnp.zeros(SCAT_N, jnp.int32).at[ix].set(v + k + i + acc)
+            return out[123] + out[SCAT_N - 5]
+        return lax.fori_loop(0, SCAT_ITERS, body, jnp.int32(0))
+
     tunnel_ms = 0.0
 
-    def probe_once(salt: float) -> float:
+    def probe_once(salt: float):
+        """-> (elementwise GB/s, scatter ns/elem); None entries on
+        implausible readings. Bandwidth comes from the DIFFERENCE between
+        a big and a small chained run, which cancels the tunnel launch
+        latency (~30 ms with +-10 ms jitter here) instead of subtracting
+        one noisy null-roundtrip sample."""
         nonlocal tunnel_ms
         t0 = time.perf_counter()
         jax.device_get(_null(xnull, jnp.float32(salt)))
         t_null = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        jax.device_get(_probe(xp, jnp.float32(salt)))
-        t_work = time.perf_counter() - t0
         tunnel_ms = t_null * 1e3
-        return PROBE_GB / max(t_work - t_null, 1e-4)
+        t0 = time.perf_counter()
+        jax.device_get(_probe_s(xp, jnp.float32(salt)))
+        t_s = time.perf_counter() - t0
+        if t_s > 1.0:
+            # deep-degraded: 1 GiB took >1 s; skip the 40 GiB probe and
+            # report the (over-estimating, still clearly degraded) bound
+            bw = (PROBE_SMALL * 0.125) / max(t_s - t_null, 1e-3)
+        else:
+            t0 = time.perf_counter()
+            jax.device_get(_probe_b(xp, jnp.float32(salt + 0.5)))
+            t_b = time.perf_counter() - t0
+            d = t_b - t_s
+            bw = ((PROBE_BIG - PROBE_SMALL) * 0.125) / d if d > 5e-3 else None
+            if bw is not None and bw > 1.2 * hbm:
+                bw = None  # above roofline = probe bug, never health
+        t0 = time.perf_counter()
+        jax.device_get(_scat(scat_v, scat_ix, jnp.int32(int(salt) & 7)))
+        t_scat = time.perf_counter() - t0
+        scat_ns = None
+        if t_scat - t_null > 1e-3:
+            scat_ns = (t_scat - t_null) * 1e9 / (SCAT_N * SCAT_ITERS)
+        return bw, scat_ns
+
+    def healthy(bw, scat_ns) -> bool:
+        # implausible/missing readings are NOT health
+        return (bw is not None and bw >= PROBE_HEALTHY_GBPS
+                and scat_ns is not None and scat_ns <= PROBE_SCATTER_NS)
 
     jax.device_get(_null(xnull, jnp.float32(0)))  # compile
-    jax.device_get(_probe(xp, jnp.float32(0)))  # compile
+    jax.device_get(_probe_s(xp, jnp.float32(0)))  # compile
+    jax.device_get(_probe_b(xp, jnp.float32(0)))  # compile
+    jax.device_get(_scat(scat_v, scat_ix, jnp.int32(0)))  # compile
     wait_t0, backoff, salt = time.perf_counter(), 15.0, 1.0
-    probe_gbps = probe_once(salt)
-    if backend != "tpu":
-        pass  # CPU/interpret runs are not gated on the probe
-    else:
-        while (probe_gbps < PROBE_HEALTHY_GBPS
+    probe_gbps, scat_ns = probe_once(salt)
+    if backend == "tpu":
+        while (not healthy(probe_gbps, scat_ns)
                and time.perf_counter() - wait_t0 < PROBE_MAX_WAIT_S):
-            log(f"device-health probe: {probe_gbps:.0f} GB/s (DEGRADED) - "
-                f"retrying in {backoff:.0f}s "
+            log(f"device-health probe: "
+                f"bw={probe_gbps and f'{probe_gbps:.0f}'} GB/s "
+                f"scatter={scat_ns and f'{scat_ns:.1f}'} ns/elem (DEGRADED) "
+                f"- retrying in {backoff:.0f}s "
                 f"({time.perf_counter() - wait_t0:.0f}s elapsed)")
             time.sleep(backoff)
             backoff = min(backoff * 1.7, 120.0)
             salt += 1.0
-            probe_gbps = probe_once(salt)
-    degraded = backend == "tpu" and probe_gbps < PROBE_HEALTHY_GBPS
-    log(f"device-health probe: {probe_gbps:.0f} GB/s, "
+            probe_gbps, scat_ns = probe_once(salt)
+    degraded = backend == "tpu" and not healthy(probe_gbps, scat_ns)
+    log(f"device-health probe: bw={probe_gbps and round(probe_gbps)} GB/s, "
+        f"identity scatter {scat_ns and round(scat_ns, 2)} ns/elem, "
         f"roundtrip {tunnel_ms:.1f} ms "
         f"({'DEGRADED - numbers below under-report' if degraded else 'HEALTHY'})")
 
@@ -172,7 +234,10 @@ def main():
     @jax.jit
     def f_transcode(x, n0):
         def body(i, acc):
-            code, pos, out, out_len = o8.to_utf16(x, n0 - (i & 7), False)
+            # length jitter defeats loop-invariant hoisting; a multiple of
+            # 12 keeps every census class alignment (%2, %3, %4) so
+            # class-pure corpora stay on their fast branch across iters
+            code, pos, out, out_len = o8.to_utf16(x, n0 - 12 * (i & 7), False)
             probe = out[(acc % 1000).astype(jnp.int32)].astype(jnp.int32)
             return acc + out_len + code + pos + probe
         return lax.fori_loop(0, ITERS, body, jnp.int32(0))
@@ -383,7 +448,8 @@ def main():
         "value": round(transcode_gbps, 2),
         "unit": "GB/s/chip (input bytes)",
         "vs_baseline": round(transcode_gbps / REFERENCE_GBPS, 2),
-        "probe_gbps": round(probe_gbps, 1),
+        "probe_gbps": round(probe_gbps, 1) if probe_gbps is not None else None,
+        "probe_scatter_ns": round(scat_ns, 2) if scat_ns is not None else None,
         "tunnel_ms": round(tunnel_ms, 1),
         "degraded": degraded,
     }

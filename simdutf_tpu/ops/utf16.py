@@ -12,9 +12,12 @@ import jax.numpy as jnp
 from ..errors import error_code as ec
 from .common import (
     BIG,
+    DEVICE_ROUTING,
     bswap16,
     excl_scan,
     positions,
+    route,
+    vlike,
     scatter_writes,
     shift_left,
     zero_tail,
@@ -93,6 +96,91 @@ def to_well_formed(words: jnp.ndarray, length, big_endian: bool):
     return out.astype(jnp.uint16)
 
 
+def _native16(words: jnp.ndarray, big_endian: bool) -> jnp.ndarray:
+    """uint16 native-order view WITHOUT widening or tail-zeroing — the
+    census/fast-branch form (4N-byte int32 temporaries shared across
+    lax.switch branches OOM TPU buffer assignment at 64 MiB corpora)."""
+    w = words.astype(jnp.uint16)
+    if big_endian:
+        w = (w << 8) | (w >> 8)
+    return w
+
+
+def census(w: jnp.ndarray, length):
+    """One-pass structural census of a native-order uint16 buffer for
+    device-tier routing (see ops/utf8.census). Returns scalar bools
+    (ascii, u2r, u3r, astral): exact in-class validity proofs
+      ascii  — every unit < 0x80          (1 UTF-8 byte each)
+      u2r    — every unit in [0x80,0x7FF] (2 UTF-8 bytes each)
+      u3r    — every unit in [0x800,0xFFFF] minus surrogates (3 bytes each)
+      astral — alternating high/low surrogate pairs (4 bytes per pair)
+    Bytes at/after ``length`` are excluded by masks (no tail-zero pass).
+    """
+    n = w.shape[0]
+    idx = positions(n)
+    out_r = idx >= length
+    ascii_ = jnp.all((w < 0x80) | out_r)
+    u2r = jnp.all(((w >= 0x80) & (w <= 0x7FF)) | out_r) & (length > 0)
+    sur = (w & 0xF800) == 0xD800
+    u3r = jnp.all(((w >= 0x800) & ~sur) | out_r) & (length > 0)
+    pair_ok = jnp.where(
+        (idx & 1) == 0, (w & 0xFC00) == 0xD800, (w & 0xFC00) == 0xDC00
+    )
+    astral = jnp.all(pair_ok | out_r) & (length % 2 == 0) & (length > 0)
+    return ascii_, u2r, u3r, astral
+
+
+def _mask_tail(vals, count, n_out):
+    idx = positions(n_out)
+    return jnp.where(idx < count, vals, 0)
+
+
+def _u8_fast_branches(w, length, n):
+    """Fixed-rate utf16->utf8 branches on native-order uint16 w; each
+    returns (out u8[3n], out_len) matching the general engine
+    bit-for-bit. uint8/uint16 arithmetic only."""
+
+    def br_ascii():
+        u = jnp.where(positions(n) < length, w, 0).astype(jnp.uint8)
+        return jnp.pad(u, (0, 2 * n)), length
+
+    def br_u2r():
+        b0 = ((w >> 6) | 0xC0).astype(jnp.uint8)
+        b1 = ((w & 0x3F) | 0x80).astype(jnp.uint8)
+        by = jnp.stack([b0, b1], axis=1).reshape(-1)  # 2n
+        cnt = 2 * length
+        by = _mask_tail(by, cnt, 2 * n)
+        return jnp.pad(by, (0, n)), cnt
+
+    def br_u3r():
+        b0 = ((w >> 12) | 0xE0).astype(jnp.uint8)
+        b1 = (((w >> 6) & 0x3F) | 0x80).astype(jnp.uint8)
+        b2 = ((w & 0x3F) | 0x80).astype(jnp.uint8)
+        by = jnp.stack([b0, b1, b2], axis=1).reshape(-1)  # 3n exactly
+        cnt = 3 * length
+        return _mask_tail(by, cnt, 3 * n), cnt
+
+    def br_astral():
+        pr = w.reshape(-1, 2)
+        hi, lo = pr[:, 0], pr[:, 1]
+        # cp = 0x10000 + ((hi-D800)<<10) + (lo-DC00); cp>>18 is always 4
+        # for astral, so b0 = F0 | (cp>>18) needs only hi's top bits:
+        # cp bits 18..20 = (hi-D800+0x40) >> 8
+        hb = hi - 0xD7C0  # = (cp >> 10), 11 bits
+        b0 = (0xF0 | (hb >> 8)).astype(jnp.uint8)
+        b1 = (0x80 | ((hb >> 2) & 0x3F)).astype(jnp.uint8)
+        b2 = (0x80 | (((hb & 0x03) << 4) | ((lo >> 6) & 0x0F))).astype(
+            jnp.uint8
+        )
+        b3 = (0x80 | (lo & 0x3F)).astype(jnp.uint8)
+        by = jnp.stack([b0, b1, b2, b3], axis=1).reshape(-1)  # 2n
+        cnt = 2 * length
+        by = _mask_tail(by, cnt, 2 * n)
+        return jnp.pad(by, (0, n)), cnt
+
+    return br_ascii, br_u2r, br_u3r, br_astral
+
+
 def _codepoints(w: jnp.ndarray, length):
     """Per-unit codepoints: highs carry the astral codepoint, lows width 0.
     Only meaningful on the valid prefix."""
@@ -141,10 +229,7 @@ def _utf8_widths(cp, start):
     width += jnp.where(start & (cp > 0xFFFF), 1, 0)
     return width
 
-def to_utf8(words: jnp.ndarray, length, big_endian: bool):
-    """Returns (err_code, err_pos, out u8[3N], out_len)."""
-    n = words.shape[0]
-    w = native(words, length, big_endian)
+def _to_utf8_general(w, length, n):
     err_pos, err_code = first_error(w, length)
     ok = err_pos == BIG
 
@@ -162,6 +247,32 @@ def to_utf8(words: jnp.ndarray, length, big_endian: bool):
     )
 
 
+def to_utf8(words: jnp.ndarray, length, big_endian: bool):
+    """Returns (err_code, err_pos, out u8[3N], out_len); census-routed
+    (see ops/utf8.to_utf16): whole-buffer uniform UTF-8-width classes take
+    fixed-rate elementwise branches, mixed input pays the scatter engine."""
+    n = words.shape[0]
+    if not DEVICE_ROUTING:
+        return _to_utf8_general(native(words, length, big_endian), length, n)
+    w16 = _native16(words, big_endian)
+    ascii_, u2r, u3r, astral = census(w16, length)
+    br_ascii, br_u2r, br_u3r, br_astral = _u8_fast_branches(w16, length, n)
+
+    def wrap(br):
+        def f():
+            out, cnt = br()
+            z = vlike(jnp.int32(0), out)
+            return z, z + length, out, z + cnt
+        return f
+
+    return route(
+        [(ascii_, wrap(br_ascii)), (u2r, wrap(br_u2r)),
+         (u3r, wrap(br_u3r)), (astral, wrap(br_astral))],
+        lambda: _to_utf8_general(
+            native(words, length, big_endian), length, n),
+    )
+
+
 def _emit_utf32(cp, start, n):
     """Shared UTF-32 emission: scan the start mask, scatter codepoints.
     Returns (out u32[n], off, total)."""
@@ -172,23 +283,62 @@ def _emit_utf32(cp, start, n):
     return out, off, total
 
 
+def _u32_fast_branches(w, length, n):
+    """utf16->utf32 fixed-rate branches on native-order uint16 w: BMP
+    non-surrogate is an elementwise widen; astral pairs are a 2:1 word
+    map (uint32 only at the final pair combine)."""
+
+    def br_bmp():
+        u = jnp.where(positions(n) < length, w, 0)
+        return u.astype(jnp.uint32), length
+
+    def br_astral():
+        pr = w.reshape(-1, 2)
+        hb = pr[:, 0] - 0xD7C0  # (cp >> 10), 11 bits (see utf8 branch)
+        cp = (hb.astype(jnp.uint32) << 10) | (pr[:, 1] & 0x3FF)
+        cnt = length // 2
+        out = jnp.pad(_mask_tail(cp, cnt, cp.shape[0]), (0, n - cp.shape[0]))
+        return out, cnt
+
+    return br_bmp, br_astral
+
+
 def to_utf32(words: jnp.ndarray, length, big_endian: bool):
-    """Returns (err_code, err_pos, out u32[N], out_len)."""
+    """Returns (err_code, err_pos, out u32[N], out_len); census-routed."""
     n = words.shape[0]
-    w = native(words, length, big_endian)
-    err_pos, err_code = first_error(w, length)
-    ok = err_pos == BIG
-    cp, start = _codepoints(w, length)
-    out, off, total = _emit_utf32(cp, start, n)
-    clamped = jnp.minimum(err_pos, n - 1)
-    # off[0] == 0 for an exclusive scan, so err_pos == 0 needs no special case
-    out_len = jnp.where(ok, total, off[clamped])
-    return (
-        jnp.where(ok, 0, err_code),
-        jnp.where(ok, length, err_pos),
-        out,
-        out_len,
-    )
+
+    def general():
+        w = native(words, length, big_endian)
+        err_pos, err_code = first_error(w, length)
+        ok = err_pos == BIG
+        cp, start = _codepoints(w, length)
+        out, off, total = _emit_utf32(cp, start, n)
+        clamped = jnp.minimum(err_pos, n - 1)
+        # off[0] == 0: err_pos == 0 needs no special case
+        out_len = jnp.where(ok, total, off[clamped])
+        return (
+            jnp.where(ok, 0, err_code),
+            jnp.where(ok, length, err_pos),
+            out,
+            out_len,
+        )
+
+    if not DEVICE_ROUTING:
+        return general()
+    w16 = _native16(words, big_endian)
+    idx = positions(n)
+    bmp = jnp.all(((w16 & 0xF800) != 0xD800) | (idx >= length))
+    _, _, _, astral = census(w16, length)
+    br_bmp, br_astral = _u32_fast_branches(w16, length, n)
+
+    def wrap(br):
+        def f():
+            out, cnt = br()
+            z = vlike(jnp.int32(0), out)
+            return z, z + length, out, z + cnt
+        return f
+
+    return route([(bmp, wrap(br_bmp)), (astral, wrap(br_astral))], general)
 
 
 def to_latin1(words: jnp.ndarray, length, big_endian: bool):
@@ -219,18 +369,57 @@ def to_latin1_valid(words: jnp.ndarray, length, big_endian: bool):
 
 def to_utf8_valid(words: jnp.ndarray, length, big_endian: bool):
     """convert_valid_utf16_to_utf8: skips surrogate validation entirely
-    (reference: per-arch convert_valid kernels). Returns (out u8[3N], total)."""
+    (reference: per-arch convert_valid kernels). Returns (out u8[3N],
+    total); census-routed like :func:`to_utf8`."""
     n = words.shape[0]
-    w = native(words, length, big_endian)
-    cp, start = _codepoints(w, length)
-    width = _utf8_widths(cp, start)
-    out, _, total = _emit_utf8(cp, start, width, n)
-    return out, total
+
+    def general():
+        w = native(words, length, big_endian)
+        cp, start = _codepoints(w, length)
+        width = _utf8_widths(cp, start)
+        out, _, total = _emit_utf8(cp, start, width, n)
+        return out, jnp.int32(total)
+
+    if not DEVICE_ROUTING:
+        return general()
+    w16 = _native16(words, big_endian)
+    ascii_, u2r, u3r, astral = census(w16, length)
+    br_ascii, br_u2r, br_u3r, br_astral = _u8_fast_branches(w16, length, n)
+
+    def wrap(br):
+        def f():
+            out, cnt = br()
+            return out, vlike(jnp.int32(cnt), out)
+        return f
+
+    return route(
+        [(ascii_, wrap(br_ascii)), (u2r, wrap(br_u2r)),
+         (u3r, wrap(br_u3r)), (astral, wrap(br_astral))],
+        general,
+    )
 
 
 def to_utf32_valid(words: jnp.ndarray, length, big_endian: bool):
     n = words.shape[0]
-    w = native(words, length, big_endian)
-    cp, start = _codepoints(w, length)
-    out, _, total = _emit_utf32(cp, start, n)
-    return out, total
+
+    def general():
+        w = native(words, length, big_endian)
+        cp, start = _codepoints(w, length)
+        out, _, total = _emit_utf32(cp, start, n)
+        return out, jnp.int32(total)
+
+    if not DEVICE_ROUTING:
+        return general()
+    w16 = _native16(words, big_endian)
+    idx = positions(n)
+    bmp = jnp.all(((w16 & 0xF800) != 0xD800) | (idx >= length))
+    _, _, _, astral = census(w16, length)
+    br_bmp, br_astral = _u32_fast_branches(w16, length, n)
+
+    def wrap(br):
+        def f():
+            out, cnt = br()
+            return out, vlike(jnp.int32(cnt), out)
+        return f
+
+    return route([(bmp, wrap(br_bmp)), (astral, wrap(br_astral))], general)

@@ -6,7 +6,17 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..errors import error_code as ec
-from .common import BIG, bswap16, excl_scan, positions, scatter_writes, zero_tail
+from .common import (
+    BIG,
+    DEVICE_ROUTING,
+    bswap16,
+    excl_scan,
+    positions,
+    route,
+    vlike,
+    scatter_writes,
+    zero_tail,
+)
 
 _SURROGATE = int(ec.SURROGATE)
 _TOO_LARGE = int(ec.TOO_LARGE)
@@ -114,57 +124,195 @@ def _emit_utf16(w64, length, n, big_endian):
     return out, off, total
 
 
+def census(w64, length):
+    """One-pass census of a native (uint32, tail-zeroed) buffer (see
+    ops/utf8.census): exact in-class validity proofs for the uniform
+    UTF-8-width classes (ascii/2/3-byte BMP bands, astral) plus the
+    non-surrogate BMP band (uniform for UTF-16)."""
+    idx = positions(w64.shape[0])
+    out_r = idx >= length
+    nz = length > 0
+    sur = (w64 >= 0xD800) & (w64 <= 0xDFFF)
+    ascii_ = jnp.all((w64 < 0x80) | out_r)
+    u2 = jnp.all(((w64 >= 0x80) & (w64 <= 0x7FF)) | out_r) & nz
+    u3 = jnp.all(((w64 >= 0x800) & (w64 <= 0xFFFF) & ~sur) | out_r) & nz
+    astral = jnp.all(((w64 >= 0x10000) & (w64 <= 0x10FFFF)) | out_r) & nz
+    bmp = jnp.all(((w64 <= 0xFFFF) & ~sur) | out_r)
+    return ascii_, u2, u3, astral, bmp
+
+
+def _mask_tail(vals, count):
+    idx = positions(vals.shape[0])
+    return jnp.where(idx < count, vals, 0)
+
+
 def to_utf8(words: jnp.ndarray, length):
-    """Returns (err_code, err_pos, out u8[4N], out_len)."""
+    """Returns (err_code, err_pos, out u8[4N], out_len); census-routed."""
     n = words.shape[0]
     w64 = _native(words, length)
-    err_pos, err_code = first_error(w64, length)
-    ok = err_pos == BIG
-    out, off, total = _emit_utf8(w64, length, n)
-    clamped = jnp.minimum(err_pos, n - 1)
-    # off[0] == 0 for an exclusive scan, so err_pos == 0 needs no special case
-    out_len = jnp.where(ok, total, off[clamped])
-    return (
-        jnp.where(ok, 0, err_code),
-        jnp.where(ok, length, err_pos),
-        out,
-        out_len,
-    )
+
+    def general():
+        err_pos, err_code = first_error(w64, length)
+        ok = err_pos == BIG
+        out, off, total = _emit_utf8(w64, length, n)
+        clamped = jnp.minimum(err_pos, n - 1)
+        # off[0] == 0: err_pos == 0 needs no special case
+        out_len = jnp.where(ok, total, off[clamped])
+        return (
+            jnp.where(ok, 0, err_code),
+            jnp.where(ok, length, err_pos),
+            out,
+            out_len,
+        )
+
+    if not DEVICE_ROUTING:
+        return general()
+    ascii_, u2, u3, astral, _ = census(w64, length)
+    branches = _u8_fast_branches(w64, length, n)
+
+    def wrap(br):
+        def f():
+            out, cnt = br()
+            z = vlike(jnp.int32(0), out)
+            return z, z + length, out, z + cnt
+        return f
+
+    preds = (ascii_, u2, u3, astral)
+    return route([(p, wrap(b)) for p, b in zip(preds, branches)], general)
+
+
+def _u8_fast_branches(w64, length, n):
+    cp = w64.astype(jnp.int32)
+
+    def br_ascii():
+        return jnp.pad(cp, (0, 3 * n)).astype(jnp.uint8), length
+
+    def br_u2():
+        b0 = (cp >> 6) | 0xC0
+        b1 = (cp & 0x3F) | 0x80
+        by = _mask_tail(jnp.stack([b0, b1], 1).reshape(-1), 2 * length)
+        return jnp.pad(by, (0, 2 * n)).astype(jnp.uint8), 2 * length
+
+    def br_u3():
+        b0 = (cp >> 12) | 0xE0
+        b1 = ((cp >> 6) & 0x3F) | 0x80
+        b2 = (cp & 0x3F) | 0x80
+        by = _mask_tail(jnp.stack([b0, b1, b2], 1).reshape(-1), 3 * length)
+        return jnp.pad(by, (0, n)).astype(jnp.uint8), 3 * length
+
+    def br_astral():
+        b0 = (cp >> 18) | 0xF0
+        b1 = ((cp >> 12) & 0x3F) | 0x80
+        b2 = ((cp >> 6) & 0x3F) | 0x80
+        b3 = (cp & 0x3F) | 0x80
+        by = _mask_tail(jnp.stack([b0, b1, b2, b3], 1).reshape(-1), 4 * length)
+        return by.astype(jnp.uint8), 4 * length
+
+    return br_ascii, br_u2, br_u3, br_astral
 
 
 def to_utf8_valid(words: jnp.ndarray, length):
     """convert_valid_utf32_to_utf8: skips the range/surrogate checks
-    (reference: per-arch convert_valid kernels). Returns (out, total)."""
+    (reference: per-arch convert_valid kernels). Returns (out, total);
+    census-routed."""
     n = words.shape[0]
     w64 = _native(words, length)
-    out, _, total = _emit_utf8(w64, length, n)
-    return out, total
+
+    def general():
+        out, _, total = _emit_utf8(w64, length, n)
+        return out, jnp.int32(total)
+
+    if not DEVICE_ROUTING:
+        return general()
+    ascii_, u2, u3, astral, _ = census(w64, length)
+    branches = _u8_fast_branches(w64, length, n)
+
+    def wrap(br):
+        def f():
+            out, cnt = br()
+            return out, vlike(jnp.int32(cnt), out)
+        return f
+
+    preds = (ascii_, u2, u3, astral)
+    return route([(p, wrap(b)) for p, b in zip(preds, branches)], general)
+
+
+def _u16_fast_branches(w64, length, n, big_endian):
+    cp = w64.astype(jnp.int32)
+
+    def swp(u):
+        return bswap16(u) if big_endian else u
+
+    def br_bmp():
+        u = _mask_tail(swp(cp), length)
+        return jnp.pad(u, (0, n)).astype(jnp.uint16), length
+
+    def br_astral():
+        cpx = cp - 0x10000
+        hi = swp(0xD800 + (cpx >> 10))
+        lo = swp(0xDC00 + (cpx & 0x3FF))
+        u = _mask_tail(jnp.stack([hi, lo], 1).reshape(-1), 2 * length)
+        return u.astype(jnp.uint16), 2 * length
+
+    return br_bmp, br_astral
 
 
 def to_utf16(words: jnp.ndarray, length, big_endian: bool):
-    """Returns (err_code, err_pos, out u16[2N], out_len)."""
+    """Returns (err_code, err_pos, out u16[2N], out_len); census-routed."""
     n = words.shape[0]
     w64 = _native(words, length)
-    err_pos, err_code = first_error(w64, length)
-    ok = err_pos == BIG
-    out, off, total = _emit_utf16(w64, length, n, big_endian)
-    clamped = jnp.minimum(err_pos, n - 1)
-    # off[0] == 0 for an exclusive scan, so err_pos == 0 needs no special case
-    out_len = jnp.where(ok, total, off[clamped])
-    return (
-        jnp.where(ok, 0, err_code),
-        jnp.where(ok, length, err_pos),
-        out,
-        out_len,
-    )
+
+    def general():
+        err_pos, err_code = first_error(w64, length)
+        ok = err_pos == BIG
+        out, off, total = _emit_utf16(w64, length, n, big_endian)
+        clamped = jnp.minimum(err_pos, n - 1)
+        # off[0] == 0: err_pos == 0 needs no special case
+        out_len = jnp.where(ok, total, off[clamped])
+        return (
+            jnp.where(ok, 0, err_code),
+            jnp.where(ok, length, err_pos),
+            out,
+            out_len,
+        )
+
+    if not DEVICE_ROUTING:
+        return general()
+    _, _, _, astral, bmp = census(w64, length)
+    br_bmp, br_astral = _u16_fast_branches(w64, length, n, big_endian)
+
+    def wrap(br):
+        def f():
+            out, cnt = br()
+            z = vlike(jnp.int32(0), out)
+            return z, z + length, out, z + cnt
+        return f
+
+    return route([(bmp, wrap(br_bmp)), (astral, wrap(br_astral))], general)
 
 
 def to_utf16_valid(words: jnp.ndarray, length, big_endian: bool):
-    """convert_valid_utf32_to_utf16: no validation pass. (out, total)."""
+    """convert_valid_utf32_to_utf16: no validation pass. (out, total);
+    census-routed."""
     n = words.shape[0]
     w64 = _native(words, length)
-    out, _, total = _emit_utf16(w64, length, n, big_endian)
-    return out, total
+
+    def general():
+        out, _, total = _emit_utf16(w64, length, n, big_endian)
+        return out, jnp.int32(total)
+
+    if not DEVICE_ROUTING:
+        return general()
+    _, _, _, astral, bmp = census(w64, length)
+    br_bmp, br_astral = _u16_fast_branches(w64, length, n, big_endian)
+
+    def wrap(br):
+        def f():
+            out, cnt = br()
+            return out, vlike(jnp.int32(cnt), out)
+        return f
+
+    return route([(bmp, wrap(br_bmp)), (astral, wrap(br_astral))], general)
 
 
 def to_latin1(words: jnp.ndarray, length):

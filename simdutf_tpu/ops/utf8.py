@@ -18,9 +18,12 @@ import jax.numpy as jnp
 from ..errors import error_code as ec
 from .common import (
     BIG,
+    DEVICE_ROUTING,
     bswap16,
     excl_scan,
     positions,
+    route,
+    vlike,
     scatter_writes,
     shift_left,
     shift_right,
@@ -179,6 +182,125 @@ def utf16_length(b: jnp.ndarray, length):
 
 
 
+def census(b: jnp.ndarray, length):
+    """One-pass structural census for device-tier routing (the reference's
+    per-block is_ascii short-circuit, utf8_to_utf16.h:237-240, lifted to
+    corpus scale). Returns scalar bools (ascii, u2, u3, u4): each is an
+    EXACT validity proof for its class — a True means the whole in-range
+    buffer is valid UTF-8 consisting solely of that sequence width — so a
+    fast branch taken on it may skip the error lattice entirely.
+
+    All predicates are elementwise masks + reductions over one read of the
+    buffer, in uint8 arithmetic throughout — no widened (4N-byte)
+    temporaries; range checks on the decoded value are re-expressed as
+    byte-wise compares (E0 needs b1>=A0, ED needs b1<=9F, F0 needs b1>=90,
+    F4 needs b1<=8F — the scalar machine's own boundary cases). XLA fuses
+    everything into a single pass.
+    """
+    n = b.shape[0]
+    b = b.astype(jnp.uint8)
+    idx = positions(n)
+    in_r = idx < length
+    b1 = shift_left(b, 1)
+    cont = (b & 0xC0) == 0x80
+    c1 = (b1 & 0xC0) == 0x80
+
+    ascii_ = ~jnp.any((b >= 0x80) & in_r)
+
+    # uniform 2-byte: even positions are C2..DF leads, odd are
+    # continuations — exactly the valid encodings of U+0080..U+07FF
+    ok2 = jnp.where((idx & 1) == 0, (b >= 0xC2) & (b <= 0xDF), cont)
+    u2 = jnp.all(ok2 | ~in_r) & (length % 2 == 0) & (length > 0)
+
+    # uniform 3-byte: stride-3 E0..EF leads with cp in [0x800, 0xFFFF]
+    # minus surrogates: overlong (E0 80-9F) and surrogate (ED A0-BF)
+    # encodings are excluded by first-continuation bounds
+    lead3ok = (
+        ((b & 0xF0) == 0xE0)
+        & c1
+        & ~((b == 0xE0) & (b1 < 0xA0))
+        & ~((b == 0xED) & (b1 >= 0xA0))
+    )
+    ok3 = jnp.where(idx % 3 == 0, lead3ok, cont)
+    u3 = jnp.all(ok3 | ~in_r) & (length % 3 == 0) & (length > 0)
+
+    # uniform 4-byte (astral-only: emoji streams): stride-4 F0..F4 leads
+    # with cp in [0x10000, 0x10FFFF]: F0 90-BF.., F1-F3 80-BF.., F4 80-8F..
+    lead4ok = (
+        (b >= 0xF0) & (b <= 0xF4)
+        & c1
+        & ~((b == 0xF0) & (b1 < 0x90))
+        & ~((b == 0xF4) & (b1 >= 0x90))
+    )
+    ok4 = jnp.where((idx & 3) == 0, lead4ok, cont)
+    u4 = jnp.all(ok4 | ~in_r) & (length % 4 == 0) & (length > 0)
+    return ascii_, u2, u3, u4
+
+
+def _mask_units(units, count):
+    """Zero units at/after ``count`` so fast-branch buffers match the
+    general engine's zeros-past-out_len exactly."""
+    idx = positions(units.shape[0])
+    return jnp.where(idx < count, units, 0)
+
+
+def _swp16(u, big_endian: bool):
+    if not big_endian:
+        return u
+    u = u.astype(jnp.uint16)
+    return (u << 8) | (u >> 8)
+
+
+def _u16_fast_branches(b, length, n, big_endian: bool):
+    """The four fixed-rate utf8->utf16 branches; each returns
+    (out u16[n], out_len) bit-identical to the general engine on its
+    class. Pure elementwise + static reshapes: no scan, no scatter, and
+    uint16 arithmetic throughout (a 64 MiB corpus must not materialize
+    4N-byte temporaries: int32 intermediates OOMed TPU buffer
+    assignment when combined under one lax.switch)."""
+
+    def br_ascii():
+        u = jnp.where(positions(n) < length, b, 0).astype(jnp.uint16)
+        return _swp16(u, big_endian), length
+
+    def br_u2():
+        pr = b.astype(jnp.uint16).reshape(-1, 2)
+        u = ((pr[:, 0] & 0x1F) << 6) | (pr[:, 1] & 0x3F)
+        cnt = length // 2
+        u = _mask_units(_swp16(u, big_endian), cnt)
+        return jnp.pad(u, (0, n - u.shape[0])), cnt
+
+    def br_u3():
+        n3 = n // 3 * 3  # capacity is a power of two; drop the stub
+        tr = b[:n3].astype(jnp.uint16).reshape(-1, 3)
+        u = (
+            ((tr[:, 0] & 0x0F) << 12) | ((tr[:, 1] & 0x3F) << 6)
+            | (tr[:, 2] & 0x3F)
+        )
+        cnt = length // 3
+        u = _mask_units(_swp16(u, big_endian), cnt)
+        return jnp.pad(u, (0, n - u.shape[0])), cnt
+
+    def br_u4():
+        q = b.astype(jnp.uint16).reshape(-1, 4)
+        # surrogates from bytes without materializing the 21-bit cp:
+        #   hi = D800 + (cp-0x10000)>>10, cp>>10 = ((b0&7)<<8)|((b1&3F)<<2)
+        #        |((b2>>4)&3), so hi = D7C0 + that (the -0x10000 folds in)
+        hi = (
+            0xD7C0 + (((q[:, 0] & 0x07) << 8) | ((q[:, 1] & 0x3F) << 2)
+                      | ((q[:, 2] >> 4) & 0x03))
+        )
+        lo = 0xDC00 + (((q[:, 2] & 0x0F) << 6) | (q[:, 3] & 0x3F))
+        u = jnp.stack(
+            [_swp16(hi, big_endian), _swp16(lo, big_endian)], axis=1
+        ).reshape(-1)  # n // 2 units
+        cnt = length // 2
+        u = _mask_units(u, cnt)
+        return jnp.pad(u, (0, n - u.shape[0])), cnt
+
+    return br_ascii, br_u2, br_u3, br_u4
+
+
 def _emit_utf16_units(cp, lead, lead4, n, big_endian: bool):
     """Emit UTF-16 units with the unit-per-byte reformulation: unit0 is
     carried by the lead byte, unit1 (astral chars only) by the byte right
@@ -203,13 +325,8 @@ def _emit_utf16_units(cp, lead, lead4, n, big_endian: bool):
     out = scatter_writes(n, jnp.uint16, [(keep, off, val)])
     return out, off, total
 
-def to_utf16(b: jnp.ndarray, length, big_endian: bool):
-    """Validating transcode, classify -> scan -> scatter.
-
-    Returns (err_code, err_pos, out u16[N], out_len). On error out_len is the
-    number of units for the valid prefix (scalar-machine partial output).
-    Output capacity N is exact worst case (1 unit/byte for ASCII).
-    """
+def _to_utf16_general(b: jnp.ndarray, length, big_endian: bool):
+    """The general mixed-script engine: classify -> scan -> scatter."""
     n = b.shape[0]
     idx = positions(n)
     cls = classify(b, length)
@@ -227,8 +344,77 @@ def to_utf16(b: jnp.ndarray, length, big_endian: bool):
     return jnp.where(ok, 0, err_code), jnp.where(ok, length, err_pos), out, out_len
 
 
-def to_utf32(b: jnp.ndarray, length):
-    """Returns (err_code, err_pos, out u32[N], out_len)."""
+def to_utf16(b: jnp.ndarray, length, big_endian: bool):
+    """Validating transcode. Routes on a one-pass device census: whole-
+    buffer structured classes (ASCII / uniform 2/3/4-byte) take fixed-rate
+    elementwise branches (their census predicate IS the validity proof);
+    mixed input pays the classify -> scan -> scatter engine.
+
+    Returns (err_code, err_pos, out u16[N], out_len). On error out_len is
+    the number of units for the valid prefix (scalar-machine partial
+    output). Output capacity N is exact worst case (1 unit/byte).
+    """
+    if not DEVICE_ROUTING:
+        return _to_utf16_general(b, length, big_endian)
+    n = b.shape[0]
+    ascii_, u2, u3, u4 = census(b, length)
+    br_ascii, br_u2, br_u3, br_u4 = _u16_fast_branches(b, length, n, big_endian)
+
+    def wrap(br):
+        def f():
+            out, cnt = br()
+            z = vlike(jnp.int32(0), out)
+            return z, z + length, out, z + cnt
+        return f
+
+    return route(
+        [(ascii_, wrap(br_ascii)), (u2, wrap(br_u2)),
+         (u3, wrap(br_u3)), (u4, wrap(br_u4))],
+        lambda: _to_utf16_general(b, length, big_endian),
+    )
+
+
+def _u32_fast_branches(b, length, n):
+    """Fixed-rate utf8->utf32 branches (see :func:`_u16_fast_branches`);
+    per-branch narrow temporaries only (uint16 until the final widen where
+    the codepoint fits, uint32 reshapes for the astral class)."""
+
+    def br_ascii():
+        u = jnp.where(positions(n) < length, b, 0)
+        return u.astype(jnp.uint32), length
+
+    def br_u2():
+        pr = b.astype(jnp.uint16).reshape(-1, 2)
+        u = ((pr[:, 0] & 0x1F) << 6) | (pr[:, 1] & 0x3F)
+        cnt = length // 2
+        out = jnp.pad(_mask_units(u, cnt), (0, n - u.shape[0]))
+        return out.astype(jnp.uint32), cnt
+
+    def br_u3():
+        n3 = n // 3 * 3
+        tr = b[:n3].astype(jnp.uint16).reshape(-1, 3)
+        u = (
+            ((tr[:, 0] & 0x0F) << 12) | ((tr[:, 1] & 0x3F) << 6)
+            | (tr[:, 2] & 0x3F)
+        )
+        cnt = length // 3
+        out = jnp.pad(_mask_units(u, cnt), (0, n - u.shape[0]))
+        return out.astype(jnp.uint32), cnt
+
+    def br_u4():
+        q = b.astype(jnp.uint32).reshape(-1, 4)
+        cp = (
+            ((q[:, 0] & 0x07) << 18) | ((q[:, 1] & 0x3F) << 12)
+            | ((q[:, 2] & 0x3F) << 6) | (q[:, 3] & 0x3F)
+        )
+        cnt = length // 4
+        out = jnp.pad(_mask_units(cp, cnt), (0, n - cp.shape[0]))
+        return out.astype(jnp.uint32), cnt
+
+    return br_ascii, br_u2, br_u3, br_u4
+
+
+def _to_utf32_general(b: jnp.ndarray, length):
     n = b.shape[0]
     idx = positions(n)
     cls = classify(b, length)
@@ -248,6 +434,29 @@ def to_utf32(b: jnp.ndarray, length):
         jnp.where(ok, length, err_pos),
         out,
         out_len,
+    )
+
+
+def to_utf32(b: jnp.ndarray, length):
+    """Returns (err_code, err_pos, out u32[N], out_len); census-routed
+    like :func:`to_utf16`."""
+    if not DEVICE_ROUTING:
+        return _to_utf32_general(b, length)
+    n = b.shape[0]
+    ascii_, u2, u3, u4 = census(b, length)
+    br_ascii, br_u2, br_u3, br_u4 = _u32_fast_branches(b, length, n)
+
+    def wrap(br):
+        def f():
+            out, cnt = br()
+            z = vlike(jnp.int32(0), out)
+            return z, z + length, out, z + cnt
+        return f
+
+    return route(
+        [(ascii_, wrap(br_ascii)), (u2, wrap(br_u2)),
+         (u3, wrap(br_u3)), (u4, wrap(br_u4))],
+        lambda: _to_utf32_general(b, length),
     )
 
 
@@ -324,24 +533,62 @@ def to_latin1_valid(b: jnp.ndarray, length):
 def to_utf16_valid(b: jnp.ndarray, length, big_endian: bool):
     """convert_valid_utf8_to_utf16*: assumes valid input, skips the error
     events entirely (reference: generic/utf8_to_utf16/valid_utf8_to_utf16.h).
-    Returns (out u16[N], out_len)."""
+    Returns (out u16[N], out_len); census-routed like :func:`to_utf16`."""
     n = b.shape[0]
-    idx = positions(n)
-    cls = classify(b, length)
-    lead = cls["lead"] & (idx < length)
-    out, _, total = _emit_utf16_units(
-        cls["cp"], lead, cls["lead4"], n, big_endian
+
+    def general():
+        idx = positions(n)
+        cls = classify(b, length)
+        lead = cls["lead"] & (idx < length)
+        out, _, total = _emit_utf16_units(
+            cls["cp"], lead, cls["lead4"], n, big_endian
+        )
+        return out, jnp.int32(total)
+
+    if not DEVICE_ROUTING:
+        return general()
+    ascii_, u2, u3, u4 = census(b, length)
+    br_ascii, br_u2, br_u3, br_u4 = _u16_fast_branches(b, length, n, big_endian)
+
+    def wrap(br):
+        def f():
+            out, cnt = br()
+            return out, vlike(jnp.int32(cnt), out)
+        return f
+
+    return route(
+        [(ascii_, wrap(br_ascii)), (u2, wrap(br_u2)),
+         (u3, wrap(br_u3)), (u4, wrap(br_u4))],
+        general,
     )
-    return out, total
 
 
 def to_utf32_valid(b: jnp.ndarray, length):
     n = b.shape[0]
-    idx = positions(n)
-    cls = classify(b, length)
-    lead = cls["lead"] & (idx < length)
-    width = lead.astype(jnp.int32)
-    off, off_inc = excl_scan(width, n)
-    total = off_inc[n - 1]
-    out = scatter_writes(n, jnp.uint32, [(lead, off, cls["cp"])])
-    return out, total
+
+    def general():
+        idx = positions(n)
+        cls = classify(b, length)
+        lead = cls["lead"] & (idx < length)
+        width = lead.astype(jnp.int32)
+        off, off_inc = excl_scan(width, n)
+        total = off_inc[n - 1]
+        out = scatter_writes(n, jnp.uint32, [(lead, off, cls["cp"])])
+        return out, jnp.int32(total)
+
+    if not DEVICE_ROUTING:
+        return general()
+    ascii_, u2, u3, u4 = census(b, length)
+    br_ascii, br_u2, br_u3, br_u4 = _u32_fast_branches(b, length, n)
+
+    def wrap(br):
+        def f():
+            out, cnt = br()
+            return out, vlike(jnp.int32(cnt), out)
+        return f
+
+    return route(
+        [(ascii_, wrap(br_ascii)), (u2, wrap(br_u2)),
+         (u3, wrap(br_u3)), (u4, wrap(br_u4))],
+        general,
+    )
