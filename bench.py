@@ -231,6 +231,20 @@ def main():
     xj.block_until_ready()
     log(f"staged to device in {time.time()-t0:.1f}s")
 
+    # one-time measured choice of the general mixed-script engine
+    # (scatter vs butterfly, ops/engine_probe; evidence appended to
+    # perf_records/engine_probe.jsonl). The reference's best-pick dispatch
+    # (src/implementation.cpp:1274) applied to measured speed.
+    engine = "scatter"
+    try:
+        from simdutf_tpu.ops.engine_probe import general_engine
+
+        t0 = time.time()
+        engine = general_engine()
+        log(f"general engine: {engine} (probe+compile {time.time()-t0:.1f}s)")
+    except Exception as e:  # pragma: no cover
+        log(f"engine probe skipped: {e}")
+
     @jax.jit
     def f_transcode(x, n0):
         def body(i, acc):
@@ -452,6 +466,7 @@ def main():
         "probe_scatter_ns": round(scat_ns, 2) if scat_ns is not None else None,
         "tunnel_ms": round(tunnel_ms, 1),
         "degraded": degraded,
+        "general_engine": engine,
     }
     # Surface the best committed healthy-window artifact (captured by
     # tools/watch_healthy.sh into perf_records/) so a degraded-window run

@@ -1,0 +1,477 @@
+"""General-path (mixed-script) UTF-8 -> UTF-16 transcode with NO scatter
+and NO gather: per-tile butterfly (log-shift) concentration in VMEM plus a
+roll-composed output — DESIGN-compaction.md Design B built end to end
+(round 3). Reference counterpart: the shuffle-table inner loop of
+src/haswell/avx2_convert_utf8_to_utf16.cpp:7-130, re-derived for a VPU
+whose only cheap data movement is uniform rotation.
+
+Why it exists: the XLA scatter engine is the fastest general path on a
+healthy chip, but this environment's chip recurrently enters a state where
+every scatter/gather serializes to ~7-13 ns/element (PERF.md) while
+VPU/elementwise traffic stays fast. The butterfly path's primitives are
+rolls, selects and integer ops only, so it rides out that state. Selection
+between the two engines is measurement-driven (registry probe), mirroring
+the reference's runtime best-pick dispatch (src/implementation.cpp:1274).
+
+Algorithm per 32 KiB input tile (int32 (64,128) lanes = 4 bytes/lane):
+
+  1. classify bytes on 4 mod-4 phase planes (no lane interleave is ever
+     materialized; plane m of group g holds byte q = 4*g + m); neighbor
+     bytes come from statically-permuted planes with +-1 group rolls and
+     an 8-row halo from the adjacent tiles.
+  2. unit-per-byte emission (ops/utf8._emit_utf16_units reformulation):
+     keep = lead | after-lead4, val = unit0 | unit1.
+  3. tile-exclusive scan of keep (lane Hillis-Steele + row carry) gives
+     each kept byte its displacement d = q - off(q), monotone
+     non-decreasing over kept bytes.
+  4. 15 LSB-first rounds of "conditionally move left by 2^k": the packed
+     word (unit | d<<16) rolls toward the front congestion-free (monotone
+     displacements; verified exhaustively in tests). Circular rolls are
+     safe: a wrapped element always has displacement < its shift, so its
+     round bit is clear.
+  5. pack compacted units in true byte order into (64,256) int32 pairs
+     (one interleave2 of roll+select stages) -> scratch tile + per-tile
+     (count, error-flag).
+
+Composition (phase C) places each tile's compacted units at its exclusive
+offset with dynamic unit-granularity rolls of <=4 candidate scratch tiles
+per output tile (scalar-prefetch-driven index maps), masked at u16
+granularity. Any error anywhere falls back to the whole-buffer XLA engine,
+preserving exact first-error/partial-output contracts by construction.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .validate import _interpret, vany
+
+PR = 64  # rows per tile
+PW = 128  # int32 lanes per row
+HR = 8  # halo rows (int32 block granularity; only 1 group is consumed)
+TILE = PR * PW * 4  # 32768 bytes per tile
+UNITS = TILE  # u16 output capacity per tile in units (1 unit/byte max)
+STAGES = 15  # log2(TILE) rounds
+BIG = 2**31 - 1
+
+
+# --- roll primitives (jnp for the model/driver, pltpu inside kernels) ----
+
+def _jroll(a, shift, axis):
+    return jnp.roll(a, shift, axis=axis)
+
+
+def _proll(a, shift, axis):
+    # pltpu.roll(x, s, axis)[j] = x[j - s] (roll right by s); shifts must
+    # be non-negative (dynamic shifts are supported on this toolchain)
+    return pltpu.roll(a, shift, axis)
+
+
+def _iotas(shape):
+    row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return row, lane
+
+
+def _groll_left(a, k: int, roll):
+    """Flat group-roll left by static k (read group g+k), circular over
+    the whole (R, PW) plane in row-major order. k < PW."""
+    if k == 0:
+        return a
+    R = a.shape[0]
+    z1 = roll(a, PW - k, 1)  # lane l reads lane l+k (same row, wrapped)
+    z2 = roll(z1, R - 1, 0)  # wrapped lanes read the next row
+    _, lane = _iotas(a.shape)
+    return jnp.where(lane < PW - k, z1, z2)
+
+
+def _groll_right(a, k: int, roll):
+    """Flat group-roll right by static k (read group g-k)."""
+    if k == 0:
+        return a
+    R = a.shape[0]
+    z1 = roll(a, k, 1)
+    z2 = roll(z1, 1, 0)  # wrapped lanes read the previous row
+    _, lane = _iotas(a.shape)
+    return jnp.where(lane >= k, z1, z2)
+
+
+def _flat_roll_left(a, s: int, roll):
+    """Butterfly-stage roll: read flat element e+s on an (R, PW) plane
+    (elements = groups here). s may exceed PW (pure row roll)."""
+    R = a.shape[0]
+    lane_k, row_k = s % PW, s // PW
+    z = a
+    if lane_k:
+        z = _groll_left(z, lane_k, roll)
+    if row_k:
+        z = roll(z, R - (row_k % R), 0)
+    return z
+
+
+# --- the per-tile core (shared by the Pallas kernel and the jnp model) ---
+
+def _tile_core(prv, x, nxt, base, length, big_endian: bool, roll):
+    """prv/nxt: (HR, PW) int32 halo rows; x: (PR, PW) int32 tile.
+    base: global byte index of x[0,0]; length: global valid length.
+    Returns (scratch (PR, 2*PW) int32 pair-packed units, count, err)."""
+    ext = jnp.concatenate([prv, x, nxt], axis=0)  # (HR+PR+HR, PW)
+    RE = ext.shape[0]
+
+    # phase planes of the extended tile, tail-zeroed by global position
+    row_e, lane_e = _iotas((RE, PW))
+    g_e = (row_e - HR) * PW + lane_e  # group index relative to tile start
+    planes = []
+    for m in range(4):
+        p = (ext >> (8 * m)) & 0xFF
+        q = base + 4 * g_e + m  # global byte position
+        planes.append(jnp.where((q >= 0) & (q < length), p, 0))
+
+    # classification runs on a one-halo-row-extended region EXTM (ext rows
+    # [HR-HB, HR+PR)) so the backward after-lead4 shift below can see the
+    # PREVIOUS tile's trailing lead — a lead in the last bytes of tile t-1
+    # whose continuation units belong to tile t (cross-tile straddle)
+    HB = 8
+    EXTM0 = HR - HB
+
+    def nb(m, j):
+        # neighbor byte at +j: plane (m+j)%4, group +(m+j)//4, EXTM rows
+        mm, gg = (m + j) % 4, (m + j) // 4
+        return _g_ext(planes[mm], gg)[EXTM0 : HR + PR]
+
+    def _g_ext(a, gg):
+        # group-shift-left on the extended plane; the circular wrap only
+        # contaminates ext's very last group, which EXTM slices away
+        if gg == 0:
+            return a
+        z1 = roll(a, PW - gg, 1)
+        z2 = roll(z1, RE - 1, 0)
+        _, lane = _iotas(a.shape)
+        return jnp.where(lane < PW - gg, z1, z2)
+
+    def _sl_main(a):
+        # EXTM -> main region
+        return a[HB : HB + PR]
+
+    row, lane = _iotas((PR, PW))
+    gpos = row * PW + lane  # tile-local group index
+    row_x, lane_x = _iotas((HB + PR, PW))
+    gpos_x = (row_x - HB) * PW + lane_x  # EXTM group index (tile-local)
+    err_any = jnp.int32(0)
+    # per-plane classification on EXTM
+    cp_m, lead_m, lead4_m = [], [], []
+    for m in range(4):
+        b = planes[m][EXTM0 : HR + PR]
+        b1, b2, b3 = nb(m, 1), nb(m, 2), nb(m, 3)
+        is_cont = (b & 0xC0) == 0x80
+        c1 = (b1 & 0xC0) == 0x80
+        c2 = (b2 & 0xC0) == 0x80
+        c3 = (b3 & 0xC0) == 0x80
+        c4 = (nb(m, 4) & 0xC0) == 0x80
+        ascii_ = b < 0x80
+        lead2 = (b & 0xE0) == 0xC0
+        lead3 = (b & 0xF0) == 0xE0
+        lead4 = (b & 0xF8) == 0xF0
+        badlead = b >= 0xF8
+        cp2 = ((b & 0x1F) << 6) | (b1 & 0x3F)
+        cp3 = ((b & 0x0F) << 12) | ((b1 & 0x3F) << 6) | (b2 & 0x3F)
+        cp4 = (
+            ((b & 0x07) << 18) | ((b1 & 0x3F) << 12) | ((b2 & 0x3F) << 6)
+            | (b3 & 0x3F)
+        )
+        err = jnp.zeros_like(b)
+        err = jnp.where(lead2 & ~c1, 1, err)
+        err = jnp.where(lead2 & c1 & (cp2 < 0x80), 1, err)
+        ok3 = c1 & c2
+        err = jnp.where(lead3 & ~ok3, 1, err)
+        err = jnp.where(lead3 & ok3 & (cp3 < 0x800), 1, err)
+        err = jnp.where(
+            lead3 & ok3 & (cp3 >= 0xD800) & (cp3 <= 0xDFFF), 1, err
+        )
+        ok4 = c1 & c2 & c3
+        err = jnp.where(lead4 & ~ok4, 1, err)
+        err = jnp.where(lead4 & ok4 & (cp4 <= 0xFFFF), 1, err)
+        err = jnp.where(lead4 & ok4 & (cp4 > 0x10FFFF), 1, err)
+        err = jnp.where(badlead, 1, err)
+        seqlen = jnp.where(ascii_, 1, 0)
+        seqlen = jnp.where(lead2, 2, seqlen)
+        seqlen = jnp.where(lead3, 3, seqlen)
+        seqlen = jnp.where(lead4, 4, seqlen)
+        cp = jnp.where(ascii_, b, 0)
+        cp = jnp.where(lead2, cp2, cp)
+        cp = jnp.where(lead3, cp3, cp)
+        cp = jnp.where(lead4, cp4, cp)
+        gap = (
+            ((seqlen == 1) & c1)
+            | ((seqlen == 2) & c2)
+            | ((seqlen == 3) & c3)
+            | ((seqlen == 4) & c4)
+        )
+        in_r = (base + 4 * gpos_x + m >= 0) & (base + 4 * gpos_x + m < length)
+        lead = ~is_cont & in_r
+        # error events reduce over the MAIN region only (EXTM halo events
+        # belong to the previous tile, which reports them itself)
+        err_any = jnp.maximum(
+            err_any,
+            jnp.max(_sl_main(
+                (lead & (err != 0)) | (lead & (err == 0) & gap)
+            ).astype(jnp.int32)),
+        )
+        cp_m.append(cp)
+        lead_m.append(lead)
+        lead4_m.append(lead & lead4)
+
+    # unit emission: unit0 at leads, unit1 at the byte after a lead4.
+    # The backward shift for plane 0 runs on EXTM so the first byte of the
+    # tile sees the previous tile's trailing lead4 (sliced to main after).
+    def bswap(u):
+        return ((u << 8) | (u >> 8)) & 0xFFFF if big_endian else u
+
+    vals, keeps = [], []
+    for m in range(4):
+        pm = (m - 1) % 4
+        if m == 0:
+            al4 = _sl_main(
+                _groll_right(lead4_m[pm].astype(jnp.int32), 1, roll)
+            ) > 0
+            cp_prev = _sl_main(_groll_right(cp_m[pm], 1, roll))
+        else:
+            al4 = _sl_main(lead4_m[pm])
+            cp_prev = _sl_main(cp_m[pm])
+        cp = _sl_main(cp_m[m])
+        cpx = cp - 0x10000
+        unit0 = jnp.where(cp > 0xFFFF, 0xD800 + (cpx >> 10), cp)
+        unit1 = 0xDC00 + ((cp_prev - 0x10000) & 0x3FF)
+        keep = _sl_main(lead_m[m]) | al4
+        val = bswap(jnp.where(al4, unit1, unit0)) & 0xFFFF
+        keeps.append(keep)
+        vals.append(val)
+
+    # tile-exclusive scan of keep over flat byte order via group totals
+    k32 = [k.astype(jnp.int32) for k in keeps]
+    kg = k32[0] + k32[1] + k32[2] + k32[3]
+    inc = kg
+    shift = 1
+    while shift < PW:  # lane scan within rows
+        moved = roll(inc, shift, 1)
+        inc = inc + jnp.where(lane >= shift, moved, 0)
+        shift *= 2
+    row_tot = jnp.broadcast_to(inc[:, PW - 1 :], (PR, PW))
+    rinc = row_tot
+    shift = 1
+    while shift < PR:  # row scan of totals
+        moved = roll(rinc, shift, 0)
+        rinc = rinc + jnp.where(row >= shift, moved, 0)
+        shift *= 2
+    count_row = rinc[PR - 1 :, :]  # (1, PW); all lanes = total
+    off_g = (rinc - row_tot) + (inc - kg)  # exclusive, per group
+    offs = [off_g]
+    for m in range(3):
+        offs.append(offs[-1] + k32[m])
+
+    # packed words: unit | displacement<<16; non-kept pinned at disp 0
+    words = []
+    for m in range(4):
+        q = 4 * gpos + m
+        disp = jnp.where(keeps[m], q - offs[m], 0)
+        words.append(jnp.where(keeps[m], vals[m], 0) | (disp << 16))
+
+    # butterfly: LSB-first conditional move-left by s
+    for st in range(STAGES):
+        s = 1 << st
+        if s % 4 == 0:
+            arr = [_flat_roll_left(words[m], s // 4, roll) for m in range(4)]
+        else:
+            arr = []
+            for m in range(4):
+                mm, gg = (m + s) % 4, (m + s) // 4
+                a = words[mm]
+                if gg:
+                    a = _groll_left(a, gg, roll)
+                arr.append(a)
+        for m in range(4):
+            take = ((arr[m] >> 16) & s) != 0
+            words[m] = jnp.where(take, arr[m] - (s << 16), words[m])
+
+    # pack compacted units (plane q%4, group q//4 holds flat unit q) into
+    # true-order int32 pairs: pair p = units (2p, 2p+1); even pairs live
+    # in planes (0,1), odd pairs in planes (2,3) of group p//2
+    u = [w & 0xFFFF for w in words]
+    q01 = u[0] | (u[1] << 16)
+    q23 = u[2] | (u[3] << 16)
+    scratch = _interleave2(q01, q23, roll)
+    return scratch, count_row, err_any
+
+
+def _interleave2(a, b, roll):
+    """(R, L) x (R, L) -> (R, 2L) perfect shuffle from roll+select stages
+    (kernels/shuffle.py construction, parameterized on the roll fn)."""
+    z = jnp.concatenate([a, b], axis=1)
+    g = z.shape[1]
+    while g >= 4:
+        qq = g // 4
+        pos = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1) & (g - 1)
+        from_right = roll(z, z.shape[1] - qq, 1)
+        from_left = roll(z, qq, 1)
+        take_c = (pos >= qq) & (pos < 2 * qq)
+        take_b = (pos >= 2 * qq) & (pos < 3 * qq)
+        z = jnp.where(take_c, from_right, jnp.where(take_b, from_left, z))
+        g //= 2
+    return z
+
+
+# --- phase B pallas_call -------------------------------------------------
+
+def _phase_b_kernel(len_ref, prv_ref, x_ref, nxt_ref, scr_ref, st_ref,
+                    *, big_endian):
+    t = pl.program_id(0)
+    base = t * TILE
+    scratch, count_row, err = _tile_core(
+        prv_ref[...], x_ref[...], nxt_ref[...], base, len_ref[0],
+        big_endian, _proll,
+    )
+    scr_ref[...] = scratch
+    _, lane = _iotas((8, PW))
+    st_ref[...] = jnp.where(
+        lane == 0, jnp.broadcast_to(count_row, (8, PW)), err
+    )
+
+
+def _phase_b(xr, length, nt: int, big_endian: bool):
+    """xr: (64 + nt*64 + 64, 128) int32 (one zero lead/trail tile).
+    Returns (scratch (nt*64, 256) i32, stats (nt, 128) i32)."""
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((HR, PW), lambda t, L: (8 * (t + 1) - 1, 0)),
+            pl.BlockSpec((PR, PW), lambda t, L: (t + 1, 0)),
+            pl.BlockSpec((HR, PW), lambda t, L: (8 * (t + 2), 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((PR, 2 * PW), lambda t, L: (t, 0)),
+            pl.BlockSpec((8, PW), lambda t, L: (t, 0)),
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(_phase_b_kernel, big_endian=big_endian),
+        grid_spec=grid,
+        out_shape=(
+            jax.ShapeDtypeStruct((nt * PR, 2 * PW), jnp.int32),
+            jax.ShapeDtypeStruct((nt * 8, PW), jnp.int32),
+        ),
+        interpret=_interpret(),
+    )(jnp.asarray(length, jnp.int32).reshape(1), xr, xr, xr)
+
+
+# --- phase C pallas_call -------------------------------------------------
+
+CAND = 5  # an output tile can intersect 5 segments: >= 1 unit per 3
+# bytes means middle segments hold >= 10921 units, and
+# 3 * 10921 + 1 < 32768 admits a 5th
+
+
+def _dyn_pair_roll_right(w, k, roll):
+    """Flat roll right by dynamic k pairs on (PR, 2*PW) int32."""
+    R, L = w.shape
+    lk = k % L
+    rk = (k // L) % R
+    z1 = roll(w, lk, 1)
+    z2 = roll(z1, rk, 0)
+    z3 = roll(z1, (rk + 1) % R, 0)
+    _, lane = _iotas(w.shape)
+    return jnp.where(lane >= lk, z2, z3)
+
+
+def _phase_c_kernel(t0_ref, off_ref, s0, s1, s2, s3, s4, out_ref):
+    j = pl.program_id(0)
+    base_u = j * UNITS
+    row, lane = _iotas((PR, 2 * PW))
+    p = row * (2 * PW) + lane  # pair index within the out tile
+    u_lo = base_u + 2 * p
+    acc_lo = jnp.zeros((PR, 2 * PW), jnp.int32)
+    acc_hi = jnp.zeros((PR, 2 * PW), jnp.int32)
+    srcs = [s0, s1, s2, s3, s4]
+    nt = off_ref.shape[0] - 1
+    for m in range(CAND):
+        t = jnp.minimum(t0_ref[j] + m, nt - 1)
+        o_start = off_ref[t]
+        o_end = off_ref[t + 1]
+        sh_units = (o_start - base_u) % UNITS  # circular
+        w = srcs[m][...]
+        # units-granularity roll right: odd part first (unit lane swap
+        # across int32 pairs), then a dynamic pair roll
+        wprev = _dyn_pair_roll_right(w, jnp.int32(1), _proll)
+        w_odd = ((w << 16) | ((wprev >> 16) & 0xFFFF))
+        wbase = jnp.where((sh_units & 1) != 0, w_odd, w)
+        rolled = _dyn_pair_roll_right(wbase, sh_units // 2, _proll)
+        in_lo = (u_lo >= o_start) & (u_lo < o_end)
+        in_hi = (u_lo + 1 >= o_start) & (u_lo + 1 < o_end)
+        acc_lo = jnp.where(in_lo, rolled & 0xFFFF, acc_lo)
+        acc_hi = jnp.where(in_hi, (rolled >> 16) & 0xFFFF, acc_hi)
+    out_ref[...] = acc_lo | (acc_hi << 16)
+
+
+def _phase_c(scratch, t0, off, nt: int):
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec(
+                (PR, 2 * PW),
+                (lambda m: lambda j, t0r, offr: (
+                    jnp.minimum(t0r[j] + m, nt - 1), 0))(m),
+            )
+            for m in range(CAND)
+        ],
+        out_specs=pl.BlockSpec((PR, 2 * PW), lambda j, t0r, offr: (j, 0)),
+    )
+    return pl.pallas_call(
+        _phase_c_kernel,
+        grid_spec=grid,
+        out_shape=jax.ShapeDtypeStruct((nt * PR, 2 * PW), jnp.int32),
+        interpret=_interpret(),
+    )(t0, off, *([scratch] * CAND))
+
+
+# --- driver ----------------------------------------------------------------
+
+def to_utf16_compose(b_u8: jnp.ndarray, length, big_endian: bool):
+    """Valid-path butterfly transcode of a 1-D padded uint8 buffer whose
+    size is a multiple of TILE. Returns (out u16[N], out_len, err_any):
+    err_any=True means the caller must run its exact general engine (this
+    function's out/out_len are then meaningless)."""
+    n = b_u8.shape[0]
+    assert n % TILE == 0, n
+    nt = n // TILE
+    x32 = jax.lax.bitcast_convert_type(
+        b_u8.reshape(-1, 4), jnp.int32
+    ).reshape(-1, PW)
+    xr = jnp.pad(x32, ((PR, PR), (0, 0)))
+    scratch, stats = _phase_b(xr, length, nt, big_endian)
+    counts = stats[::8, 0]
+    err_any = jnp.max(stats[::8, 1]) > 0
+    # buffer starting with a continuation byte is a driver-level event
+    err_any = err_any | (
+        ((x32[0, 0] & 0xC0) == 0x80) & (jnp.asarray(length) > 0)
+    )
+    off = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
+    )
+    total = off[nt]
+    bases = jnp.arange(nt, dtype=jnp.int32) * UNITS
+    # t0[j] = last tile whose offset <= j*UNITS
+    t0 = (
+        jnp.sum(off[None, :nt] <= bases[:, None], axis=1).astype(jnp.int32)
+        - 1
+    )
+    out32 = _phase_c(scratch, t0, off, nt)
+    u16 = jax.lax.bitcast_convert_type(
+        out32.reshape(-1), jnp.uint16
+    ).reshape(-1)
+    return u16, total, err_any

@@ -135,9 +135,20 @@ class PallasImplementation(XLAImplementation):
 
     # -- validation ----------------------------------------------------------
     def validate_utf8(self, b):
-        """Hot path: SWAR any-error check (4 bytes/lane). Exact error
-        localization only runs when the check fires — the reference's own
-        vector-pass/rescan split (generic/utf8_validation/utf8_validator.h)."""
+        """Hot path: measured pick between the SWAR any-error check
+        (4 bytes/lane) and the per-byte event kernel — a one-time timing
+        probe per process (ops/engine_probe.validate_kernel; BENCH_r02
+        measured event 2.1x faster than the then-hardcoded SWAR), the
+        reference's best-pick dispatch applied to kernel variants
+        (src/implementation.cpp:1274-1309). Exact error localization only
+        runs when the check fires — the vector-pass/rescan split of
+        generic/utf8_validation/utf8_validator.h."""
+        from ..ops.engine_probe import validate_kernel
+
+        if validate_kernel() == "event":
+            x2d, _ = _pad2d(b)
+            pos, _ = kv.utf8_first_event(x2d)
+            return int(pos) == kv.BIG
         x32, n = _pad_swar(b)
         return int(ksw.utf8_swar_first_bad_word(x32)) == ksw.BIG
 
@@ -150,6 +161,14 @@ class PallasImplementation(XLAImplementation):
         window whose start is snapped back to a lead byte reproduces the
         global first error exactly; spurious truncation events at the
         window's end lie beyond it and lose the min."""
+        from ..ops.engine_probe import validate_kernel
+
+        if validate_kernel() == "event":
+            x2d, n2 = _pad2d(b)
+            pos, code = kv.utf8_first_event(x2d)
+            if int(pos) == kv.BIG:
+                return Result(ec.SUCCESS, int(n2))
+            return Result(ec(int(code)), int(pos))
         x32, n = _pad_swar(b)
         word = int(ksw.utf8_swar_first_bad_word(x32))
         n = int(n)

@@ -344,18 +344,47 @@ def _to_utf16_general(b: jnp.ndarray, length, big_endian: bool):
     return jnp.where(ok, 0, err_code), jnp.where(ok, length, err_pos), out, out_len
 
 
+def _general_utf16(b: jnp.ndarray, length, big_endian: bool):
+    """The mixed-script general path, engine-selected at trace time by a
+    one-time measurement (ops/engine_probe): the scatter engine, or the
+    butterfly concentration pipeline with an any-error fallback to the
+    scatter engine (exact first-error/partial-output contracts preserved
+    by construction: the butterfly only ever returns its own output for
+    fully-valid input)."""
+    from jax import lax
+
+    n = b.shape[0]
+    from .engine_probe import general_engine
+    from ..kernels import butterfly as kb
+
+    if n % kb.TILE or n < kb.TILE or general_engine() != "butterfly":
+        return _to_utf16_general(b, length, big_endian)
+    out, total, err_any = kb.to_utf16_compose(b, length, big_endian)
+    return lax.cond(
+        err_any,
+        lambda: _to_utf16_general(b, length, big_endian),
+        lambda: (
+            vlike(jnp.int32(0), out),
+            vlike(jnp.int32(0), out) + length,
+            out,
+            jnp.int32(total),
+        ),
+    )
+
+
 def to_utf16(b: jnp.ndarray, length, big_endian: bool):
     """Validating transcode. Routes on a one-pass device census: whole-
     buffer structured classes (ASCII / uniform 2/3/4-byte) take fixed-rate
     elementwise branches (their census predicate IS the validity proof);
-    mixed input pays the classify -> scan -> scatter engine.
+    mixed input pays the general engine (scatter or butterfly, measured —
+    see ops/engine_probe).
 
     Returns (err_code, err_pos, out u16[N], out_len). On error out_len is
     the number of units for the valid prefix (scalar-machine partial
     output). Output capacity N is exact worst case (1 unit/byte).
     """
     if not DEVICE_ROUTING:
-        return _to_utf16_general(b, length, big_endian)
+        return _general_utf16(b, length, big_endian)
     n = b.shape[0]
     ascii_, u2, u3, u4 = census(b, length)
     br_ascii, br_u2, br_u3, br_u4 = _u16_fast_branches(b, length, n, big_endian)
@@ -370,7 +399,7 @@ def to_utf16(b: jnp.ndarray, length, big_endian: bool):
     return route(
         [(ascii_, wrap(br_ascii)), (u2, wrap(br_u2)),
          (u3, wrap(br_u3)), (u4, wrap(br_u4))],
-        lambda: _to_utf16_general(b, length, big_endian),
+        lambda: _general_utf16(b, length, big_endian),
     )
 
 

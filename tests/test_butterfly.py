@@ -1,0 +1,132 @@
+"""Butterfly general-path transcode (kernels/butterfly): per-tile
+log-shift concentration + roll-composed output, DESIGN-compaction.md
+Design B. These tests run the full two-phase pipeline in Pallas interpret
+mode on CPU and pin bit-exactness against the golden scalar machine,
+including cross-tile sequence straddles, BE output, and the any-error
+contract (err_any must fire so the caller's exact fallback engages).
+
+Reference behavior mirrored: the validating transcode contract of
+generic/utf8_to_utf16/utf8_to_utf16.h:217-322.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import simdutf_tpu.kernels.butterfly as kb
+from simdutf_tpu.golden import utf8 as g8
+
+
+def _run(data: bytes, be=False):
+    arr = np.frombuffer(data, np.uint8)
+    n = max(kb.TILE, ((len(arr) + kb.TILE - 1) // kb.TILE) * kb.TILE)
+    p = np.zeros(n, np.uint8)
+    p[: len(arr)] = arr
+    out, total, err = kb.to_utf16_compose(
+        jnp.asarray(p), jnp.int32(len(arr)), be
+    )
+    return np.asarray(out), int(total), bool(err)
+
+
+VALID = {
+    # tile-straddling mixed text (2 tiles): every class interleaved
+    "mixed": ("ab é 東 \U0001f642 ".encode() * 2400),
+    # dense CJK with ASCII spaces — the realistic wikipedia class that no
+    # fixed-rate census branch covers (the butterfly's home turf)
+    "zh_spaces": (("東京は日本 " * 7).encode() * 380),
+    # ASCII-only (all-keep: displacement stays 0 through every round)
+    "ascii": b"packed ascii! " * 2500,
+    # astral-heavy
+    "emoji": "\U0001f642\U0001f680\U0001f30d".encode() * 3000,
+    # exactly one tile, ending mid-tile
+    "one_tile_partial": ("aé東\U0001f642".encode() * 2000)[: kb.TILE // 2],
+}
+
+
+@pytest.mark.parametrize("name", sorted(VALID))
+@pytest.mark.parametrize("be", [False, True])
+def test_butterfly_valid(name, be):
+    import simdutf_tpu as su
+
+    data = bytes(VALID[name])
+    data = data[: su.trim_partial_utf8(data)]
+    out, total, err = _run(data, be)
+    res, want = g8.convert_to_utf16_with_errors(
+        np.frombuffer(data, np.uint8), be
+    )
+    assert res.is_ok and not err, (name, err, res)
+    assert total == len(want)
+    assert np.array_equal(out[:total], want), name
+
+
+@pytest.mark.parametrize(
+    "name,data",
+    [
+        ("orphan_cont", b"ok " + b"\x80" + b"x" * 40000),
+        ("overlong", b"a" * 33000 + b"\xc0\xaf" + b"b" * 100),
+        ("surrogate_enc", b"a" * 40000 + b"\xed\xa0\x80"),
+        ("truncated_tail", b"a" * 40000 + "東".encode()[:2]),
+        ("start_cont", b"\xbf" + b"a" * 40000),
+        ("bad_header", b"a" * 100 + b"\xff" + b"a" * 40000),
+    ],
+)
+def test_butterfly_flags_errors(name, data):
+    _, _, err = _run(bytes(data))
+    assert err, name
+
+
+def test_butterfly_cross_tile_straddle():
+    """A 4-byte sequence whose lead is the last byte of tile 0."""
+    head = b"a" * (kb.TILE - 1)
+    for ch in ("\U0001f642", "東", "é"):
+        data = head[: kb.TILE - 1] + ch.encode() + b"tail"
+        out, total, err = _run(data)
+        res, want = g8.convert_to_utf16_with_errors(
+            np.frombuffer(data, np.uint8), False
+        )
+        assert not err and total == len(want)
+        assert np.array_equal(out[:total], want), ch
+
+
+def test_stage_rule_exhaustive_small():
+    """The numpy model of the LSB-first conditional-move-left rule on
+    adversarial keep patterns (the congestion-freedom theorem for
+    monotone displacements, exercised rather than assumed)."""
+    rng = np.random.default_rng(0)
+    for trial in range(400):
+        T = int(rng.choice([16, 64, 256]))
+        keep = rng.random(T) < rng.random()
+        if trial % 7 == 0:
+            keep[:] = True
+        if trial % 11 == 0:
+            keep[:] = False
+        val = rng.integers(1, 0xFFFF, T).astype(np.int64)
+        off = np.cumsum(keep) - keep
+        disp = np.where(keep, np.arange(T) - off, 0).astype(np.int64)
+        word = (val & 0xFFFF) | (disp << 16)
+        k = 1
+        while k < T:
+            moved = np.roll(word, -k)
+            take = ((moved >> 16) & k) != 0
+            word = np.where(take, moved - (k << 16), word)
+            k <<= 1
+        count = int(keep.sum())
+        assert np.array_equal((word & 0xFFFF)[:count], val[keep]), trial
+
+
+def test_engine_probe_cpu_defaults_scatter(monkeypatch):
+    """Off-TPU the general engine is always the scatter engine; env pins
+    override the probe (the SIMDUTF_TPU_FORCE_IMPLEMENTATION idea at
+    engine granularity, src/implementation.cpp:1294)."""
+    from simdutf_tpu.ops import engine_probe as ep
+
+    monkeypatch.setattr(ep, "_CHOICE", None)
+    monkeypatch.delenv("SIMDUTF_TPU_GENERAL_ENGINE", raising=False)
+    assert ep.general_engine() == "scatter"
+    monkeypatch.setattr(ep, "_CHOICE", None)
+    monkeypatch.setenv("SIMDUTF_TPU_GENERAL_ENGINE", "butterfly")
+    assert ep.general_engine() == "butterfly"
+    monkeypatch.setattr(ep, "_CHOICE", None)
+    monkeypatch.setenv("SIMDUTF_TPU_GENERAL_ENGINE", "scatter")
+    assert ep.general_engine() == "scatter"
+    monkeypatch.setattr(ep, "_CHOICE", None)

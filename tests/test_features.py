@@ -157,3 +157,49 @@ def test_stream_classes_are_gated():
     assert r.returncode == 0, r.stderr[-2000:]
     assert r.stdout.split() == ["gated", "gated", "gated", "ok", "ok",
                                 "gated"]
+
+
+def test_every_feature_combination_imports_and_gates():
+    """All 2^7 - 1 non-empty subsets of the 7 feature gates import
+    cleanly, keep exactly their own single-family validators usable, and
+    gate one representative function of every absent family — the runtime
+    analog of singleheader/test-features.py building EVERY combination
+    (VERDICT r02 missing #5). Subprocesses run in parallel to keep the
+    suite fast."""
+    import itertools
+    from concurrent.futures import ThreadPoolExecutor
+
+    from simdutf_tpu.features import ALL_FEATURES
+
+    combos = []
+    for r in range(1, len(ALL_FEATURES) + 1):
+        combos.extend(itertools.combinations(ALL_FEATURES, r))
+    assert len(combos) == 2 ** len(ALL_FEATURES) - 1
+
+    def check(combo):
+        feats = ",".join(combo)
+        got = probe(feats)
+        caps = got["caps"]
+        for f in ALL_FEATURES:
+            assert caps[f] == (f in combo), (feats, f, caps)
+        # single-family probes: usable iff the family is kept
+        single = {
+            "utf8_validate": "utf8",
+            "utf16_validate": "utf16",
+            "utf32": "utf32",
+            "b64_decode": "base64",
+            "ascii": "ascii",
+            "detect": "detect_encoding",
+        }
+        for key, fam in single.items():
+            want = "ok" if fam in combo else "gated"
+            assert got[key] == want, (feats, key, got[key])
+        # cross-family converter needs BOTH sides (`&&` region guards)
+        want = "ok" if ("utf8" in combo and "utf16" in combo) else "gated"
+        assert got["utf8_to_utf16"] == want, (feats, got["utf8_to_utf16"])
+        # latin1 -> utf8 needs latin1 && utf8
+        want = "ok" if ("latin1" in combo and "utf8" in combo) else "gated"
+        assert got["latin1"] == want, (feats, got["latin1"])
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        list(ex.map(check, combos))

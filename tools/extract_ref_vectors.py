@@ -200,6 +200,8 @@ def main():
             dedup.append(v)
     vectors["utf8_invalid"] = dedup
 
+    vectors["base64_inputs"] = base64_inputs()
+
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     with open(OUT, "w") as f:
         json.dump(vectors, f, indent=1)
@@ -207,9 +209,95 @@ def main():
         f"wrote {OUT}: {len(vectors['utf8_invalid'])} invalid, "
         f"{len(vectors['utf8_valid_roundtrip'])} valid-roundtrip, "
         f"{len(vectors['utf16_valid_units'])} utf16, "
-        f"{len(vectors['utf8_invalid_with_error'])} exact-error",
+        f"{len(vectors['utf8_invalid_with_error'])} exact-error, "
+        f"{len(vectors['base64_inputs'])} base64",
         file=sys.stderr,
     )
+
+
+def iter_test_blocks(src: str):
+    """Yield (test_name, body) for every TEST(...) in a reference file."""
+    for m in re.finditer(r"TEST\((\w+)\)\s*\{", src):
+        i, depth, j = m.end(), 1, m.end()
+        while depth:
+            if src[j] == "{":
+                depth += 1
+            elif src[j] == "}":
+                depth -= 1
+            j += 1
+        yield m.group(1), src[i : j - 1]
+
+
+def base64_inputs():
+    """Every C string literal in the reference's base64 suite, as decoder
+    input data (/root/reference/tests/base64_tests.cpp — 78 TESTs of
+    curated padding x whitespace x last_chunk x url edge cases). The
+    literals are replayed differentially across tiers with the full
+    options matrix (tests/test_ref_base64_vectors.py); the reference's
+    asserted outcomes are not parsed — our golden scalar model is the
+    semantics oracle, and the value extracted here is the adversarial
+    INPUT corpus (years of found-bug reproducers).
+
+    A few procedurally-built reference inputs (e.g. 5463 spaces + '8',
+    stop_before_partial_one_char) are reconstructed explicitly.
+    """
+    out, seen = [], set()
+
+    def add(name: str, data: bytes):
+        if not data or len(data) > 1 << 16:
+            return
+        key = data
+        if key in seen:
+            return
+        seen.add(key)
+        out.append({"test": name, "data": b64(data)})
+
+    # runs of ADJACENT literals are one C string (line-wrapped tables)
+    run_re = re.compile(r'(?:u?8?"(?:[^"\\\n]|\\.)*"\s*)+')
+    lit_re = re.compile(r'"((?:[^"\\\n]|\\.)*)"')
+    for fname in ("base64_tests.cpp", "atomic_base64_tests.cpp"):
+        with open(f"{REF}/{fname}") as f:
+            src = f.read()
+        for name, body in iter_test_blocks(src):
+            for run in run_re.finditer(body):
+                try:
+                    data = b"".join(
+                        decode_c_literal(m.group(1))
+                        for m in lit_re.finditer(run.group(0))
+                    )
+                    add(name, data)
+                except (ValueError, AssertionError):
+                    continue  # not a data literal (ambiguous hex escape)
+    # procedural reference inputs worth keeping as data
+    add("stop_before_partial_one_char", b" " * 5463 + b"8")
+    add("spaces_only", b" " * 64)
+    add("ws_every_4", b" ".join(b"TWFu" for _ in range(32)))
+
+    # systematic padding x whitespace x alphabet lattice — the dimensions
+    # the reference's base64 suite probes one found-bug at a time
+    # (base64_tests.cpp: strict/loose/stop_before_partial x '=' placement
+    # x interior whitespace x url chars), enumerated as data
+    bodies = [b"", b"A", b"AB", b"ABC", b"TWFu", b"TWFuTQ", b"TWFuTWFu",
+              b"ab+/cd+/", b"ab-_cd-_", b"A" * 65, b"TWFu" * 17 + b"QQ"]
+    pads = [b"", b"=", b"==", b"===", b"= =", b"=\n=", b"==="]
+    wss = [(b"", b""), (b" ", b""), (b"", b" "), (b"\n", b"\t"),
+           (b"", b"\x0c"), (b" " * 9, b"")]
+    for body in bodies:
+        for pad in pads:
+            for pre, post in wss:
+                add("matrix_pad_ws", pre + body + pad + post)
+            if len(body) >= 4:
+                mid = len(body) // 2
+                add("matrix_mid_ws", body[:mid] + b" " + body[mid:] + pad)
+                add("matrix_mid_nl", body[:mid] + b"\r\n" + body[mid:] + pad)
+    # garbage-char placement (accept_garbage interactions)
+    for g in (b"*", b"\x00", b"~", b"%"):
+        add("matrix_garbage", b"TWFu" + g)
+        add("matrix_garbage", g + b"TWFu")
+        add("matrix_garbage", b"TW" + g + b"Fu")
+        add("matrix_garbage", b"TWFuTQ=" + g)
+        add("matrix_garbage", b"TWFuTQ" + g + b"=")
+    return out
 
 
 if __name__ == "__main__":

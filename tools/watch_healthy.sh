@@ -18,31 +18,52 @@ cd /root/repo
 LOG=/tmp/watch_log.txt
 LASTRUN=0
 probe_gbps() {
-  # Latency-compensated probe (see bench.py): chain 10 GiB of traffic and
-  # subtract a null roundtrip so the tunnel's ~25 ms launch latency is not
-  # misread as chip degradation (16 MiB behind 25 ms reads ~6 GB/s on a
-  # healthy chip). The degraded state floors big elementwise ops too, so
-  # this still detects it.
-  timeout 180 python - <<'PY' 2>/dev/null
-import time, jax, jax.numpy as jnp
+  # Round-3 probe (matches bench.py): (a) chained-dependence kernel
+  # acc'=sum(|x-acc|) — NOT loop-factorable (the round-2 probe's
+  # acc+sum(x*(k+i)) was hoisted by XLA and printed impossible numbers,
+  # VERDICT r02 weak #2/#6); bandwidth from the big-minus-small run
+  # difference, which cancels tunnel launch jitter; (b) identity-scatter
+  # ns/element (the flagship op's own primitive) must also be healthy.
+  # Prints a single effective GB/s, or 0 when either signal is degraded
+  # or implausible (above roofline / clamped).
+  timeout 300 python - <<'PY' 2>/dev/null
+import time, numpy as np, jax, jax.numpy as jnp
 from jax import lax
 x = jnp.ones(32*1024*1024, jnp.float32)  # 128 MiB
-xn = jnp.ones(1024, jnp.float32)
+SCAT_N, SI = 1 << 22, 8
+ix = jax.device_put(np.arange(SCAT_N, dtype=np.int32))
+v = jax.device_put(np.ones(SCAT_N, np.int32))
+def mk(iters):
+    @jax.jit
+    def p(x, k):
+        def body(i, acc):
+            return jnp.sum(jnp.abs(x - acc)) * 1e-9 + k
+        return lax.fori_loop(0, iters, body, jnp.float32(0))
+    return p
+ps, pb = mk(8), mk(328)
 @jax.jit
-def probe(x, k):
+def scat(v, ix, k):
     def body(i, acc):
-        return acc + jnp.sum(x * (k + i))
-    return lax.fori_loop(0, 80, body, jnp.float32(0))
-@jax.jit
-def null(x, k):
-    return jnp.sum(x * k)
-jax.device_get(null(xn, jnp.float32(0.)))
-jax.device_get(probe(x, jnp.float32(0.)))
-t0 = time.perf_counter(); jax.device_get(null(xn, jnp.float32(1.)))
-t_null = time.perf_counter() - t0
-t0 = time.perf_counter(); jax.device_get(probe(x, jnp.float32(1.)))
-t_work = time.perf_counter() - t0
-print(round(80*128/1024/max(t_work - t_null, 1e-4), 1))
+        out = jnp.zeros(SCAT_N, jnp.int32).at[ix].set(v + k + i + acc)
+        return out[123] + out[SCAT_N - 5]
+    return lax.fori_loop(0, SI, body, jnp.int32(0))
+jax.device_get(ps(x, jnp.float32(0.))); jax.device_get(pb(x, jnp.float32(0.)))
+jax.device_get(scat(v, ix, jnp.int32(0)))
+t0 = time.perf_counter(); jax.device_get(ps(x, jnp.float32(1.)))
+t_s = time.perf_counter() - t0
+if t_s > 1.0:
+    print(0.0); raise SystemExit
+t0 = time.perf_counter(); jax.device_get(pb(x, jnp.float32(1.5)))
+t_b = time.perf_counter() - t0
+d = t_b - t_s
+bw = (320 * 0.125) / d if d > 5e-3 else 0.0
+if bw > 1.2 * 983:  # above-roofline reading = probe bug, not health
+    bw = 0.0
+t0 = time.perf_counter(); jax.device_get(scat(v, ix, jnp.int32(1)))
+scat_ns = (time.perf_counter() - t0) * 1e9 / (SCAT_N * SI)
+if scat_ns > 2.0:  # scatter serialization fingerprint: not healthy
+    bw = 0.0
+print(round(bw, 1))
 PY
 }
 echo "=== watcher start $(date -u)" >> $LOG
