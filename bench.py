@@ -219,10 +219,22 @@ def main():
             salt += 1.0
             probe_gbps, scat_ns = probe_once(salt)
     degraded = backend == "tpu" and not healthy(probe_gbps, scat_ns)
+    # three-way state label: the recurrent degradations are distinct —
+    # "scatter-degraded" (elementwise near roofline, every scatter/gather
+    # serialized to ~5-13 ns/elem) vs fully "degraded" (uniform ~10-50x
+    # read cap). The scatter-free butterfly engine keeps the flagship op
+    # meaningful in the former state; the tag records which regime the
+    # numbers below were measured in.
+    if not degraded:
+        health_state = "healthy" if backend == "tpu" else "non-tpu"
+    elif probe_gbps is not None and probe_gbps >= PROBE_HEALTHY_GBPS:
+        health_state = "scatter-degraded"
+    else:
+        health_state = "degraded"
     log(f"device-health probe: bw={probe_gbps and round(probe_gbps)} GB/s, "
         f"identity scatter {scat_ns and round(scat_ns, 2)} ns/elem, "
         f"roundtrip {tunnel_ms:.1f} ms "
-        f"({'DEGRADED - numbers below under-report' if degraded else 'HEALTHY'})")
+        f"({health_state.upper() + ' - numbers below under-report' if degraded else 'HEALTHY'})")
 
     p, n = oi._pad(arr)
     log(f"corpus {nbytes} bytes, padded shape {p.shape}")
@@ -281,7 +293,10 @@ def main():
     # per-script-mix transcode (the reference reports per-language curves,
     # doc/utf8utf16.png); same compiled program, different corpora
     try:
-        if degraded:
+        if health_state == "degraded":
+            # uniformly-degraded chip: per-script rows would be junk. In
+            # the scatter-degraded state the sweep still runs — the
+            # census fast paths and the butterfly engine are scatter-free
             raise RuntimeError("device degraded; skipping per-script sweep")
         sys.path.insert(0, __file__.rsplit("/", 1)[0] + "/tools")
         import gen_corpus
@@ -466,15 +481,19 @@ def main():
         "probe_scatter_ns": round(scat_ns, 2) if scat_ns is not None else None,
         "tunnel_ms": round(tunnel_ms, 1),
         "degraded": degraded,
+        "health_state": health_state,
         "general_engine": engine,
     }
     # Surface the best committed healthy-window artifact (captured by
     # tools/watch_healthy.sh into perf_records/) so a degraded-window run
     # still points at a verifiable healthy-state measurement.
-    best = best_recorded()
+    best, best_deg = best_recorded()
     if best is not None:
         record["best_recorded_gbps"] = best[0]
         record["best_recorded_at"] = best[1]
+    if best_deg is not None:
+        record["best_recorded_degraded_gbps"] = best_deg[0]
+        record["best_recorded_degraded_at"] = best_deg[1]
     print(json.dumps(record))
     _log_attempt(record)
 
@@ -493,24 +512,30 @@ def _log_attempt(record: dict) -> None:
 
 
 def best_recorded():
-    """Best healthy (degraded=false) transcode GB/s among committed
-    perf_records/<stamp>/bench.json artifacts; None when absent."""
+    """(best_healthy, best_degraded) transcode GB/s among committed
+    perf_records/<stamp>/bench.json artifacts — each a (value, stamp)
+    tuple or None. Healthy records (degraded=false) and degraded-state
+    records are surfaced under separate, honestly-named keys."""
     import glob
     import os
 
     here = os.path.dirname(os.path.abspath(__file__))
-    best = None
+    best, best_deg = None, None
     for path in glob.glob(os.path.join(here, "perf_records", "*", "bench.json")):
         try:
             with open(path) as f:
                 rec = json.loads(f.read().strip().splitlines()[-1])
-            if rec.get("degraded") or "value" not in rec:
+            if "value" not in rec:
                 continue
-            if best is None or rec["value"] > best[0]:
-                best = (rec["value"], os.path.basename(os.path.dirname(path)))
+            stamp = os.path.basename(os.path.dirname(path))
+            if rec.get("degraded"):
+                if best_deg is None or rec["value"] > best_deg[0]:
+                    best_deg = (rec["value"], stamp)
+            elif best is None or rec["value"] > best[0]:
+                best = (rec["value"], stamp)
         except Exception:
             continue
-    return best
+    return best, best_deg
 
 
 def _emit_unavailable(exc: BaseException) -> None:
@@ -528,10 +553,13 @@ def _emit_unavailable(exc: BaseException) -> None:
         "degraded": True,
         "backend_unavailable": str(exc)[:300],
     }
-    best = best_recorded()
+    best, best_deg = best_recorded()
     if best is not None:
         record["best_recorded_gbps"] = best[0]
         record["best_recorded_at"] = best[1]
+    if best_deg is not None:
+        record["best_recorded_degraded_gbps"] = best_deg[0]
+        record["best_recorded_degraded_at"] = best_deg[1]
     print(json.dumps(record))
 
 

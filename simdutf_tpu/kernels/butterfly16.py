@@ -1,0 +1,326 @@
+"""General-path (mixed-width) UTF-16 -> UTF-8 transcode with NO scatter
+and NO gather: the butterfly (log-shift) concentration of
+kernels/butterfly.py applied in the expansion direction. Reference
+counterpart: the shuffle-table utf16->utf8 kernels
+(src/haswell/avx2_convert_utf16_to_utf8.cpp, arm64 arm_convert_utf16_to_utf8
+.cpp), re-derived for a VPU whose only cheap data movement is uniform
+rotation; engine selection vs the XLA scatter engine is measurement-driven
+(ops/engine_probe), mirroring src/implementation.cpp:1274's best-pick.
+
+Layout per tile: one u16 unit per int32 lane ((PR, PW) = 8192 units =
+16 KiB of UTF-16 input). Each unit owns FOUR candidate output-byte slots
+(planes m = 0..3; slot 3 is never kept — a unit emits at most 3 bytes:
+1-3 for scalars, 2+2 split across a surrogate pair, the astral bytes
+(b0,b1) at the high surrogate and (b2,b3) at the low). Keeps are
+prefix-closed per unit, so every kept byte's displacement is
+d = 4*g - off(g), monotone over the candidate stream — the LSB-first
+butterfly of kernels/butterfly.py compacts it congestion-free. Because the
+candidate planes number exactly 4, the compacted stream packs into
+byte-order int32 words with three shifts and two ors, and composition
+(phase C) runs at byte granularity with dynamic word rolls + sub-word
+byte-shift selects.
+
+Any error (lone surrogate) anywhere falls back to the whole-buffer XLA
+engine, preserving exact first-error/partial-output contracts.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .validate import _interpret
+from .butterfly import (
+    PR, PW, HR, _iotas, _groll_left, _groll_right, _flat_roll_left,
+    _jroll, _proll,
+)
+
+TILE_U = PR * PW  # 8192 u16 units per tile
+SLOTS = 4  # candidate output-byte slots per unit (slot 3 never kept)
+CAND_POS = SLOTS * TILE_U  # 32768 candidate positions
+STAGES = 15  # log2(CAND_POS)
+CAPB = CAND_POS  # output scratch capacity per tile, bytes (= 4 B/unit)
+CAND = 5  # segments intersecting one out tile: middles hold >= TILE_U
+# bytes (>= 1 B/unit), and 3 * TILE_U + 2 <= CAPB admits no 6th
+
+
+# --- per-tile core (shared by the Pallas kernel and the jnp model) --------
+
+def _tile_core16(prv, x, nxt, base, length, roll):
+    """prv/nxt: (HR, PW) int32 halo rows (one u16 unit per lane); x:
+    (PR, PW) int32 tile. base: global unit index of x[0,0]; length: global
+    valid unit count. Returns (scratch (PR, PW) int32 byte-packed output,
+    count_row (1, PW), err_any)."""
+    ext = jnp.concatenate([prv, x, nxt], axis=0)  # (HR+PR+HR, PW)
+    RE = ext.shape[0]
+    row_e, lane_e = _iotas((RE, PW))
+    g_e = (row_e - HR) * PW + lane_e
+    q_e = base + g_e
+    in_r_e = (q_e >= 0) & (q_e < length)
+    w_e = jnp.where(in_r_e, ext & 0xFFFF, 0)
+
+    def sl_main(a):
+        return a[HR : HR + PR]
+
+    # neighbors at unit granularity (flat group +-1 on the extended plane)
+    def g_shift_left(a):  # read unit g+1
+        z1 = roll(a, PW - 1, 1)
+        z2 = roll(z1, RE - 1, 0)
+        _, lane = _iotas(a.shape)
+        return jnp.where(lane < PW - 1, z1, z2)
+
+    def g_shift_right(a):  # read unit g-1
+        z1 = roll(a, 1, 1)
+        z2 = roll(z1, 1, 0)
+        _, lane = _iotas(a.shape)
+        return jnp.where(lane >= 1, z1, z2)
+
+    w = sl_main(w_e)
+    in_r = sl_main(in_r_e)
+    nxt_w = sl_main(g_shift_left(w_e))
+    nxt_in = sl_main(g_shift_left(in_r_e.astype(jnp.int32))) > 0
+    prv_w = sl_main(g_shift_right(w_e))
+    prv_in = sl_main(g_shift_right(in_r_e.astype(jnp.int32))) > 0
+
+    is_hi = ((w & 0xFC00) == 0xD800) & in_r
+    is_lo = ((w & 0xFC00) == 0xDC00) & in_r
+    nxt_lo = ((nxt_w & 0xFC00) == 0xDC00) & nxt_in
+    prv_hi = ((prv_w & 0xFC00) == 0xD800) & prv_in
+    # lone surrogate anywhere (incl. a high cut off by `length`) -> the
+    # caller's exact engine takes over (generic/validate_utf16.h algebra)
+    err_any = jnp.max(
+        ((is_hi & ~nxt_lo) | (is_lo & ~prv_hi)).astype(jnp.int32)
+    )
+
+    e1 = in_r & (w < 0x80)
+    e2 = in_r & (w >= 0x80) & (w < 0x800)
+    e3 = in_r & (w >= 0x800) & ~is_hi & ~is_lo
+    hb = w - 0xD7C0  # (cp >> 10) for astral, 11 bits
+    hb_prev = prv_w - 0xD7C0
+
+    v0 = jnp.where(e1, w, 0)
+    v0 = jnp.where(e2, 0xC0 | (w >> 6), v0)
+    v0 = jnp.where(e3, 0xE0 | (w >> 12), v0)
+    v0 = jnp.where(is_hi, 0xF0 | (hb >> 8), v0)
+    v0 = jnp.where(is_lo, 0x80 | ((hb_prev & 0x3) << 4) | ((w >> 6) & 0xF),
+                   v0)
+    v1 = jnp.where(e2, 0x80 | (w & 0x3F), 0)
+    v1 = jnp.where(e3, 0x80 | ((w >> 6) & 0x3F), v1)
+    v1 = jnp.where(is_hi, 0x80 | ((hb >> 2) & 0x3F), v1)
+    v1 = jnp.where(is_lo, 0x80 | (w & 0x3F), v1)
+    v2 = jnp.where(e3, 0x80 | (w & 0x3F), 0)
+
+    k0 = in_r
+    k1 = in_r & ~e1
+    k2 = e3
+    keeps = [k0, k1, k2]
+    vals = [v0, v1, v2]
+
+    # exclusive scan of per-unit emission counts over flat unit order
+    row, lane = _iotas((PR, PW))
+    gpos = row * PW + lane
+    eg = k0.astype(jnp.int32) + k1.astype(jnp.int32) + k2.astype(jnp.int32)
+    inc = eg
+    shift = 1
+    while shift < PW:
+        moved = roll(inc, shift, 1)
+        inc = inc + jnp.where(lane >= shift, moved, 0)
+        shift *= 2
+    row_tot = jnp.broadcast_to(inc[:, PW - 1 :], (PR, PW))
+    rinc = row_tot
+    shift = 1
+    while shift < PR:
+        moved = roll(rinc, shift, 0)
+        rinc = rinc + jnp.where(row >= shift, moved, 0)
+        shift *= 2
+    count_row = rinc[PR - 1 :, :]  # (1, PW): total bytes emitted
+    off = (rinc - row_tot) + (inc - eg)  # exclusive, per unit
+
+    # packed words: byte | displacement<<8 (disp < 2^15, val 8 bits)
+    disp_u = 4 * gpos - off  # same for every slot of the unit
+    words = []
+    for m in range(SLOTS):
+        if m < 3:
+            keep = keeps[m]
+            wv = jnp.where(keep, vals[m], 0) | jnp.where(
+                keep, disp_u << 8, 0)
+        else:
+            wv = jnp.zeros((PR, PW), jnp.int32)
+        words.append(wv)
+
+    # butterfly: LSB-first conditional move-left by s over candidate
+    # stream c = 4*g + m (identical structure to kernels/butterfly.py)
+    for st in range(STAGES):
+        s = 1 << st
+        if s % SLOTS == 0:
+            arr = [_flat_roll_left(words[m], s // SLOTS, roll)
+                   for m in range(SLOTS)]
+        else:
+            arr = []
+            for m in range(SLOTS):
+                mm, gg = (m + s) % SLOTS, (m + s) // SLOTS
+                a = words[mm]
+                if gg:
+                    a = _groll_left(a, gg, roll)
+                arr.append(a)
+        for m in range(SLOTS):
+            take = ((arr[m] >> 8) & s) != 0
+            words[m] = jnp.where(take, arr[m] - (s << 8), words[m])
+
+    # compacted candidate c sits at plane c%4, group c//4: output word k
+    # = bytes (4k..4k+3) = planes 0..3 of group k
+    b = [wv & 0xFF for wv in words]
+    scratch = b[0] | (b[1] << 8) | (b[2] << 16) | (b[3] << 24)
+    return scratch, count_row, err_any
+
+
+# --- phase B pallas_call ---------------------------------------------------
+
+def _phase_b16_kernel(len_ref, prv_ref, x_ref, nxt_ref, scr_ref, st_ref):
+    t = pl.program_id(0)
+    base = t * TILE_U
+    scratch, count_row, err = _tile_core16(
+        prv_ref[...], x_ref[...], nxt_ref[...], base, len_ref[0], _proll,
+    )
+    scr_ref[...] = scratch
+    _, lane = _iotas((8, PW))
+    st_ref[...] = jnp.where(
+        lane == 0, jnp.broadcast_to(count_row, (8, PW)), err
+    )
+
+
+def _phase_b16(xr, length, nt: int):
+    """xr: (64 + nt*64 + 64, 128) int32 units (one zero lead/trail tile).
+    Returns (scratch (nt*64, 128) i32, stats (nt*8, 128) i32)."""
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((HR, PW), lambda t, L: (8 * (t + 1) - 1, 0)),
+            pl.BlockSpec((PR, PW), lambda t, L: (t + 1, 0)),
+            pl.BlockSpec((HR, PW), lambda t, L: (8 * (t + 2), 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((PR, PW), lambda t, L: (t, 0)),
+            pl.BlockSpec((8, PW), lambda t, L: (t, 0)),
+        ),
+    )
+    return pl.pallas_call(
+        _phase_b16_kernel,
+        grid_spec=grid,
+        out_shape=(
+            jax.ShapeDtypeStruct((nt * PR, PW), jnp.int32),
+            jax.ShapeDtypeStruct((nt * 8, PW), jnp.int32),
+        ),
+        interpret=_interpret(),
+    )(jnp.asarray(length, jnp.int32).reshape(1), xr, xr, xr)
+
+
+# --- phase C pallas_call ---------------------------------------------------
+
+def _dyn_word_roll_right(w, k, roll):
+    """Flat roll right by dynamic k int32 words on (PR, PW)."""
+    R, L = w.shape
+    lk = k % L
+    rk = (k // L) % R
+    z1 = roll(w, lk, 1)
+    z2 = roll(z1, rk, 0)
+    z3 = roll(z1, (rk + 1) % R, 0)
+    _, lane = _iotas(w.shape)
+    return jnp.where(lane >= lk, z2, z3)
+
+
+def _phase_c16_kernel(t0_ref, off_ref, s0, s1, s2, s3, s4, out_ref):
+    j = pl.program_id(0)
+    base_b = j * CAPB  # global byte index of this out tile's first byte
+    row, lane = _iotas((PR, PW))
+    p = row * PW + lane  # word index within the out tile
+    b_lo = base_b + 4 * p
+    acc = jnp.zeros((PR, PW), jnp.int32)
+    srcs = [s0, s1, s2, s3, s4]
+    nt = off_ref.shape[0] - 1
+    for m in range(CAND):
+        t = jnp.minimum(t0_ref[j] + m, nt - 1)
+        o_start = off_ref[t]
+        o_end = off_ref[t + 1]
+        sh_bytes = (o_start - base_b) % CAPB  # circular
+        wv = srcs[m][...]
+        kw = sh_bytes // 4
+        kr = sh_bytes % 4
+        w1 = _dyn_word_roll_right(wv, kw, _proll)
+        wp = _dyn_word_roll_right(wv, kw + 1, _proll)
+        # byte-granularity roll: out word = low (4-kr) bytes shifted up
+        # from w1, top kr bytes of wp shifted down
+        rolled = w1
+        for r in (1, 2, 3):
+            cand = (w1 << (8 * r)) | ((wp >> (32 - 8 * r))
+                                      & ((1 << (8 * r)) - 1))
+            rolled = jnp.where(kr == r, cand, rolled)
+        # per-byte in-segment masks (byte-3 constant wraps negative in i32)
+        mask = jnp.zeros((PR, PW), jnp.int32)
+        for l in range(4):
+            in_l = (b_lo + l >= o_start) & (b_lo + l < o_end)
+            bmask = jnp.int32(int.from_bytes(
+                (0xFF << (8 * l)).to_bytes(4, "little"), "little",
+                signed=True))
+            mask = mask | jnp.where(in_l, bmask, 0)
+        acc = (acc & ~mask) | (rolled & mask)
+    out_ref[...] = acc
+
+
+def _phase_c16(scratch, t0, off, nt: int):
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec(
+                (PR, PW),
+                (lambda m: lambda j, t0r, offr: (
+                    jnp.minimum(t0r[j] + m, nt - 1), 0))(m),
+            )
+            for m in range(CAND)
+        ],
+        out_specs=pl.BlockSpec((PR, PW), lambda j, t0r, offr: (j, 0)),
+    )
+    return pl.pallas_call(
+        _phase_c16_kernel,
+        grid_spec=grid,
+        out_shape=jax.ShapeDtypeStruct((nt * PR, PW), jnp.int32),
+        interpret=_interpret(),
+    )(t0, off, *([scratch] * CAND))
+
+
+# --- driver ----------------------------------------------------------------
+
+def to_utf8_compose(w_u16: jnp.ndarray, length):
+    """Valid-path butterfly transcode of a 1-D padded native-order uint16
+    buffer whose unit count is a multiple of TILE_U. Returns
+    (out u8[3N], out_len, err_any): err_any=True means the caller must run
+    its exact general engine (out/out_len are then meaningless)."""
+    n = w_u16.shape[0]
+    assert n % TILE_U == 0, n
+    nt = n // TILE_U
+    x32 = w_u16.astype(jnp.int32).reshape(-1, PW)
+    xr = jnp.pad(x32, ((PR, PR), (0, 0)))
+    scratch, stats = _phase_b16(xr, length, nt)
+    counts = stats[::8, 0]
+    err_any = jnp.max(stats[::8, 1]) > 0
+    off = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
+    )
+    total = off[nt]
+    bases = jnp.arange(nt, dtype=jnp.int32) * CAPB
+    t0 = (
+        jnp.sum(off[None, :nt] <= bases[:, None], axis=1).astype(jnp.int32)
+        - 1
+    )
+    out32 = _phase_c16(scratch, t0, off, nt)
+    u8 = lax.bitcast_convert_type(
+        out32.reshape(-1, 1), jnp.uint8
+    ).reshape(-1)[: 3 * n]
+    return u8, total, err_any

@@ -146,6 +146,103 @@ def _probe() -> str:
     return winner
 
 
+_CHOICE16: str | None = None
+
+
+def _probe16() -> str:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    from ..kernels import butterfly16 as kb16
+    from . import utf16 as o16
+
+    n_units = 4 * 1024 * 1024  # 8 MiB of UTF-16
+    text = _mixed_block().decode()
+    units = np.frombuffer(
+        (text * (n_units // len(text) + 1)).encode("utf-16-le"), np.uint16
+    )[:n_units].copy()
+    # cut to a unit boundary that doesn't split a pair
+    cut = n_units
+    if (units[cut - 1] & 0xFC00) == 0xD800:
+        cut -= 1
+    units[cut:] = 0
+    xj = jax.device_put(units)
+
+    def chained(body):
+        def f(x, n0):
+            def b(i, acc):
+                return acc + body(x, n0 - 24 * (i & 3))
+            return lax.fori_loop(0, _PROBE_ITERS, b, jnp.int32(0))
+        return jax.jit(f)
+
+    f_scatter = chained(
+        lambda w, n: o16._to_utf8_general(w, n, w.shape[0])[3][0]
+        .astype(jnp.int32))
+    f_fly = chained(lambda w, n: kb16.to_utf8_compose(w, n)[1])
+
+    def timed(f):
+        jax.device_get(f(xj, jnp.int32(cut)))  # compile + warm
+        best = float("inf")
+        for t in range(2):
+            t0 = time.perf_counter()
+            jax.device_get(f(xj, jnp.int32(cut - 24 * (t + 1))))
+            best = min(best, (time.perf_counter() - t0) / _PROBE_ITERS)
+        return best
+
+    t_scatter = timed(f_scatter)
+    t_fly = timed(f_fly)
+    winner = "butterfly" if t_fly < t_scatter else "scatter"
+    nbytes = 2 * n_units
+    _record({
+        "ts": time.time(),
+        "op": "utf16_to_utf8 general engine",
+        "corpus_mb": nbytes >> 20,
+        "chained_iters": _PROBE_ITERS,
+        "scatter_ms": round(t_scatter * 1e3, 2),
+        "butterfly_ms": round(t_fly * 1e3, 2),
+        "scatter_gbps": round(nbytes / t_scatter / 1e9, 2),
+        "butterfly_gbps": round(nbytes / t_fly / 1e9, 2),
+        "winner": winner,
+        "device": str(jax.devices()[0]),
+    })
+    return winner
+
+
+def general_engine16() -> str:
+    """'scatter' or 'butterfly' for the utf16->utf8 general path; decided
+    once per process (env pin: SIMDUTF_TPU_GENERAL_ENGINE16, or the shared
+    SIMDUTF_TPU_GENERAL_ENGINE)."""
+    global _CHOICE16
+    if _CHOICE16 is not None:
+        return _CHOICE16
+    env = (os.environ.get("SIMDUTF_TPU_GENERAL_ENGINE16")
+           or os.environ.get("SIMDUTF_TPU_GENERAL_ENGINE", "auto"))
+    if env in ("scatter", "butterfly"):
+        _CHOICE16 = env
+        return _CHOICE16
+    try:
+        import jax
+
+        if jax.default_backend() != "tpu":
+            _CHOICE16 = "scatter"
+            return _CHOICE16
+    except Exception:
+        _CHOICE16 = "scatter"
+        return _CHOICE16
+    cached = _cached_winner("utf16_to_utf8 general engine")
+    if cached is not None:
+        _CHOICE16 = cached
+        return _CHOICE16
+    try:
+        _CHOICE16 = _probe16()
+    except Exception as e:  # butterfly failed to lower/run: scatter wins
+        _record({"ts": time.time(), "probe16_error": str(e)[:300]})
+        _CHOICE16 = "scatter"
+    return _CHOICE16
+
+
 _V8_CHOICE: str | None = None
 
 

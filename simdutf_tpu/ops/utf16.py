@@ -247,13 +247,42 @@ def _to_utf8_general(w, length, n):
     )
 
 
+def _general_utf8(w_native, length, n):
+    """The mixed-width general path, engine-selected at trace time by a
+    one-time measurement (ops/engine_probe.general_engine16): the scatter
+    engine, or the butterfly concentration pipeline with an any-error
+    fallback to the scatter engine (exact first-error/partial-output
+    contracts preserved: the butterfly only returns its own output for
+    fully-valid input). ``w_native`` is already native-order."""
+    from jax import lax
+
+    from .engine_probe import general_engine16
+    from ..kernels import butterfly16 as kb16
+
+    if (n % kb16.TILE_U or n < kb16.TILE_U
+            or general_engine16() != "butterfly"):
+        return _to_utf8_general(w_native, length, n)
+    out, total, err_any = kb16.to_utf8_compose(w_native, length)
+    return lax.cond(
+        err_any,
+        lambda: _to_utf8_general(w_native, length, n),
+        lambda: (
+            vlike(jnp.int32(0), out),
+            vlike(jnp.int32(0), out) + length,
+            out,
+            jnp.int32(total),
+        ),
+    )
+
+
 def to_utf8(words: jnp.ndarray, length, big_endian: bool):
     """Returns (err_code, err_pos, out u8[3N], out_len); census-routed
     (see ops/utf8.to_utf16): whole-buffer uniform UTF-8-width classes take
-    fixed-rate elementwise branches, mixed input pays the scatter engine."""
+    fixed-rate elementwise branches, mixed input pays the general engine
+    (scatter or butterfly, measured — ops/engine_probe)."""
     n = words.shape[0]
     if not DEVICE_ROUTING:
-        return _to_utf8_general(native(words, length, big_endian), length, n)
+        return _general_utf8(native(words, length, big_endian), length, n)
     w16 = _native16(words, big_endian)
     ascii_, u2r, u3r, astral = census(w16, length)
     br_ascii, br_u2r, br_u3r, br_astral = _u8_fast_branches(w16, length, n)
@@ -268,7 +297,7 @@ def to_utf8(words: jnp.ndarray, length, big_endian: bool):
     return route(
         [(ascii_, wrap(br_ascii)), (u2r, wrap(br_u2r)),
          (u3r, wrap(br_u3r)), (astral, wrap(br_astral))],
-        lambda: _to_utf8_general(
+        lambda: _general_utf8(
             native(words, length, big_endian), length, n),
     )
 

@@ -39,10 +39,17 @@ PROFILES = {
 }
 
 
-def generate(profile, n_bytes: int, seed: int = 0) -> bytes:
+def generate(profile, n_bytes: int, seed: int = 0, spaces=None) -> bytes:
+    """``spaces=None`` inserts ASCII spaces at p=0.12 for single-range
+    mixed profiles only; single-range profiles stay class-pure (the
+    wikipedia_mars analog: the reference's checked-in dataset is converted
+    to an artificial all-3-byte encoding, benchmarks/dataset/README.md),
+    so census-routed uniform-class fast paths actually engage on them."""
     rng = random.Random(seed)
     ranges = [r for r, _ in profile]
     weights = [w for _, w in profile]
+    if spaces is None:
+        spaces = len(profile) > 1
     out = []
     size = 0
     while size < n_bytes:
@@ -53,7 +60,7 @@ def generate(profile, n_bytes: int, seed: int = 0) -> bytes:
         ch = chr(cp)
         out.append(ch)
         size += len(ch.encode("utf-8"))
-        if rng.random() < 0.12:
+        if spaces and rng.random() < 0.12:
             out.append(" ")
             size += 1
     data = "".join(out).encode("utf-8")
