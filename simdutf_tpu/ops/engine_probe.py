@@ -178,8 +178,7 @@ def _probe16() -> str:
         return jax.jit(f)
 
     f_scatter = chained(
-        lambda w, n: o16._to_utf8_general(w, n, w.shape[0])[3][0]
-        .astype(jnp.int32))
+        lambda w, n: o16._to_utf8_general(w, n, w.shape[0])[3])
     f_fly = chained(lambda w, n: kb16.to_utf8_compose(w, n)[1])
 
     def timed(f):
@@ -241,6 +240,100 @@ def general_engine16() -> str:
         _record({"ts": time.time(), "probe16_error": str(e)[:300]})
         _CHOICE16 = "scatter"
     return _CHOICE16
+
+
+_CHOICE32: str | None = None
+
+
+def _probe32() -> str:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    from ..kernels import butterfly32 as kb32
+    from . import utf8 as o8
+
+    nbytes = 8 * 1024 * 1024
+    block = _mixed_block()
+    data = (block * (nbytes // len(block) + 1))[:nbytes]
+    cut = nbytes
+    while data[cut - 1] & 0xC0 == 0x80:
+        cut -= 1
+    if data[cut - 1] >= 0xC0:
+        cut -= 1
+    arr = np.zeros(nbytes, np.uint8)
+    arr[:cut] = np.frombuffer(data[:cut], np.uint8)
+    xj = jax.device_put(arr)
+
+    def chained(body):
+        def f(x, n0):
+            def b(i, acc):
+                return acc + body(x, n0 - 24 * (i & 3))
+            return lax.fori_loop(0, _PROBE_ITERS, b, jnp.int32(0))
+        return jax.jit(f)
+
+    f_scatter = chained(lambda b, n: o8._to_utf32_general(b, n)[3])
+    f_fly = chained(lambda b, n: kb32.to_utf32_compose(b, n)[1])
+
+    def timed(f):
+        jax.device_get(f(xj, jnp.int32(cut)))  # compile + warm
+        best = float("inf")
+        for t in range(2):
+            t0 = time.perf_counter()
+            jax.device_get(f(xj, jnp.int32(cut - 24 * (t + 1))))
+            best = min(best, (time.perf_counter() - t0) / _PROBE_ITERS)
+        return best
+
+    t_scatter = timed(f_scatter)
+    t_fly = timed(f_fly)
+    winner = "butterfly" if t_fly < t_scatter else "scatter"
+    _record({
+        "ts": time.time(),
+        "op": "utf8_to_utf32 general engine",
+        "corpus_mb": nbytes >> 20,
+        "chained_iters": _PROBE_ITERS,
+        "scatter_ms": round(t_scatter * 1e3, 2),
+        "butterfly_ms": round(t_fly * 1e3, 2),
+        "scatter_gbps": round(nbytes / t_scatter / 1e9, 2),
+        "butterfly_gbps": round(nbytes / t_fly / 1e9, 2),
+        "winner": winner,
+        "device": str(jax.devices()[0]),
+    })
+    return winner
+
+
+def general_engine32() -> str:
+    """'scatter' or 'butterfly' for the utf8->utf32 general path; decided
+    once per process (env pin: SIMDUTF_TPU_GENERAL_ENGINE32, or the shared
+    SIMDUTF_TPU_GENERAL_ENGINE)."""
+    global _CHOICE32
+    if _CHOICE32 is not None:
+        return _CHOICE32
+    env = (os.environ.get("SIMDUTF_TPU_GENERAL_ENGINE32")
+           or os.environ.get("SIMDUTF_TPU_GENERAL_ENGINE", "auto"))
+    if env in ("scatter", "butterfly"):
+        _CHOICE32 = env
+        return _CHOICE32
+    try:
+        import jax
+
+        if jax.default_backend() != "tpu":
+            _CHOICE32 = "scatter"
+            return _CHOICE32
+    except Exception:
+        _CHOICE32 = "scatter"
+        return _CHOICE32
+    cached = _cached_winner("utf8_to_utf32 general engine")
+    if cached is not None:
+        _CHOICE32 = cached
+        return _CHOICE32
+    try:
+        _CHOICE32 = _probe32()
+    except Exception as e:
+        _record({"ts": time.time(), "probe32_error": str(e)[:300]})
+        _CHOICE32 = "scatter"
+    return _CHOICE32
 
 
 _V8_CHOICE: str | None = None

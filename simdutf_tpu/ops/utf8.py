@@ -466,11 +466,40 @@ def _to_utf32_general(b: jnp.ndarray, length):
     )
 
 
+def _general_utf32(b: jnp.ndarray, length):
+    """Mixed-script utf8->utf32, engine-selected at trace time by a
+    one-time measurement (ops/engine_probe.general_engine32): scatter or
+    the butterfly concentration pipeline with an any-error fallback to the
+    scatter engine (exact first-error/partial-output contracts preserved:
+    the butterfly only returns its own output for fully-valid input)."""
+    from jax import lax
+
+    from .engine_probe import general_engine32
+    from ..kernels import butterfly32 as kb32
+
+    n = b.shape[0]
+    if (n % kb32.TILE_B or n < kb32.TILE_B
+            or general_engine32() != "butterfly"):
+        return _to_utf32_general(b, length)
+    out, total, err_any = kb32.to_utf32_compose(b, length)
+    return lax.cond(
+        err_any,
+        lambda: _to_utf32_general(b, length),
+        lambda: (
+            vlike(jnp.int32(0), out),
+            vlike(jnp.int32(0), out) + length,
+            out,
+            jnp.int32(total),
+        ),
+    )
+
+
 def to_utf32(b: jnp.ndarray, length):
     """Returns (err_code, err_pos, out u32[N], out_len); census-routed
-    like :func:`to_utf16`."""
+    like :func:`to_utf16`; mixed input pays the general engine (scatter
+    or butterfly, measured — ops/engine_probe)."""
     if not DEVICE_ROUTING:
-        return _to_utf32_general(b, length)
+        return _general_utf32(b, length)
     n = b.shape[0]
     ascii_, u2, u3, u4 = census(b, length)
     br_ascii, br_u2, br_u3, br_u4 = _u32_fast_branches(b, length, n)
@@ -485,7 +514,7 @@ def to_utf32(b: jnp.ndarray, length):
     return route(
         [(ascii_, wrap(br_ascii)), (u2, wrap(br_u2)),
          (u3, wrap(br_u3)), (u4, wrap(br_u4))],
-        lambda: _to_utf32_general(b, length),
+        lambda: _general_utf32(b, length),
     )
 
 
