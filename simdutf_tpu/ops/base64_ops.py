@@ -100,6 +100,64 @@ def decode_bulk(chars: jnp.ndarray, length, url: bool, both: bool):
     return first_bad, nvalid, nvalid_at_bad, packed, tail_vals, tail_start
 
 
+def decode_bulk_routed(chars: jnp.ndarray, length, url: bool, both: bool):
+    """decode_bulk with the whitespace-compaction engine selected by a
+    one-time measurement (ops/engine_probe.general_engine64): the scatter
+    path, or the butterfly compaction kernel (kernels/butterfly64) with
+    exact fallbacks — any invalid char (first_bad semantics) or
+    pathologically dense whitespace re-runs the scatter path inside a
+    lax.cond, so outputs are bit-identical by construction."""
+    from jax import lax
+
+    from .engine_probe import general_engine64
+    from ..kernels import butterfly64 as kb64
+
+    n = chars.shape[0]
+    if (chars.dtype == jnp.uint16 or n % kb64.TILE or n < kb64.TILE
+            or general_engine64() != "butterfly"):
+        return decode_bulk(chars, length, url, both)
+
+    dense, nvalid, err_any, cand_ok, off = kb64.compact_codes(
+        chars, length, url, both)
+
+    def fallback():
+        return decode_bulk(chars, length, url, both)
+
+    def fast():
+        d = dense.astype(jnp.int32)
+        q = d.reshape(n // 4, 4)
+        t = (q[:, 0] << 18) | (q[:, 1] << 12) | (q[:, 2] << 6) | q[:, 3]
+        packed = jnp.stack(
+            [(t >> 16) & 0xFF, (t >> 8) & 0xFF, t & 0xFF], axis=1
+        ).reshape(-1).astype(jnp.uint8)
+        nfull = (nvalid // 4) * 4
+        tail_vals = jnp.stack(
+            [dense[jnp.minimum(nfull + i, n - 1)] for i in range(4)]
+        )
+        # tail_start = source index of the rank-nfull kept char: locate
+        # its tile from the per-tile offsets, then rescan that one 32 KiB
+        # window (the reference's rewind trick at tile scale,
+        # generic/utf8_validation/utf8_validator.h:43-52)
+        nt = off.shape[0] - 1
+        t_star = jnp.clip(jnp.sum(off <= nfull) - 1, 0, nt - 1)
+        win = lax.dynamic_slice(
+            chars, (t_star * kb64.TILE,), (kb64.TILE,)).astype(jnp.int32)
+        codes_w = classify_chars(win, url, both)
+        wpos = t_star * kb64.TILE + positions(kb64.TILE)
+        valid_w = (codes_w <= 63) & (wpos < length)
+        rank_w = jnp.cumsum(valid_w.astype(jnp.int32)) - valid_w
+        hit = valid_w & (rank_w == (nfull - off[t_star]))
+        tail_start = jnp.where(
+            nvalid > nfull,
+            jnp.min(jnp.where(hit, wpos, BIG)),
+            length,
+        )
+        return (jnp.int32(BIG), nvalid, nvalid,
+                packed, tail_vals, tail_start)
+
+    return lax.cond(err_any | ~cand_ok, fallback, fast)
+
+
 def encode_bulk(data: jnp.ndarray, alpha: jnp.ndarray):
     """data: padded uint8[N] with N % 3 == 0. Encodes whole 3-byte groups
     (the caller slices the valid prefix on the host and appends the

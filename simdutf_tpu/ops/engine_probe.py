@@ -336,6 +336,98 @@ def general_engine32() -> str:
     return _CHOICE32
 
 
+_CHOICE64: str | None = None
+
+
+def _probe64() -> str:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    from ..kernels import butterfly64 as kb64
+    from . import base64_ops as ob
+
+    nbytes = 8 * 1024 * 1024
+    # MIME-style wrapping: one CRLF per 76 chars (the realistic forgiving
+    # decode workload; clean input never reaches either engine)
+    line = b"QUJDREVGR0hJSktMTU5PUFFSU1RVVldYWVphYmNkZWZnaGlqa2xtbm9wcXJzdHV2d3h5ejAxMjM0"
+    data = ((line + b"\r\n") * (nbytes // (len(line) + 2) + 1))[:nbytes]
+    arr = np.frombuffer(data, np.uint8).copy()
+    xj = jax.device_put(arr)
+
+    def chained(body):
+        def f(x, n0):
+            def b(i, acc):
+                return acc + body(x, n0 - 4 * (i & 3))
+            return lax.fori_loop(0, _PROBE_ITERS, b, jnp.int32(0))
+        return jax.jit(f)
+
+    f_scatter = chained(
+        lambda c, n: ob.decode_bulk(c, n, False, False)[1])
+    f_fly = chained(
+        lambda c, n: kb64.compact_codes(c, n, False, False)[1])
+
+    def timed(f):
+        jax.device_get(f(xj, jnp.int32(nbytes)))  # compile + warm
+        best = float("inf")
+        for t in range(2):
+            t0 = time.perf_counter()
+            jax.device_get(f(xj, jnp.int32(nbytes - 4 * (t + 1))))
+            best = min(best, (time.perf_counter() - t0) / _PROBE_ITERS)
+        return best
+
+    t_scatter = timed(f_scatter)
+    t_fly = timed(f_fly)
+    winner = "butterfly" if t_fly < t_scatter else "scatter"
+    _record({
+        "ts": time.time(),
+        "op": "base64 forgiving-decode engine",
+        "corpus_mb": nbytes >> 20,
+        "chained_iters": _PROBE_ITERS,
+        "scatter_ms": round(t_scatter * 1e3, 2),
+        "butterfly_ms": round(t_fly * 1e3, 2),
+        "scatter_gbps": round(nbytes / t_scatter / 1e9, 2),
+        "butterfly_gbps": round(nbytes / t_fly / 1e9, 2),
+        "winner": winner,
+        "device": str(jax.devices()[0]),
+    })
+    return winner
+
+
+def general_engine64() -> str:
+    """'scatter' or 'butterfly' for the forgiving base64 decode bulk path;
+    decided once per process (env pin: SIMDUTF_TPU_GENERAL_ENGINE64, or
+    the shared SIMDUTF_TPU_GENERAL_ENGINE)."""
+    global _CHOICE64
+    if _CHOICE64 is not None:
+        return _CHOICE64
+    env = (os.environ.get("SIMDUTF_TPU_GENERAL_ENGINE64")
+           or os.environ.get("SIMDUTF_TPU_GENERAL_ENGINE", "auto"))
+    if env in ("scatter", "butterfly"):
+        _CHOICE64 = env
+        return _CHOICE64
+    try:
+        import jax
+
+        if jax.default_backend() != "tpu":
+            _CHOICE64 = "scatter"
+            return _CHOICE64
+    except Exception:
+        _CHOICE64 = "scatter"
+        return _CHOICE64
+    cached = _cached_winner("base64 forgiving-decode engine")
+    if cached is not None:
+        _CHOICE64 = cached
+        return _CHOICE64
+    try:
+        _CHOICE64 = _probe64()
+    except Exception as e:
+        _record({"ts": time.time(), "probe64_error": str(e)[:300]})
+        _CHOICE64 = "scatter"
+    return _CHOICE64
+
+
 _V8_CHOICE: str | None = None
 
 

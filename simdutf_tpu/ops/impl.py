@@ -94,7 +94,7 @@ _j_l1_to_u32 = jax.jit(ol1.to_utf32)
 
 _j_detect = jax.jit(odet.detect_encodings)
 _j_b64_decode = jax.jit(
-    base64_ops.decode_bulk, static_argnames=("url", "both")
+    base64_ops.decode_bulk_routed, static_argnames=("url", "both")
 )
 _j_b64_encode = jax.jit(base64_ops.encode_bulk)
 
