@@ -318,6 +318,64 @@ def main():
     except Exception as e:  # pragma: no cover
         log(f"per-script bench skipped: {e}")
 
+    # the reverse flagship (utf16->utf8) and forgiving base64, each on its
+    # own measured engine (ops/engine_probe) — the reference benches these
+    # as first-class procedures (benchmarks/src/benchmark.cpp)
+    try:
+        import simdutf_tpu.ops.utf16 as o16
+        from simdutf_tpu.ops.engine_probe import (
+            general_engine16, general_engine64)
+
+        import simdutf_tpu as _su
+
+        u16buf = np.frombuffer(
+            data[: _su.trim_partial_utf8(data)]
+            .decode("utf-8").encode("utf-16-le"), np.uint16)
+        p16, n16 = oi._pad(u16buf)
+        x16j = jax.device_put(p16)
+        x16j.block_until_ready()
+
+        @jax.jit
+        def f_u16to8(x, n0):
+            def body(i, acc):
+                code, pos, out, out_len = o16.to_utf8(
+                    x, n0 - 12 * (i & 7), False)
+                probe = out[(acc % 1000).astype(jnp.int32)].astype(jnp.int32)
+                return acc + out_len + code + pos + probe
+            return lax.fori_loop(0, ITERS, body, jnp.int32(0))
+
+        dt16 = run_chained(f_u16to8, x16j, int(n16))
+        nbytes16 = len(u16buf) * 2
+        log(f"utf16->utf8 validating transcode: {nbytes16/dt16/1e9:.1f} "
+            f"GB/s in (engine {general_engine16()})")
+
+        import base64 as pyb64
+        import simdutf_tpu.ops.base64_ops as ob
+
+        raw64 = pyb64.b64encode(data[: CORPUS_BYTES * 3 // 4])
+        mime = b"\r\n".join(raw64[i:i + 76]
+                            for i in range(0, len(raw64), 76))
+        a64 = np.frombuffer(mime, np.uint8)
+        p64, n64 = oi._pad(a64)
+        x64j = jax.device_put(p64)
+        x64j.block_until_ready()
+
+        @jax.jit
+        def f_b64(x, n0):
+            def body(i, acc):
+                fb, nv, nvb, packed, tv, ts = ob.decode_bulk_routed(
+                    x, n0 - 4 * (i & 7), False, False)
+                probe = packed[(acc % 1000).astype(jnp.int32)].astype(
+                    jnp.int32)
+                return acc + nv + fb % 7 + probe
+            return lax.fori_loop(0, ITERS, body, jnp.int32(0))
+
+        dt64 = run_chained(f_b64, x64j, int(n64))
+        log(f"base64 forgiving decode (MIME \\r\\n/76): "
+            f"{len(a64)/dt64/1e9:.1f} GB/s in (engine {general_engine64()})")
+    except Exception as e:  # pragma: no cover
+        log(f"reverse/base64 bench skipped: {e}")
+
     @jax.jit
     def f_validate(x, n0):
         def body(i, acc):
