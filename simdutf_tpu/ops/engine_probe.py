@@ -428,6 +428,22 @@ def general_engine64() -> str:
     return _CHOICE64
 
 
+def engine_for(direction: str) -> str:
+    """Engine for the rarer variable-rate directions ('u32_to_u8',
+    'u32_to_u16', 'u16_to_u32', 'l1_to_u8'): env pin
+    SIMDUTF_TPU_GENERAL_ENGINE_<DIR> or the shared
+    SIMDUTF_TPU_GENERAL_ENGINE; otherwise the flagship utf8->utf16
+    probe's verdict routes them — the scatter serialization these engines
+    dodge is a device-global state, so one measured verdict (with its
+    committed evidence) covers the family without paying four more probe
+    compiles per process."""
+    env = (os.environ.get(f"SIMDUTF_TPU_GENERAL_ENGINE_{direction.upper()}")
+           or os.environ.get("SIMDUTF_TPU_GENERAL_ENGINE", "auto"))
+    if env in ("scatter", "butterfly"):
+        return env
+    return general_engine()
+
+
 _V8_CHOICE: str | None = None
 
 

@@ -30,7 +30,7 @@ def to_utf8(b: jnp.ndarray, length):
     idx = positions(n)
     in_r = idx < length
 
-    def general():
+    def scatter_general():
         hi = (w >= 0x80) & in_r
         width = jnp.where(in_r, 1, 0) + hi.astype(jnp.int32)
         off, off_inc = excl_scan(width, n)
@@ -41,6 +41,18 @@ def to_utf8(b: jnp.ndarray, length):
             (in_r, off, b0),
             (hi, off + 1, (w & 0x3F) | 0x80),
         ])
+        return out, jnp.int32(total)
+
+    def general():
+        # Latin-1 is always valid, so the butterfly engine (when it wins
+        # the measured probe) needs no error fallback at all
+        from .engine_probe import engine_for
+        from ..kernels import butterflyx as kbx
+
+        if (n % kbx.TILE_E or n < kbx.TILE_E
+                or engine_for("l1_to_u8") != "butterfly"):
+            return scatter_general()
+        out, total = kbx.latin1_to_utf8_compose(b.astype(jnp.uint8), length)
         return out, jnp.int32(total)
 
     if not DEVICE_ROUTING:

@@ -333,10 +333,12 @@ def _u32_fast_branches(w, length, n):
 
 
 def to_utf32(words: jnp.ndarray, length, big_endian: bool):
-    """Returns (err_code, err_pos, out u32[N], out_len); census-routed."""
+    """Returns (err_code, err_pos, out u32[N], out_len); census-routed;
+    mixed input pays the general engine (scatter or butterfly, measured —
+    ops/engine_probe.engine_for)."""
     n = words.shape[0]
 
-    def general():
+    def scatter_general():
         w = native(words, length, big_endian)
         err_pos, err_code = first_error(w, length)
         ok = err_pos == BIG
@@ -350,6 +352,28 @@ def to_utf32(words: jnp.ndarray, length, big_endian: bool):
             jnp.where(ok, length, err_pos),
             out,
             out_len,
+        )
+
+    def general():
+        from jax import lax
+
+        from .engine_probe import engine_for
+        from ..kernels import butterflyx as kbx
+
+        if (n % kbx.TILE_E or n < kbx.TILE_E
+                or engine_for("u16_to_u32") != "butterfly"):
+            return scatter_general()
+        out, total, err_any = kbx.u16_to_utf32_compose(
+            native(words, length, big_endian), length)
+        return lax.cond(
+            err_any,
+            scatter_general,
+            lambda: (
+                vlike(jnp.int32(0), out),
+                vlike(jnp.int32(0), out) + length,
+                out,
+                jnp.int32(total),
+            ),
         )
 
     if not DEVICE_ROUTING:

@@ -147,11 +147,13 @@ def _mask_tail(vals, count):
 
 
 def to_utf8(words: jnp.ndarray, length):
-    """Returns (err_code, err_pos, out u8[4N], out_len); census-routed."""
+    """Returns (err_code, err_pos, out u8[4N], out_len); census-routed;
+    mixed input pays the general engine (scatter or butterfly, measured —
+    ops/engine_probe.engine_for)."""
     n = words.shape[0]
     w64 = _native(words, length)
 
-    def general():
+    def scatter_general():
         err_pos, err_code = first_error(w64, length)
         ok = err_pos == BIG
         out, off, total = _emit_utf8(w64, length, n)
@@ -163,6 +165,27 @@ def to_utf8(words: jnp.ndarray, length):
             jnp.where(ok, length, err_pos),
             out,
             out_len,
+        )
+
+    def general():
+        from jax import lax
+
+        from .engine_probe import engine_for
+        from ..kernels import butterflyx as kbx
+
+        if (n % kbx.TILE_E or n < kbx.TILE_E
+                or engine_for("u32_to_u8") != "butterfly"):
+            return scatter_general()
+        out, total, err_any = kbx.u32_to_utf8_compose(w64, length)
+        return lax.cond(
+            err_any,
+            scatter_general,
+            lambda: (
+                vlike(jnp.int32(0), out),
+                vlike(jnp.int32(0), out) + length,
+                out,
+                jnp.int32(total),
+            ),
         )
 
     if not DEVICE_ROUTING:
@@ -258,11 +281,13 @@ def _u16_fast_branches(w64, length, n, big_endian):
 
 
 def to_utf16(words: jnp.ndarray, length, big_endian: bool):
-    """Returns (err_code, err_pos, out u16[2N], out_len); census-routed."""
+    """Returns (err_code, err_pos, out u16[2N], out_len); census-routed;
+    mixed input pays the general engine (scatter or butterfly, measured —
+    ops/engine_probe.engine_for)."""
     n = words.shape[0]
     w64 = _native(words, length)
 
-    def general():
+    def scatter_general():
         err_pos, err_code = first_error(w64, length)
         ok = err_pos == BIG
         out, off, total = _emit_utf16(w64, length, n, big_endian)
@@ -274,6 +299,28 @@ def to_utf16(words: jnp.ndarray, length, big_endian: bool):
             jnp.where(ok, length, err_pos),
             out,
             out_len,
+        )
+
+    def general():
+        from jax import lax
+
+        from .engine_probe import engine_for
+        from ..kernels import butterflyx as kbx
+
+        if (n % kbx.TILE_E or n < kbx.TILE_E
+                or engine_for("u32_to_u16") != "butterfly"):
+            return scatter_general()
+        out, total, err_any = kbx.u32_to_utf16_compose(
+            w64, length, big_endian)
+        return lax.cond(
+            err_any,
+            scatter_general,
+            lambda: (
+                vlike(jnp.int32(0), out),
+                vlike(jnp.int32(0), out) + length,
+                out,
+                jnp.int32(total),
+            ),
         )
 
     if not DEVICE_ROUTING:
