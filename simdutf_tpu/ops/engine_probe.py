@@ -428,6 +428,49 @@ def general_engine64() -> str:
     return _CHOICE64
 
 
+_LOWERING_OK: dict = {}
+
+
+def _lowering_ok(direction: str) -> bool:
+    """One-tile compile+run probe of a butterflyx kernel on the live
+    toolchain, cached per process (the kernels/validate
+    lane_shapecast_supported pattern): the remote Mosaic build drifts, and
+    engine_for must never route into a kernel that cannot lower — a
+    compile failure inside the caller's jit would crash the op instead of
+    falling back."""
+    if direction in _LOWERING_OK:
+        return _LOWERING_OK[direction]
+    try:
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..kernels import butterflyx as kbx
+
+        n = kbx.TILE_E
+        L = jnp.int32(n // 2)
+        if direction == "u32_to_u8":
+            x = jnp.asarray(np.full(n, 0x41, np.uint32))
+            jax.device_get(jax.jit(kbx.u32_to_utf8_compose)(x, L)[1])
+        elif direction == "u32_to_u16":
+            x = jnp.asarray(np.full(n, 0x41, np.uint32))
+            jax.device_get(
+                jax.jit(lambda a, b: kbx.u32_to_utf16_compose(a, b, False))
+                (x, L)[1])
+        elif direction == "u16_to_u32":
+            x = jnp.asarray(np.full(n, 0x41, np.uint16))
+            jax.device_get(jax.jit(kbx.u16_to_utf32_compose)(x, L)[1])
+        else:  # l1_to_u8
+            x = jnp.asarray(np.full(n, 0xE9, np.uint8))
+            jax.device_get(jax.jit(kbx.latin1_to_utf8_compose)(x, L)[1])
+        _LOWERING_OK[direction] = True
+    except Exception as e:
+        _record({"ts": time.time(), "op": f"{direction} lowering probe",
+                 "error": str(e)[:300]})
+        _LOWERING_OK[direction] = False
+    return _LOWERING_OK[direction]
+
+
 def engine_for(direction: str) -> str:
     """Engine for the rarer variable-rate directions ('u32_to_u8',
     'u32_to_u16', 'u16_to_u32', 'l1_to_u8'): env pin
@@ -436,12 +479,18 @@ def engine_for(direction: str) -> str:
     probe's verdict routes them — the scatter serialization these engines
     dodge is a device-global state, so one measured verdict (with its
     committed evidence) covers the family without paying four more probe
-    compiles per process."""
+    compiles per process. A per-direction one-tile lowering probe guards
+    the butterfly branch either way."""
     env = (os.environ.get(f"SIMDUTF_TPU_GENERAL_ENGINE_{direction.upper()}")
            or os.environ.get("SIMDUTF_TPU_GENERAL_ENGINE", "auto"))
-    if env in ("scatter", "butterfly"):
+    if env == "scatter":
         return env
-    return general_engine()
+    if env == "butterfly":
+        return env if _lowering_ok(direction) else "scatter"
+    verdict = general_engine()
+    if verdict == "butterfly" and not _lowering_ok(direction):
+        return "scatter"
+    return verdict
 
 
 _V8_CHOICE: str | None = None
