@@ -59,25 +59,49 @@ def mixed_corpus(nbytes: int) -> bytes:
     return data[:nbytes]
 
 
-def run_chained(f, x, n_base: int):
-    """Run TRIALS trials of the jitted loop ``f(x, n)`` with fresh length
-    args per trial; median seconds per iteration. ``x`` is passed as an
-    argument (never closed over: a closure would bake the corpus into the
-    HLO as a giant constant and stall compilation)."""
+def valid_utf8_lengths(data: bytes, n_base: int, count: int,
+                       step: int = 12) -> "np.ndarray":
+    """``count`` distinct lengths near ``n_base``, each snapped back to a
+    codepoint boundary. The round-2/3 harness jittered by raw multiples of
+    12, which cut 3-byte sequences mid-codepoint on 6 of 8 offsets for the
+    mixed corpus — silently timing the ERROR path (with the scatter engine
+    the two cost the same, so it went unnoticed; with fallback-composed
+    engines the error path pays for both). The reference's headline is
+    valid-input transcode, so the jitter must stay on boundaries."""
+    out = []
+    for i in range(count):
+        L = n_base - step * i
+        tail = data[max(0, L - 4): L]
+        out.append(L - len(tail) + _trim_utf8(tail))
+    return np.array(out, np.int32)
+
+
+def _trim_utf8(tail: bytes) -> int:
+    import simdutf_tpu as su
+
+    return su.trim_partial_utf8(tail)
+
+
+def run_chained(f, x, lengths):
+    """Run TRIALS trials of the jitted loop ``f(x, lens)``; each trial
+    gets a distinct rotation of the valid-length vector (fresh arguments
+    defeat any execution-result caching in the remote path); median
+    seconds per iteration. ``x`` is passed as an argument (never closed
+    over: a closure would bake the corpus into the HLO as a giant
+    constant and stall compilation)."""
     import jax
     import jax.numpy as jnp
 
+    lengths = np.asarray(lengths, np.int32)
     # device_get is the sync barrier: on the tunneled TPU platform,
     # block_until_ready has been observed returning before the work
     # drains, shifting cost into the next measurement.
-    jax.device_get(f(x, jnp.int32(n_base)))
+    jax.device_get(f(x, jnp.asarray(lengths)))
     ts = []
     for t in range(TRIALS):
-        # fresh length per trial; multiples of 24 preserve census-class
-        # alignment (%2/%3/%4) for class-pure corpora
-        nn = jnp.int32(n_base - 24 * (t + 1))
+        lens_t = jnp.asarray(np.roll(lengths, t + 1))
         t0 = time.perf_counter()
-        jax.device_get(f(x, nn))
+        jax.device_get(f(x, lens_t))
         ts.append((time.perf_counter() - t0) / ITERS)
     return statistics.median(ts)
 
@@ -257,18 +281,21 @@ def main():
     except Exception as e:  # pragma: no cover
         log(f"engine probe skipped: {e}")
 
+    # length jitter defeats loop-invariant hoisting; every jittered
+    # length is snapped to a codepoint boundary (valid_utf8_lengths) so
+    # the loop measures the valid-input path — the reference's headline —
+    # with its census-class alignments (%2/%3/%4) preserved by step=12
+    Ls = valid_utf8_lengths(data, int(n), 8)
+
     @jax.jit
-    def f_transcode(x, n0):
+    def f_transcode(x, lens):
         def body(i, acc):
-            # length jitter defeats loop-invariant hoisting; a multiple of
-            # 12 keeps every census class alignment (%2, %3, %4) so
-            # class-pure corpora stay on their fast branch across iters
-            code, pos, out, out_len = o8.to_utf16(x, n0 - 12 * (i & 7), False)
+            code, pos, out, out_len = o8.to_utf16(x, lens[i & 7], False)
             probe = out[(acc % 1000).astype(jnp.int32)].astype(jnp.int32)
             return acc + out_len + code + pos + probe
         return lax.fori_loop(0, ITERS, body, jnp.int32(0))
 
-    dt = run_chained(f_transcode, xj, int(n))
+    dt = run_chained(f_transcode, xj, Ls)
     transcode_gbps = nbytes / dt / 1e9
     profile_dir = _os.environ.get("BENCH_PROFILE_DIR")
     if profile_dir:
@@ -276,12 +303,13 @@ def main():
         # trace is attribution evidence, not the measurement itself)
         try:
             with jax.profiler.trace(profile_dir):
-                jax.device_get(f_transcode(xj, jnp.int32(int(n) - 64)))
+                jax.device_get(f_transcode(xj, jnp.asarray(Ls)))
             log(f"profiler trace written to {profile_dir}")
         except Exception as e:  # pragma: no cover
             log(f"profiler trace skipped: {e}")
     out_units = int(jax.device_get(
-        jax.jit(lambda x, k: o8.to_utf16(x, k, False)[3])(xj, jnp.int32(int(n)))
+        jax.jit(lambda x, k: o8.to_utf16(x, k, False)[3])(
+            xj, jnp.int32(int(Ls[0])))
     ))
     sol = (nbytes + 2 * out_units) / hbm / 1e9
     log(
@@ -313,7 +341,8 @@ def main():
             sp, sn = oi._pad(sarr)
             if sp.shape == p.shape:
                 sxj = jax.device_put(sp.copy())
-                sdt = run_chained(f_transcode, sxj, int(sn))
+                sLs = valid_utf8_lengths(sdata, int(sn), 8)
+                sdt = run_chained(f_transcode, sxj, sLs)
                 log(f"  transcode[{scr}]: {len(sdata)/sdt/1e9:.1f} GB/s in")
     except Exception as e:  # pragma: no cover
         log(f"per-script bench skipped: {e}")
@@ -335,16 +364,26 @@ def main():
         x16j = jax.device_put(p16)
         x16j.block_until_ready()
 
+        # unit-count jitter snapped off trailing high surrogates (valid
+        # pairs only — same rationale as valid_utf8_lengths)
+        L16 = []
+        for i in range(8):
+            Lu = int(n16) - 8 * i
+            if Lu > 0 and 0xD800 <= int(u16buf[Lu - 1]) <= 0xDBFF:
+                Lu -= 1
+            L16.append(Lu)
+        L16 = np.array(L16, np.int32)
+
         @jax.jit
-        def f_u16to8(x, n0):
+        def f_u16to8(x, lens):
             def body(i, acc):
                 code, pos, out, out_len = o16.to_utf8(
-                    x, n0 - 12 * (i & 7), False)
+                    x, lens[i & 7], False)
                 probe = out[(acc % 1000).astype(jnp.int32)].astype(jnp.int32)
                 return acc + out_len + code + pos + probe
             return lax.fori_loop(0, ITERS, body, jnp.int32(0))
 
-        dt16 = run_chained(f_u16to8, x16j, int(n16))
+        dt16 = run_chained(f_u16to8, x16j, L16)
         nbytes16 = len(u16buf) * 2
         log(f"utf16->utf8 validating transcode: {nbytes16/dt16/1e9:.1f} "
             f"GB/s in (engine {general_engine16()})")
@@ -361,29 +400,31 @@ def main():
         x64j.block_until_ready()
 
         @jax.jit
-        def f_b64(x, n0):
+        def f_b64(x, lens):
             def body(i, acc):
                 fb, nv, nvb, packed, tv, ts = ob.decode_bulk_routed(
-                    x, n0 - 4 * (i & 7), False, False)
+                    x, lens[i & 7], False, False)
                 probe = packed[(acc % 1000).astype(jnp.int32)].astype(
                     jnp.int32)
                 return acc + nv + fb % 7 + probe
             return lax.fori_loop(0, ITERS, body, jnp.int32(0))
 
-        dt64 = run_chained(f_b64, x64j, int(n64))
+        # any multiple-of-4 cut is a valid forgiving-decode input
+        dt64 = run_chained(
+            f_b64, x64j, int(n64) - 4 * np.arange(8, dtype=np.int32))
         log(f"base64 forgiving decode (MIME \\r\\n/76): "
             f"{len(a64)/dt64/1e9:.1f} GB/s in (engine {general_engine64()})")
     except Exception as e:  # pragma: no cover
         log(f"reverse/base64 bench skipped: {e}")
 
     @jax.jit
-    def f_validate(x, n0):
+    def f_validate(x, lens):
         def body(i, acc):
-            code, pos = o8.validate_with_errors(x, n0 - (i & 7))
+            code, pos = o8.validate_with_errors(x, lens[i & 7])
             return acc + code + pos
         return lax.fori_loop(0, ITERS, body, jnp.int32(0))
 
-    dtv = run_chained(f_validate, xj, int(n))
+    dtv = run_chained(f_validate, xj, Ls)
     log(
         f"utf8 validate (xla): {nbytes/dtv/1e9:.1f} GB/s "
         f"({100*(nbytes/hbm/1e9)/dtv:.0f}% of single-read SOL)"
@@ -398,12 +439,13 @@ def main():
         x2j.block_until_ready()
 
         @jax.jit
-        def f_count(x, n0):
+        def f_count(x, lens):
             def body(i, acc):
-                return acc + kv.utf8_count(x, n0 - (i & 7))
+                return acc + kv.utf8_count(x, lens[i & 7])
             return lax.fori_loop(0, ITERS, body, jnp.int32(0))
 
-        dtc = run_chained(f_count, x2j, int(n2))
+        dtc = run_chained(
+            f_count, x2j, int(n2) - np.arange(8, dtype=np.int32))
         log(f"pallas utf8 count: {nbytes/dtc/1e9:.1f} GB/s")
 
         from simdutf_tpu.kernels import swar as ksw
@@ -414,25 +456,26 @@ def main():
         x32j.block_until_ready()
 
         @jax.jit
-        def f_swar(x, n0):
+        def f_swar(x, lens):
             def body(i, acc):
                 # salt varies per iteration: the kernel call is never
                 # loop-invariant (same discipline as the other loops)
-                return acc + ksw.utf8_swar_first_bad_word(x, n0 - (i & 7)) + i
+                return acc + ksw.utf8_swar_first_bad_word(x, lens[i & 7]) + i
             return lax.fori_loop(0, ITERS, body, jnp.int32(0))
 
-        dts = run_chained(f_swar, x32j, 0)
+        dts = run_chained(f_swar, x32j, np.arange(8, dtype=np.int32))
         log(f"pallas utf8 SWAR validate: {nbytes/dts/1e9:.1f} GB/s")
 
         # SWAR-vs-event comparison (round-1 VERDICT weak #3)
         @jax.jit
-        def f_event(x, n0):
+        def f_event(x, lens):
             def body(i, acc):
                 pos, code = kv.utf8_first_event(x)
-                return acc + pos + code + i + n0 * 0
+                return acc + pos + code + i + lens[i & 7] * 0
             return lax.fori_loop(0, ITERS, body, jnp.int32(0))
 
-        dte = run_chained(f_event, x2j, int(n2))
+        dte = run_chained(
+            f_event, x2j, int(n2) - np.arange(8, dtype=np.int32))
         log(f"pallas utf8 event validate: {nbytes/dte/1e9:.1f} GB/s "
             f"(SWAR/event speedup {dte/dts:.2f}x)")
 
@@ -447,14 +490,15 @@ def main():
         x16j.block_until_ready()
 
         @jax.jit
-        def f_widen(x, n0):
+        def f_widen(x, lens):
             def body(i, acc):
                 out, flag = ktr.ascii_widen_utf16(x, big_endian=False)
                 probe = out[(acc % 64).astype(jnp.int32), i & 127]
-                return acc + flag + probe + n0 * 0
+                return acc + flag + probe + lens[i & 7] * 0
             return lax.fori_loop(0, ITERS, body, jnp.int32(0))
 
-        dtw = run_chained(f_widen, x16j, int(an))
+        dtw = run_chained(
+            f_widen, x16j, int(an) - np.arange(8, dtype=np.int32))
         asol = 3 * len(adata) / hbm / 1e9
         log(f"pallas ascii fused transcode: {len(adata)/dtw/1e9:.1f} GB/s in "
             f"({100*asol/dtw:.0f}% of 3N-traffic roofline)")
@@ -474,14 +518,16 @@ def main():
         xbj.block_until_ready()
 
         @jax.jit
-        def f_b64(x, n0):
+        def f_b64c(x, lens):
             def body(i, acc):
-                out, flag = kb64.clean_decode(x, n0 - (i & 3) * 0)
+                out, flag = kb64.clean_decode(x, lens[i & 7])
                 probe = out[(acc % 64).astype(jnp.int32), i & 127]
                 return acc + flag + probe
             return lax.fori_loop(0, ITERS, body, jnp.int32(0))
 
-        dtb = run_chained(f_b64, xbj, len(bchars) // 4)
+        dtb = run_chained(
+            f_b64c, xbj,
+            np.full(8, len(bchars) // 4, np.int32))
         bsol = (len(bchars) * 7 // 4) / hbm / 1e9
         log(f"pallas clean-base64 decode: {len(bchars)/dtb/1e9:.1f} GB/s in "
             f"({100*bsol/dtb:.0f}% of rw roofline)")
@@ -503,14 +549,15 @@ def main():
         xu3j.block_until_ready()
 
         @jax.jit
-        def f_u3(x, n0):
+        def f_u3(x, lens):
             def body(i, acc):
-                out, flag = ktr.uniform3_utf8_to_utf16(x, n0 - (i & 3) * 3)
+                out, flag = ktr.uniform3_utf8_to_utf16(x, lens[i & 7])
                 probe = out[(acc % 64).astype(jnp.int32), i & 127]
                 return acc + flag + probe
             return lax.fori_loop(0, ITERS, body, jnp.int32(0))
 
-        dtu3 = run_chained(f_u3, xu3j, int(un))
+        dtu3 = run_chained(
+            f_u3, xu3j, int(un) - 3 * np.arange(8, dtype=np.int32))
         usol = (len(zdata) * 5 // 3) / hbm / 1e9
         log(f"pallas uniform-3byte transcode: {len(zdata)/dtu3/1e9:.1f} GB/s "
             f"in ({100*usol/dtu3:.0f}% of rw roofline)")
