@@ -36,8 +36,19 @@ Algorithm per 32 KiB input tile (int32 (64,128) lanes = 4 bytes/lane):
 Composition (phase C) places each tile's compacted units at its exclusive
 offset with dynamic unit-granularity rolls of <=4 candidate scratch tiles
 per output tile (scalar-prefetch-driven index maps), masked at u16
-granularity. Any error anywhere falls back to the whole-buffer XLA engine,
-preserving exact first-error/partial-output contracts by construction.
+granularity and clamped by the valid-prefix end.
+
+Errors need NO fallback engine and NO conditionals: phase B computes
+exact first-error events in-kernel (key = local position << 8 | code,
+the ops/utf8.classify lattice value-for-value, with lattice pos2/pos3
+reformulated as orphan-continuation events so every event lands in the
+tile containing it) plus the unit count of the valid prefix. Every unit
+before the first error is bit-correct by construction (its offset
+depends only on preceding bytes), so out[:err_len] IS the exact
+scalar-machine partial output. The degraded-runtime findings that forced
+this shape: a pallas-bearing branch under a dynamic conditional pays a
+~25 ms conditional-output copy, and a separate XLA tail-mask pass over
+the 2N output costs ~29 ms (perf_records/butterfly_probe.jsonl).
 """
 
 from __future__ import annotations
@@ -50,6 +61,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .validate import _interpret, vany
+from ..errors import error_code as _ec
 
 PR = 64  # rows per tile
 PW = 128  # int32 lanes per row
@@ -58,6 +70,18 @@ TILE = PR * PW * 4  # 32768 bytes per tile
 UNITS = TILE  # u16 output capacity per tile in units (1 unit/byte max)
 STAGES = 15  # log2(TILE) rounds
 BIG = 2**31 - 1
+
+# error codes as plain ints (device constants at import time would pin a
+# backend); the in-kernel event codes must match ops/utf8.classify's
+# lattice value-for-value so engines agree bit-exactly
+_TOO_SHORT = int(_ec.TOO_SHORT)
+_TOO_LONG = int(_ec.TOO_LONG)
+_OVERLONG = int(_ec.OVERLONG)
+_TOO_LARGE = int(_ec.TOO_LARGE)
+_SURROGATE = int(_ec.SURROGATE)
+_HEADER_BITS = int(_ec.HEADER_BITS)
+# event key = local byte position << 8 | code; no event = BIGKEY
+BIGKEY = (TILE + 8) << 8
 
 
 # --- roll primitives (jnp for the model/driver, pltpu inside kernels) ----
@@ -162,9 +186,12 @@ def _tile_core(prv, x, nxt, base, length, big_endian: bool, roll):
     gpos = row * PW + lane  # tile-local group index
     row_x, lane_x = _iotas((HB + PR, PW))
     gpos_x = (row_x - HB) * PW + lane_x  # EXTM group index (tile-local)
-    err_any = jnp.int32(0)
-    # per-plane classification on EXTM
+    # per-plane classification on EXTM; error events carry the exact code
+    # and TILE-LOCAL byte position as key = pos<<8 | code, matching
+    # ops/utf8.classify's lattice value-for-value
     cp_m, lead_m, lead4_m = [], [], []
+    cont_m, seql_m = [], []
+    err_events = []  # (PR, PW) int32 keys on the MAIN region
     for m in range(4):
         b = planes[m][EXTM0 : HR + PR]
         b1, b2, b3 = nb(m, 1), nb(m, 2), nb(m, 3)
@@ -172,7 +199,6 @@ def _tile_core(prv, x, nxt, base, length, big_endian: bool, roll):
         c1 = (b1 & 0xC0) == 0x80
         c2 = (b2 & 0xC0) == 0x80
         c3 = (b3 & 0xC0) == 0x80
-        c4 = (nb(m, 4) & 0xC0) == 0x80
         ascii_ = b < 0x80
         lead2 = (b & 0xE0) == 0xC0
         lead3 = (b & 0xF0) == 0xE0
@@ -185,19 +211,19 @@ def _tile_core(prv, x, nxt, base, length, big_endian: bool, roll):
             | (b3 & 0x3F)
         )
         err = jnp.zeros_like(b)
-        err = jnp.where(lead2 & ~c1, 1, err)
-        err = jnp.where(lead2 & c1 & (cp2 < 0x80), 1, err)
+        err = jnp.where(lead2 & ~c1, _TOO_SHORT, err)
+        err = jnp.where(lead2 & c1 & (cp2 < 0x80), _OVERLONG, err)
         ok3 = c1 & c2
-        err = jnp.where(lead3 & ~ok3, 1, err)
-        err = jnp.where(lead3 & ok3 & (cp3 < 0x800), 1, err)
+        err = jnp.where(lead3 & ~ok3, _TOO_SHORT, err)
+        err = jnp.where(lead3 & ok3 & (cp3 < 0x800), _OVERLONG, err)
         err = jnp.where(
-            lead3 & ok3 & (cp3 >= 0xD800) & (cp3 <= 0xDFFF), 1, err
+            lead3 & ok3 & (cp3 >= 0xD800) & (cp3 <= 0xDFFF), _SURROGATE, err
         )
         ok4 = c1 & c2 & c3
-        err = jnp.where(lead4 & ~ok4, 1, err)
-        err = jnp.where(lead4 & ok4 & (cp4 <= 0xFFFF), 1, err)
-        err = jnp.where(lead4 & ok4 & (cp4 > 0x10FFFF), 1, err)
-        err = jnp.where(badlead, 1, err)
+        err = jnp.where(lead4 & ~ok4, _TOO_SHORT, err)
+        err = jnp.where(lead4 & ok4 & (cp4 <= 0xFFFF), _OVERLONG, err)
+        err = jnp.where(lead4 & ok4 & (cp4 > 0x10FFFF), _TOO_LARGE, err)
+        err = jnp.where(badlead, _HEADER_BITS, err)
         seqlen = jnp.where(ascii_, 1, 0)
         seqlen = jnp.where(lead2, 2, seqlen)
         seqlen = jnp.where(lead3, 3, seqlen)
@@ -206,25 +232,55 @@ def _tile_core(prv, x, nxt, base, length, big_endian: bool, roll):
         cp = jnp.where(lead2, cp2, cp)
         cp = jnp.where(lead3, cp3, cp)
         cp = jnp.where(lead4, cp4, cp)
-        gap = (
-            ((seqlen == 1) & c1)
-            | ((seqlen == 2) & c2)
-            | ((seqlen == 3) & c3)
-            | ((seqlen == 4) & c4)
-        )
         in_r = (base + 4 * gpos_x + m >= 0) & (base + 4 * gpos_x + m < length)
         lead = ~is_cont & in_r
-        # error events reduce over the MAIN region only (EXTM halo events
-        # belong to the previous tile, which reports them itself)
-        err_any = jnp.maximum(
-            err_any,
-            jnp.max(_sl_main(
-                (lead & (err != 0)) | (lead & (err == 0) & gap)
-            ).astype(jnp.int32)),
-        )
+        # bad-lead events (MAIN region only: EXTM halo events belong to
+        # the previous tile, which reports them itself)
+        lpos = 4 * gpos + m
+        err_events.append(jnp.where(
+            _sl_main(lead) & (_sl_main(err) != 0),
+            (lpos << 8) | _sl_main(err), BIGKEY))
         cp_m.append(cp)
         lead_m.append(lead)
         lead4_m.append(lead & lead4)
+        cont_m.append(is_cont & in_r)
+        seql_m.append(seqlen)
+
+    # orphan-continuation events (lattice pos2/pos3 reformulated so every
+    # event lands in the tile CONTAINING it): a continuation byte not
+    # covered by any preceding lead's declared length is the first
+    # ill-placed byte — TOO_LONG at its own position. Backward neighbors
+    # come from the EXTM planes (byte q-j = plane (m-j)%4, group -1 iff
+    # m < j), so leads in the previous tile's tail are visible.
+    def _g_back1(a):
+        z1 = roll(a, 1, 1)
+        z2 = roll(z1, 1, 0)
+        _, lane_b = _iotas(a.shape)
+        return jnp.where(lane_b >= 1, z1, z2)
+
+    def back(arrs, m, j):
+        a = arrs[(m - j) % 4]
+        if m < j:
+            a = _g_back1(a)
+        return _sl_main(a)
+
+    # Mosaic cannot rotate i1 vectors ("Rotate with non-32-bit data"):
+    # fold lead into the seqlen plane (0 where not a lead) so the
+    # backward rolls move one int32 array per (m, j)
+    seql_lead = [jnp.where(lead_m[m], seql_m[m], 0) for m in range(4)]
+    for m in range(4):
+        covered = None
+        for j in (1, 2, 3):
+            c = back(seql_lead, m, j) > j
+            covered = c if covered is None else (covered | c)
+        orph = _sl_main(cont_m[m]) & ~covered
+        lpos = 4 * gpos + m
+        err_events.append(
+            jnp.where(orph, (lpos << 8) | _TOO_LONG, BIGKEY))
+
+    ek = jnp.int32(BIGKEY)
+    for e in err_events:
+        ek = jnp.minimum(ek, jnp.min(e))
 
     # unit emission: unit0 at leads, unit1 at the byte after a lead4.
     # The backward shift for plane 0 runs on EXTM so the first byte of the
@@ -251,6 +307,15 @@ def _tile_core(prv, x, nxt, base, length, big_endian: bool, roll):
         val = bswap(jnp.where(al4, unit1, unit0)) & 0xFFFF
         keeps.append(keep)
         vals.append(val)
+
+    # units emitted for bytes strictly before the tile's first event (the
+    # exact partial-output count: a kept byte's offset depends only on
+    # preceding bytes, so every unit before the first error is correct)
+    epos = ek >> 8
+    prefix = jnp.int32(0)
+    for m in range(4):
+        prefix = prefix + jnp.sum(
+            (keeps[m] & ((4 * gpos + m) < epos)).astype(jnp.int32))
 
     # tile-exclusive scan of keep over flat byte order via group totals
     k32 = [k.astype(jnp.int32) for k in keeps]
@@ -305,7 +370,7 @@ def _tile_core(prv, x, nxt, base, length, big_endian: bool, roll):
     q01 = u[0] | (u[1] << 16)
     q23 = u[2] | (u[3] << 16)
     scratch = _interleave2(q01, q23, roll)
-    return scratch, count_row, err_any
+    return scratch, count_row, ek, prefix
 
 
 def _interleave2(a, b, roll):
@@ -331,15 +396,20 @@ def _phase_b_kernel(len_ref, prv_ref, x_ref, nxt_ref, scr_ref, st_ref,
                     *, big_endian):
     t = pl.program_id(0)
     base = t * TILE
-    scratch, count_row, err = _tile_core(
+    scratch, count_row, ek, prefix = _tile_core(
         prv_ref[...], x_ref[...], nxt_ref[...], base, len_ref[0],
         big_endian, _proll,
     )
     scr_ref[...] = scratch
+    # stats lanes: 0 = unit count, 2 = min event key (BIGKEY when the
+    # tile is valid), 3 = units before the event; others = has-event flag
     _, lane = _iotas((8, PW))
-    st_ref[...] = jnp.where(
-        lane == 0, jnp.broadcast_to(count_row, (8, PW)), err
-    )
+    has = (ek < BIGKEY).astype(jnp.int32)
+    st = jnp.full((8, PW), has, jnp.int32)
+    st = jnp.where(lane == 0, jnp.broadcast_to(count_row, (8, PW)), st)
+    st = jnp.where(lane == 2, ek, st)
+    st = jnp.where(lane == 3, prefix, st)
+    st_ref[...] = st
 
 
 def _phase_b(xr, length, nt: int, big_endian: bool):
@@ -388,7 +458,8 @@ def _dyn_pair_roll_right(w, k, roll):
     return jnp.where(lane >= lk, z2, z3)
 
 
-def _phase_c_kernel(t0_ref, off_ref, s0, s1, s2, s3, s4, out_ref):
+def _phase_c_kernel(t0_ref, off_ref, elen_ref, s0, s1, s2, s3, s4,
+                    out_ref):
     j = pl.program_id(0)
     base_u = j * UNITS
     row, lane = _iotas((PR, 2 * PW))
@@ -401,7 +472,11 @@ def _phase_c_kernel(t0_ref, off_ref, s0, s1, s2, s3, s4, out_ref):
     for m in range(CAND):
         t = jnp.minimum(t0_ref[j] + m, nt - 1)
         o_start = off_ref[t]
-        o_end = off_ref[t + 1]
+        # elen clamps every segment: units at/after the valid-prefix end
+        # stay zero (the error-path tail mask folded into the masking the
+        # kernel already does — a separate XLA pass over the 2N-byte
+        # output costs ~29 ms in the degraded elementwise class)
+        o_end = jnp.minimum(off_ref[t + 1], elen_ref[0])
         sh_units = (o_start - base_u) % UNITS  # circular
         w = srcs[m][...]
         # units-granularity roll right: odd part first (unit lane swap
@@ -417,35 +492,41 @@ def _phase_c_kernel(t0_ref, off_ref, s0, s1, s2, s3, s4, out_ref):
     out_ref[...] = acc_lo | (acc_hi << 16)
 
 
-def _phase_c(scratch, t0, off, nt: int):
+def _phase_c(scratch, t0, off, nt: int, elen):
     grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(nt,),
         in_specs=[
             pl.BlockSpec(
                 (PR, 2 * PW),
-                (lambda m: lambda j, t0r, offr: (
+                (lambda m: lambda j, t0r, offr, elr: (
                     jnp.minimum(t0r[j] + m, nt - 1), 0))(m),
             )
             for m in range(CAND)
         ],
-        out_specs=pl.BlockSpec((PR, 2 * PW), lambda j, t0r, offr: (j, 0)),
+        out_specs=pl.BlockSpec(
+            (PR, 2 * PW), lambda j, t0r, offr, elr: (j, 0)),
     )
     return pl.pallas_call(
         _phase_c_kernel,
         grid_spec=grid,
         out_shape=jax.ShapeDtypeStruct((nt * PR, 2 * PW), jnp.int32),
         interpret=_interpret(),
-    )(t0, off, *([scratch] * CAND))
+    )(t0, off, jnp.asarray(elen, jnp.int32).reshape(1),
+      *([scratch] * CAND))
 
 
 # --- driver ----------------------------------------------------------------
 
 def to_utf16_compose(b_u8: jnp.ndarray, length, big_endian: bool):
-    """Valid-path butterfly transcode of a 1-D padded uint8 buffer whose
-    size is a multiple of TILE. Returns (out u16[N], out_len, err_any):
-    err_any=True means the caller must run its exact general engine (this
-    function's out/out_len are then meaningless)."""
+    """Butterfly transcode of a 1-D padded uint8 buffer whose size is a
+    multiple of TILE. Returns (out u16[N], total, err_any, err_pos,
+    err_code, err_len): on invalid input err_pos/err_code are the exact
+    first-error position and code (ops/utf8.classify's lattice,
+    value-for-value) and err_len is the unit count of the valid prefix —
+    everything the caller's contract needs, with NO fallback engine and
+    NO conditionals (exact partial output = out[:err_len], which is
+    bit-correct by construction; the caller masks the tail)."""
     n = b_u8.shape[0]
     assert n % TILE == 0, n
     nt = n // TILE
@@ -455,23 +536,32 @@ def to_utf16_compose(b_u8: jnp.ndarray, length, big_endian: bool):
     xr = jnp.pad(x32, ((PR, PR), (0, 0)))
     scratch, stats = _phase_b(xr, length, nt, big_endian)
     counts = stats[::8, 0]
-    err_any = jnp.max(stats[::8, 1]) > 0
-    # buffer starting with a continuation byte is a driver-level event
-    err_any = err_any | (
-        ((x32[0, 0] & 0xC0) == 0x80) & (jnp.asarray(length) > 0)
-    )
+    eks = stats[::8, 2]
+    prefs = stats[::8, 3]
     off = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
     )
     total = off[nt]
+    # exact first error across tiles: tile event positions are disjoint
+    # and increasing, so the min global position is THE first error; the
+    # reporting tile's prefix + its exclusive offset = units before it
+    has = eks < BIGKEY
+    bases_b = jnp.arange(nt, dtype=jnp.int32) * TILE
+    gpos_t = bases_b + (eks >> 8)
+    err_pos = jnp.min(jnp.where(has, gpos_t, BIG))
+    first = has & (gpos_t == err_pos)
+    err_code = jnp.max(jnp.where(first, eks & 0xFF, 0))
+    err_len = jnp.sum(jnp.where(first, off[:nt] + prefs, 0))
+    err_any = err_pos < BIG
     bases = jnp.arange(nt, dtype=jnp.int32) * UNITS
     # t0[j] = last tile whose offset <= j*UNITS
     t0 = (
         jnp.sum(off[None, :nt] <= bases[:, None], axis=1).astype(jnp.int32)
         - 1
     )
-    out32 = _phase_c(scratch, t0, off, nt)
+    out_len = jnp.where(err_any, err_len, total)
+    out32 = _phase_c(scratch, t0, off, nt, out_len)
     u16 = jax.lax.bitcast_convert_type(
         out32.reshape(-1), jnp.uint16
     ).reshape(-1)
-    return u16, total, err_any
+    return u16, total, err_any, err_pos, err_code, err_len

@@ -36,9 +36,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .validate import _interpret
 from .butterfly import (
-    PR, PW, HR, _iotas, _groll_left, _groll_right, _flat_roll_left,
+    PR, PW, HR, BIG, _iotas, _groll_left, _groll_right, _flat_roll_left,
     _jroll, _proll,
 )
+from ..errors import error_code as _ec
+
+_SURROGATE = int(_ec.SURROGATE)
+# event key = local unit position << 8 | code; no event = BIGKEY16
+BIGKEY16 = (PR * PW + 8) << 8
 
 TILE_U = PR * PW  # 8192 u16 units per tile
 SLOTS = 4  # candidate output-byte slots per unit (slot 3 never kept)
@@ -91,11 +96,13 @@ def _tile_core16(prv, x, nxt, base, length, roll):
     is_lo = ((w & 0xFC00) == 0xDC00) & in_r
     nxt_lo = ((nxt_w & 0xFC00) == 0xDC00) & nxt_in
     prv_hi = ((prv_w & 0xFC00) == 0xD800) & prv_in
-    # lone surrogate anywhere (incl. a high cut off by `length`) -> the
-    # caller's exact engine takes over (generic/validate_utf16.h algebra)
-    err_any = jnp.max(
-        ((is_hi & ~nxt_lo) | (is_lo & ~prv_hi)).astype(jnp.int32)
-    )
+    # exact first-error events in-kernel (ops/utf16.first_error
+    # value-for-value): a lone surrogate at its own unit position —
+    # every event lands in the tile containing it, no fallback engine
+    row0, lane0 = _iotas((PR, PW))
+    upos = row0 * PW + lane0
+    lone = (is_hi & ~nxt_lo) | (is_lo & ~prv_hi)
+    ek = jnp.min(jnp.where(lone, (upos << 8) | _SURROGATE, BIGKEY16))
 
     e1 = in_r & (w < 0x80)
     e2 = in_r & (w >= 0x80) & (w < 0x800)
@@ -125,6 +132,8 @@ def _tile_core16(prv, x, nxt, base, length, roll):
     row, lane = _iotas((PR, PW))
     gpos = row * PW + lane
     eg = k0.astype(jnp.int32) + k1.astype(jnp.int32) + k2.astype(jnp.int32)
+    # bytes emitted for units strictly before the tile's first event
+    prefix = jnp.sum(jnp.where(gpos < (ek >> 8), eg, 0))
     inc = eg
     shift = 1
     while shift < PW:
@@ -176,7 +185,7 @@ def _tile_core16(prv, x, nxt, base, length, roll):
     # = bytes (4k..4k+3) = planes 0..3 of group k
     b = [wv & 0xFF for wv in words]
     scratch = b[0] | (b[1] << 8) | (b[2] << 16) | (b[3] << 24)
-    return scratch, count_row, err_any
+    return scratch, count_row, ek, prefix
 
 
 # --- phase B pallas_call ---------------------------------------------------
@@ -184,14 +193,19 @@ def _tile_core16(prv, x, nxt, base, length, roll):
 def _phase_b16_kernel(len_ref, prv_ref, x_ref, nxt_ref, scr_ref, st_ref):
     t = pl.program_id(0)
     base = t * TILE_U
-    scratch, count_row, err = _tile_core16(
+    scratch, count_row, ek, prefix = _tile_core16(
         prv_ref[...], x_ref[...], nxt_ref[...], base, len_ref[0], _proll,
     )
     scr_ref[...] = scratch
+    # stats lanes: 0 = byte count, 2 = min event key, 3 = bytes before
+    # the event; others = has-event flag
     _, lane = _iotas((8, PW))
-    st_ref[...] = jnp.where(
-        lane == 0, jnp.broadcast_to(count_row, (8, PW)), err
-    )
+    has = (ek < BIGKEY16).astype(jnp.int32)
+    st = jnp.full((8, PW), has, jnp.int32)
+    st = jnp.where(lane == 0, jnp.broadcast_to(count_row, (8, PW)), st)
+    st = jnp.where(lane == 2, ek, st)
+    st = jnp.where(lane == 3, prefix, st)
+    st_ref[...] = st
 
 
 def _phase_b16(xr, length, nt: int):
@@ -235,7 +249,8 @@ def _dyn_word_roll_right(w, k, roll):
     return jnp.where(lane >= lk, z2, z3)
 
 
-def _phase_c16_kernel(t0_ref, off_ref, s0, s1, s2, s3, s4, out_ref):
+def _phase_c16_kernel(t0_ref, off_ref, elen_ref, s0, s1, s2, s3, s4,
+                      out_ref):
     j = pl.program_id(0)
     base_b = j * CAPB  # global byte index of this out tile's first byte
     row, lane = _iotas((PR, PW))
@@ -247,7 +262,9 @@ def _phase_c16_kernel(t0_ref, off_ref, s0, s1, s2, s3, s4, out_ref):
     for m in range(CAND):
         t = jnp.minimum(t0_ref[j] + m, nt - 1)
         o_start = off_ref[t]
-        o_end = off_ref[t + 1]
+        # elen clamps every segment: bytes at/after the valid-prefix end
+        # stay zero (error-path tail mask folded into existing masking)
+        o_end = jnp.minimum(off_ref[t + 1], elen_ref[0])
         sh_bytes = (o_start - base_b) % CAPB  # circular
         wv = srcs[m][...]
         kw = sh_bytes // 4
@@ -273,35 +290,39 @@ def _phase_c16_kernel(t0_ref, off_ref, s0, s1, s2, s3, s4, out_ref):
     out_ref[...] = acc
 
 
-def _phase_c16(scratch, t0, off, nt: int):
+def _phase_c16(scratch, t0, off, nt: int, elen):
     grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(nt,),
         in_specs=[
             pl.BlockSpec(
                 (PR, PW),
-                (lambda m: lambda j, t0r, offr: (
+                (lambda m: lambda j, t0r, offr, elr: (
                     jnp.minimum(t0r[j] + m, nt - 1), 0))(m),
             )
             for m in range(CAND)
         ],
-        out_specs=pl.BlockSpec((PR, PW), lambda j, t0r, offr: (j, 0)),
+        out_specs=pl.BlockSpec(
+            (PR, PW), lambda j, t0r, offr, elr: (j, 0)),
     )
     return pl.pallas_call(
         _phase_c16_kernel,
         grid_spec=grid,
         out_shape=jax.ShapeDtypeStruct((nt * PR, PW), jnp.int32),
         interpret=_interpret(),
-    )(t0, off, *([scratch] * CAND))
+    )(t0, off, jnp.asarray(elen, jnp.int32).reshape(1),
+      *([scratch] * CAND))
 
 
 # --- driver ----------------------------------------------------------------
 
 def to_utf8_compose(w_u16: jnp.ndarray, length):
-    """Valid-path butterfly transcode of a 1-D padded native-order uint16
-    buffer whose unit count is a multiple of TILE_U. Returns
-    (out u8[3N], out_len, err_any): err_any=True means the caller must run
-    its exact general engine (out/out_len are then meaningless)."""
+    """Butterfly transcode of a 1-D padded native-order uint16 buffer
+    whose unit count is a multiple of TILE_U. Returns (out u8[3N], total,
+    err_any, err_pos, err_code, err_len): exact first-error position/code
+    (ops/utf16.first_error value-for-value) and the byte count of the
+    valid prefix come from in-kernel events — no fallback engine, no
+    conditionals; out is zeroed at/after the prefix end by phase C."""
     n = w_u16.shape[0]
     assert n % TILE_U == 0, n
     nt = n // TILE_U
@@ -309,18 +330,28 @@ def to_utf8_compose(w_u16: jnp.ndarray, length):
     xr = jnp.pad(x32, ((PR, PR), (0, 0)))
     scratch, stats = _phase_b16(xr, length, nt)
     counts = stats[::8, 0]
-    err_any = jnp.max(stats[::8, 1]) > 0
+    eks = stats[::8, 2]
+    prefs = stats[::8, 3]
     off = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
     )
     total = off[nt]
+    has = eks < BIGKEY16
+    bases_u = jnp.arange(nt, dtype=jnp.int32) * TILE_U
+    gpos_t = bases_u + (eks >> 8)
+    err_pos = jnp.min(jnp.where(has, gpos_t, BIG))
+    first = has & (gpos_t == err_pos)
+    err_code = jnp.max(jnp.where(first, eks & 0xFF, 0))
+    err_len = jnp.sum(jnp.where(first, off[:nt] + prefs, 0))
+    err_any = err_pos < BIG
     bases = jnp.arange(nt, dtype=jnp.int32) * CAPB
     t0 = (
         jnp.sum(off[None, :nt] <= bases[:, None], axis=1).astype(jnp.int32)
         - 1
     )
-    out32 = _phase_c16(scratch, t0, off, nt)
+    out_len = jnp.where(err_any, err_len, total)
+    out32 = _phase_c16(scratch, t0, off, nt, out_len)
     u8 = lax.bitcast_convert_type(
         out32.reshape(-1, 1), jnp.uint8
     ).reshape(-1)[: 3 * n]
-    return u8, total, err_any
+    return u8, total, err_any, err_pos, err_code, err_len

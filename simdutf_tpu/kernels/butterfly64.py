@@ -189,7 +189,7 @@ def compact_codes(chars_u8: jnp.ndarray, length, url: bool, both: bool):
     # all-whitespace tiles could otherwise overflow the static unroll)
     t_hi = jnp.sum(off[None, : nt + 1] < (bases + TILE)[:, None], axis=1)
     cand_ok = jnp.max(t_hi - t0) <= CAND
-    out32 = _phase_c16(scratch, t0, off, nt)
+    out32 = _phase_c16(scratch, t0, off, nt, nvalid)
     dense = lax.bitcast_convert_type(
         out32.reshape(-1, 1), jnp.uint8
     ).reshape(-1)

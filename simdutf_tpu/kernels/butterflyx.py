@@ -205,7 +205,7 @@ def u32_to_utf8_compose(w_u32: jnp.ndarray, length):
     ).reshape(-1, PW)
     scratch, stats = _run_phase_b(_kernel_u32_to_u8, x32, length, nt, False)
     off, t0, total, err_any = _offsets(stats, nt, 4 * TILE_E)
-    out32 = _phase_c16(scratch, t0, off, nt)
+    out32 = _phase_c16(scratch, t0, off, nt, total)
     u8 = lax.bitcast_convert_type(
         out32.reshape(-1, 1), jnp.uint8).reshape(-1)
     return u8, total, err_any
@@ -428,7 +428,7 @@ def latin1_to_utf8_compose(b_u8: jnp.ndarray, length):
     x32 = b_u8.astype(jnp.int32).reshape(-1, PW)
     scratch, stats = _run_phase_b(_kernel_l1_to_u8, x32, length, nt, False)
     off, t0, total, _ = _offsets(stats, nt, 4 * TILE_E)
-    out32 = _phase_c16(scratch, t0, off, nt)
+    out32 = _phase_c16(scratch, t0, off, nt, total)
     u8 = lax.bitcast_convert_type(
         out32.reshape(-1, 1), jnp.uint8).reshape(-1)[: 2 * n]
     return u8, total

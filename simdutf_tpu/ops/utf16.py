@@ -239,6 +239,9 @@ def _to_utf8_general(w, length, n):
     clamped = jnp.minimum(err_pos, n - 1)
     # off[0] == 0 for an exclusive scan, so err_pos == 0 needs no special case
     out_len = jnp.where(ok, total, off[clamped])
+    # zero bytes at/after out_len (engine-wide convention: on error the
+    # raw scatter leaves mechanically-decoded bytes past the valid prefix)
+    out = jnp.where(positions(out.shape[0]) < out_len, out, 0)
     return (
         jnp.where(ok, 0, err_code),
         jnp.where(ok, length, err_pos),
@@ -250,38 +253,44 @@ def _to_utf8_general(w, length, n):
 def _general_utf8(w_native, length, n):
     """The mixed-width general path, engine-selected at trace time by a
     one-time measurement (ops/engine_probe.general_engine16): the scatter
-    engine, or the butterfly concentration pipeline with an any-error
-    fallback to the scatter engine (exact first-error/partial-output
-    contracts preserved: the butterfly only returns its own output for
-    fully-valid input). ``w_native`` is already native-order."""
-    from jax import lax
-
+    engine, or the butterfly concentration pipeline — flat, no
+    conditionals: exact first-error events and the valid-prefix byte
+    count come from inside phase B, and phase C zeroes bytes at/after the
+    prefix end (see kernels/butterfly's degraded-runtime rationale).
+    ``w_native`` is already native-order."""
     from .engine_probe import general_engine16
     from ..kernels import butterfly16 as kb16
 
     if (n % kb16.TILE_U or n < kb16.TILE_U
             or general_engine16() != "butterfly"):
         return _to_utf8_general(w_native, length, n)
-    out, total, err_any = kb16.to_utf8_compose(w_native, length)
-    return lax.cond(
-        err_any,
-        lambda: _to_utf8_general(w_native, length, n),
-        lambda: (
-            vlike(jnp.int32(0), out),
-            vlike(jnp.int32(0), out) + length,
-            out,
-            jnp.int32(total),
-        ),
+    out, total, err_any, err_pos, err_code, err_len = kb16.to_utf8_compose(
+        w_native, length)
+    ok = ~err_any
+    return (
+        jnp.where(ok, 0, err_code),
+        jnp.where(ok, length, err_pos),
+        out,
+        jnp.where(ok, total, err_len),
     )
 
 
 def to_utf8(words: jnp.ndarray, length, big_endian: bool):
-    """Returns (err_code, err_pos, out u8[3N], out_len); census-routed
-    (see ops/utf8.to_utf16): whole-buffer uniform UTF-8-width classes take
-    fixed-rate elementwise branches, mixed input pays the general engine
-    (scatter or butterfly, measured — ops/engine_probe)."""
+    """Returns (err_code, err_pos, out u8[3N], out_len); with the scatter
+    engine, census-routed (see ops/utf8.to_utf16): whole-buffer uniform
+    UTF-8-width classes take fixed-rate elementwise branches. With the
+    butterfly engine (measured), the flat butterfly runs for every class
+    (correct on all of them; the census switch's dynamic conditional
+    costs a degraded-state copy while its XLA branches lose to the
+    butterfly in the states where the butterfly wins). Bytes at/after
+    out_len are zero."""
     n = words.shape[0]
-    if not DEVICE_ROUTING:
+    from .engine_probe import general_engine16
+    from ..kernels import butterfly16 as kb16
+
+    butterfly = (not n % kb16.TILE_U and n >= kb16.TILE_U
+                 and general_engine16() == "butterfly")
+    if butterfly or not DEVICE_ROUTING:
         return _general_utf8(native(words, length, big_endian), length, n)
     w16 = _native16(words, big_endian)
     ascii_, u2r, u3r, astral = census(w16, length)

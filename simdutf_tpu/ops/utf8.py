@@ -326,7 +326,11 @@ def _emit_utf16_units(cp, lead, lead4, n, big_endian: bool):
     return out, off, total
 
 def _to_utf16_general(b: jnp.ndarray, length, big_endian: bool):
-    """The general mixed-script engine: classify -> scan -> scatter."""
+    """The general mixed-script engine: classify -> scan -> scatter.
+    Units at/after out_len are zeroed (on error the raw scatter leaves
+    mechanically-decoded units past the valid prefix; the zero convention
+    makes every engine's full buffer bit-identical, not just the
+    prefix)."""
     n = b.shape[0]
     idx = positions(n)
     cls = classify(b, length)
@@ -341,16 +345,23 @@ def _to_utf16_general(b: jnp.ndarray, length, big_endian: bool):
     clamped = jnp.minimum(err_pos, n - 1)
     # off[0] == 0 for an exclusive scan, so err_pos == 0 needs no special case
     out_len = jnp.where(ok, total, off[clamped])
+    out = jnp.where(idx < out_len, out, 0)
     return jnp.where(ok, 0, err_code), jnp.where(ok, length, err_pos), out, out_len
 
 
 def _general_utf16(b: jnp.ndarray, length, big_endian: bool):
     """The mixed-script general path, engine-selected at trace time by a
     one-time measurement (ops/engine_probe): the scatter engine, or the
-    butterfly concentration pipeline with an any-error fallback to the
-    scatter engine (exact first-error/partial-output contracts preserved
-    by construction: the butterfly only ever returns its own output for
-    fully-valid input)."""
+    butterfly concentration pipeline.
+
+    Butterfly structure (tuned on the degraded-runtime findings,
+    PERF.md round 3): the compose pipeline runs UNCONDITIONALLY and
+    contains no lax.cond at all — exact first-error events (codes and
+    positions value-for-value with the scatter engine's lattice) and the
+    valid-prefix unit count are computed inside phase B, and phase C
+    clamps the output by the prefix end, so even invalid input needs no
+    second engine and costs the same as valid input. Both engines zero
+    units at/after out_len."""
     from jax import lax
 
     n = b.shape[0]
@@ -359,33 +370,43 @@ def _general_utf16(b: jnp.ndarray, length, big_endian: bool):
 
     if n % kb.TILE or n < kb.TILE or general_engine() != "butterfly":
         return _to_utf16_general(b, length, big_endian)
-    out, total, err_any = kb.to_utf16_compose(b, length, big_endian)
-    return lax.cond(
-        err_any,
-        lambda: _to_utf16_general(b, length, big_endian),
-        lambda: (
-            vlike(jnp.int32(0), out),
-            vlike(jnp.int32(0), out) + length,
-            out,
-            jnp.int32(total),
-        ),
+    out, total, err_any, err_pos, err_code, err_len = kb.to_utf16_compose(
+        b, length, big_endian)
+    ok = ~err_any
+    # out is already zeroed at/after the valid-prefix end (phase C clamps
+    # every segment by it), so no tail-mask pass is needed here
+    return (
+        jnp.where(ok, 0, err_code),
+        jnp.where(ok, length, err_pos),
+        out,
+        jnp.where(ok, total, err_len),
     )
 
 
 def to_utf16(b: jnp.ndarray, length, big_endian: bool):
-    """Validating transcode. Routes on a one-pass device census: whole-
-    buffer structured classes (ASCII / uniform 2/3/4-byte) take fixed-rate
-    elementwise branches (their census predicate IS the validity proof);
-    mixed input pays the general engine (scatter or butterfly, measured —
-    see ops/engine_probe).
+    """Validating transcode. With the scatter engine, routes on a one-pass
+    device census: whole-buffer structured classes (ASCII / uniform
+    2/3/4-byte) take fixed-rate elementwise branches (their census
+    predicate IS the validity proof); mixed input pays the scatter engine.
+    With the butterfly engine (measured, ops/engine_probe), the flat
+    butterfly runs for EVERY class: it is correct on all of them, and in
+    the device states where it wins, the census layer's dynamic switch
+    costs a degraded conditional-output copy while its XLA fast branches
+    lose to the butterfly anyway.
 
     Returns (err_code, err_pos, out u16[N], out_len). On error out_len is
     the number of units for the valid prefix (scalar-machine partial
-    output). Output capacity N is exact worst case (1 unit/byte).
+    output); units at/after out_len are zero. Output capacity N is exact
+    worst case (1 unit/byte).
     """
-    if not DEVICE_ROUTING:
-        return _general_utf16(b, length, big_endian)
     n = b.shape[0]
+    from .engine_probe import general_engine
+    from ..kernels import butterfly as kb
+
+    butterfly = (not n % kb.TILE and n >= kb.TILE
+                 and general_engine() == "butterfly")
+    if butterfly or not DEVICE_ROUTING:
+        return _general_utf16(b, length, big_endian)
     ascii_, u2, u3, u4 = census(b, length)
     br_ascii, br_u2, br_u3, br_u4 = _u16_fast_branches(b, length, n, big_endian)
 

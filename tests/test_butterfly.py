@@ -22,10 +22,11 @@ def _run(data: bytes, be=False):
     n = max(kb.TILE, ((len(arr) + kb.TILE - 1) // kb.TILE) * kb.TILE)
     p = np.zeros(n, np.uint8)
     p[: len(arr)] = arr
-    out, total, err = kb.to_utf16_compose(
+    out, total, err, err_pos, err_code, err_len = kb.to_utf16_compose(
         jnp.asarray(p), jnp.int32(len(arr)), be
     )
-    return np.asarray(out), int(total), bool(err)
+    return (np.asarray(out), int(total), bool(err),
+            int(err_pos), int(err_code), int(err_len))
 
 
 VALID = {
@@ -50,7 +51,7 @@ def test_butterfly_valid(name, be):
 
     data = bytes(VALID[name])
     data = data[: su.trim_partial_utf8(data)]
-    out, total, err = _run(data, be)
+    out, total, err = _run(data, be)[:3]
     res, want = g8.convert_to_utf16_with_errors(
         np.frombuffer(data, np.uint8), be
     )
@@ -71,8 +72,18 @@ def test_butterfly_valid(name, be):
     ],
 )
 def test_butterfly_flags_errors(name, data):
-    _, _, err = _run(bytes(data))
+    """In-kernel error events must reproduce the XLA lattice exactly:
+    same code, same position, same valid-prefix unit count."""
+    out, total, err, err_pos, err_code, err_len = _run(bytes(data))
     assert err, name
+    res, want = g8.convert_to_utf16_with_errors(
+        np.frombuffer(bytes(data), np.uint8), False
+    )
+    assert not res.is_ok
+    assert err_pos == res.count, (name, err_pos, res.count)
+    assert err_code == int(res.error), (name, err_code, res.error)
+    assert err_len == len(want), (name, err_len, len(want))
+    assert np.array_equal(out[:err_len], want), name
 
 
 def test_butterfly_cross_tile_straddle():
@@ -80,7 +91,7 @@ def test_butterfly_cross_tile_straddle():
     head = b"a" * (kb.TILE - 1)
     for ch in ("\U0001f642", "東", "é"):
         data = head[: kb.TILE - 1] + ch.encode() + b"tail"
-        out, total, err = _run(data)
+        out, total, err = _run(data)[:3]
         res, want = g8.convert_to_utf16_with_errors(
             np.frombuffer(data, np.uint8), False
         )
@@ -130,3 +141,37 @@ def test_engine_probe_cpu_defaults_scatter(monkeypatch):
     monkeypatch.setenv("SIMDUTF_TPU_GENERAL_ENGINE", "scatter")
     assert ep.general_engine() == "scatter"
     monkeypatch.setattr(ep, "_CHOICE", None)
+
+
+def test_butterfly_error_positions_at_boundaries():
+    """Inject every error kind at positions around tile boundaries and
+    verify exact (code, pos, prefix-units) parity with the golden machine
+    — the in-kernel event lattice's adversarial sweep."""
+    base = ("ab é 東 \U0001f642 ".encode() * 8000)[: 3 * kb.TILE]
+    import simdutf_tpu as su
+
+    base = bytearray(base[: su.trim_partial_utf8(base)])
+    # snap injection sites to codepoint starts near interesting offsets
+    sites = []
+    for target in (0, 5, kb.TILE - 3, kb.TILE - 1, kb.TILE, kb.TILE + 2,
+                   2 * kb.TILE - 2, len(base) - 5):
+        j = min(target, len(base) - 5)
+        while base[j] & 0xC0 == 0x80:
+            j -= 1
+        sites.append(j)
+    injections = [b"\x80", b"\xff", b"\xc0\xaf", b"\xed\xa0\x80",
+                  b"\xf4\x90\x80\x80", b"\xc3"]
+    for j in sorted(set(sites)):
+        for inj in injections:
+            data = bytes(base[:j]) + inj + bytes(base[j:])
+            out, total, err, err_pos, err_code, err_len = _run(data)
+            res, want = g8.convert_to_utf16_with_errors(
+                np.frombuffer(data, np.uint8), False
+            )
+            if res.is_ok:
+                continue  # injection happened to stay valid
+            assert err, (j, inj)
+            assert err_pos == res.count, (j, inj, err_pos, res.count)
+            assert err_code == int(res.error), (j, inj)
+            assert err_len == len(want), (j, inj, err_len, len(want))
+            assert np.array_equal(out[:err_len], want), (j, inj)

@@ -25,10 +25,11 @@ def _run(units_le: np.ndarray):
     )
     p = np.zeros(n, np.uint16)
     p[: len(units_le)] = units_le
-    out, total, err = kb16.to_utf8_compose(
+    out, total, err, err_pos, err_code, err_len = kb16.to_utf8_compose(
         jnp.asarray(p), jnp.int32(len(units_le))
     )
-    return np.asarray(out), int(total), bool(err)
+    return (np.asarray(out), int(total), bool(err),
+            int(err_pos), int(err_code), int(err_len))
 
 
 def _u(text: str) -> np.ndarray:
@@ -59,7 +60,7 @@ assert (_s[kb16.TILE_U - 1] & 0xFC00) == 0xD800
 @pytest.mark.parametrize("name", sorted(VALID))
 def test_butterfly16_valid(name):
     units = VALID[name]
-    out, total, err = _run(units)
+    out, total, err = _run(units)[:3]
     res, want = g16.convert_to_utf8_with_errors(units, False)
     assert res.is_ok and not err, (name, err, res)
     assert total == len(want), (name, total, len(want))
@@ -77,19 +78,26 @@ def test_butterfly16_valid(name):
     ],
 )
 def test_butterfly16_err_any_fires(bad):
-    # embed the bad pattern at a tile boundary too
+    # embed the bad pattern at a tile boundary too; the in-kernel events
+    # must reproduce the golden lattice exactly (code, pos, prefix bytes)
     for prefix in (0, kb16.TILE_U - 1):
         units = np.concatenate(
             [np.full(prefix, 0x41, np.uint16), bad,
              np.full(7, 0x42, np.uint16)]
         )
-        _, _, err = _run(units)
+        out, total, err, err_pos, err_code, err_len = _run(units)
         assert err, (prefix, bad)
+        res, want = g16.convert_to_utf8_with_errors(units, False)
+        assert not res.is_ok
+        assert err_pos == res.count, (prefix, bad, err_pos, res.count)
+        assert err_code == int(res.error), (prefix, bad)
+        assert err_len == len(want), (prefix, bad, err_len, len(want))
+        assert np.array_equal(out[:err_len], want), (prefix, bad)
 
 
 def test_butterfly16_valid_high_low_pairs_no_error():
     units = _u("\U00010000\U0010FFFF" * 64)
-    out, total, err = _run(units)
+    out, total, err = _run(units)[:3]
     assert not err
     _, want = g16.convert_to_utf8_with_errors(units, False)
     assert np.array_equal(out[:total], want)
@@ -103,16 +111,16 @@ def test_butterfly16_truncated_pair_is_error():
     p[: len(units)] = units
     import jax.numpy as jnp
 
-    _, _, err = kb16.to_utf8_compose(
-        jnp.asarray(p), jnp.int32(len(units) - 1)
-    )
-    assert bool(err)
+    r = kb16.to_utf8_compose(jnp.asarray(p), jnp.int32(len(units) - 1))
+    assert bool(r[2])
+    # the truncated high surrogate is the error position
+    assert int(r[3]) == len(units) - 2
 
 
 def test_butterfly16_empty():
     p = np.zeros(kb16.TILE_U, np.uint16)
-    out, total, err = kb16.to_utf8_compose(jnp.asarray(p), jnp.int32(0))
-    assert int(total) == 0 and not bool(err)
+    r = kb16.to_utf8_compose(jnp.asarray(p), jnp.int32(0))
+    assert int(r[1]) == 0 and not bool(r[2])
 
 
 def test_butterfly16_every_width_boundary():
@@ -122,7 +130,7 @@ def test_butterfly16_every_width_boundary():
     rng = np.random.default_rng(7)
     text = "".join(chr(cps[i]) for i in rng.integers(0, len(cps), 4000))
     units = _u(text)
-    out, total, err = _run(units)
+    out, total, err = _run(units)[:3]
     res, want = g16.convert_to_utf8_with_errors(units, False)
     assert res.is_ok and not err
     assert total == len(want)
