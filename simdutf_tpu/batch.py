@@ -303,9 +303,12 @@ def _j_b64dec_batch(chars, lens, url, both):
     )(chars, lens)
 
 
-@jax.jit
-def _j_b64enc_batch(data, alpha):
-    return jax.vmap(lambda d: base64_ops.encode_bulk(d, alpha))(data)
+@functools.partial(jax.jit, static_argnames=("url",))
+def _j_b64enc_batch(data, url):
+    # vmapped rows stay on the minor-dim form (a pallas_call under vmap
+    # is not worth it for short batch rows; corpus-scale single buffers
+    # go through encode_bulk's word-plane kernel instead)
+    return jax.vmap(lambda d: base64_ops.encode_small(d, url))(data)
 
 
 def base64_to_binary_batch(
@@ -362,8 +365,8 @@ def binary_to_base64_batch(
     buf, lens = _pack_matrix(
         arrs, (a.shape[0] for a in arrs), np.uint8, "batch64e",
         row_align=3)  # encode_bulk reshapes rows into 3-byte groups
-    alpha = base64_ops.alphabet_for(options)
-    quads = np.asarray(_j_b64enc_batch(buf, alpha))
+    quads = np.asarray(
+        _j_b64enc_batch(buf, url=bool(options & gb.BASE64_URL)))
     out = []
     for i, a in enumerate(arrs):
         nfull = int(lens[i]) // 3 * 3

