@@ -98,26 +98,35 @@ def lane_shapecast_supported() -> bool:
     correctness."""
     if _interpret():
         return True
+    # The tunnel's compile service is a POOL of helper processes that can
+    # run DIFFERENT toolchain builds (measured 2026-08-20: the same probe
+    # kernel alternates between compiling and crashing the helper with
+    # exit code 1 across fresh processes). One success therefore proves
+    # nothing about the helper the next real kernel will hit — require
+    # three consecutive fresh compiles (distinct constants defeat the
+    # executable cache) before trusting the shapecast path; any failure,
+    # including an HTTP 500 helper crash, routes to the XLA drivers.
     try:
-        def k(x_ref, o_ref):
-            x = x_ref[...]  # (64, 512)
-            quads = x.reshape(64, 128, 4)  # k=4 read split
-            a = quads[..., 0] ^ quads[..., 3]
-            b = quads[..., 1] ^ quads[..., 2]
-            two = jnp.stack([a, b], axis=-1).reshape(64, 256)  # k=2 write
-            pairs = two.reshape(64, 128, 2)  # k=2 read split
-            o_ref[...] = jnp.stack(
-                [pairs[..., 0], pairs[..., 1], a, b], axis=-1
-            ).reshape(64, 512)  # k=4 write
+        for trial in range(3):
+            def k(x_ref, o_ref, *, salt=trial + 1):
+                x = x_ref[...] ^ salt  # distinct program per trial
+                quads = x.reshape(64, 128, 4)  # k=4 read split
+                a = quads[..., 0] ^ quads[..., 3]
+                b = quads[..., 1] ^ quads[..., 2]
+                two = jnp.stack([a, b], axis=-1).reshape(64, 256)  # k=2 write
+                pairs = two.reshape(64, 128, 2)  # k=2 read split
+                o_ref[...] = jnp.stack(
+                    [pairs[..., 0], pairs[..., 1], a, b], axis=-1
+                ).reshape(64, 512)  # k=4 write
 
-        out = pl.pallas_call(
-            k,
-            grid=(1,),
-            in_specs=[pl.BlockSpec((64, 512), lambda i: (0, 0))],
-            out_specs=pl.BlockSpec((64, 512), lambda i: (0, 0)),
-            out_shape=jax.ShapeDtypeStruct((64, 512), jnp.int32),
-        )(jnp.zeros((64, 512), jnp.int32))
-        jax.block_until_ready(out)
+            out = pl.pallas_call(
+                k,
+                grid=(1,),
+                in_specs=[pl.BlockSpec((64, 512), lambda i: (0, 0))],
+                out_specs=pl.BlockSpec((64, 512), lambda i: (0, 0)),
+                out_shape=jax.ShapeDtypeStruct((64, 512), jnp.int32),
+            )(jnp.zeros((64, 512), jnp.int32))
+            jax.block_until_ready(out)
         return True
     except Exception:
         return False

@@ -19,11 +19,24 @@ from ..runtime import staging_buffer, tune_host_allocator
 from . import base64_ops, detect as odet, latin1 as ol1, utf8 as o8, utf16 as o16, utf32 as o32
 
 _MIN_BUCKET = 1024
+# Above this, buckets grow linearly (multiples of _BIG_STEP) instead of
+# doubling: the pow2 jump from a 66 Mi-element input straight to a 128 Mi
+# program crossed a compiler cliff (the 2^27-element HLO crashes the
+# remote compile helper — measured 2026-08-20; 96 Mi compiles fine) and
+# doubled device memory for barely-over-a-bucket inputs. 16 Mi steps keep
+# the jit cache small (<= 4 extra entries per 64 Mi) while every step is
+# a multiple of all tile/quad alignments used by the kernels (32 KiB
+# butterfly tiles, 2 KiB base64 word rows).
+_POW2_CAP = 64 << 20
+_BIG_STEP = 16 << 20
 
 
 def _bucket(n: int, multiple: int = 4) -> int:
     need = max(n + 8, _MIN_BUCKET)
-    cap = 1 << (need - 1).bit_length()
+    if need > _POW2_CAP:
+        cap = -(-need // _BIG_STEP) * _BIG_STEP
+    else:
+        cap = 1 << (need - 1).bit_length()
     if cap % multiple:
         cap += multiple - cap % multiple
     return cap

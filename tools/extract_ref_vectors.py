@@ -201,6 +201,8 @@ def main():
     vectors["utf8_invalid"] = dedup
 
     vectors["base64_inputs"] = base64_inputs()
+    vectors["utf8_mutation"] = utf8_mutation_vectors()
+    vectors["utf16_mutation"] = utf16_mutation_vectors()
 
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     with open(OUT, "w") as f:
@@ -210,7 +212,9 @@ def main():
         f"{len(vectors['utf8_valid_roundtrip'])} valid-roundtrip, "
         f"{len(vectors['utf16_valid_units'])} utf16, "
         f"{len(vectors['utf8_invalid_with_error'])} exact-error, "
-        f"{len(vectors['base64_inputs'])} base64",
+        f"{len(vectors['base64_inputs'])} base64, "
+        f"{len(vectors['utf8_mutation'])} utf8-mutation, "
+        f"{len(vectors['utf16_mutation'])} utf16-mutation",
         file=sys.stderr,
     )
 
@@ -298,6 +302,180 @@ def base64_inputs():
         add("matrix_garbage", b"TWFuTQ=" + g)
         add("matrix_garbage", b"TWFuTQ" + g + b"=")
     return out
+
+
+# --- brute-force mutation corpora (validate_utf8_brute_force_tests.cpp) ---
+
+# byte-length class weight combos exercised by the reference's corrupt_*
+# tests (tests/validate_utf8_brute_force_tests.cpp:35-59 plus the full
+# 1/2/3/4 mix of TEST(brute_force))
+_WEIGHT_COMBOS = [
+    (1, 0, 0, 0), (0, 1, 0, 0), (1, 1, 0, 0), (0, 0, 1, 0),
+    (0, 1, 1, 0), (1, 0, 1, 0), (1, 1, 1, 0), (0, 0, 0, 1),
+    (1, 0, 0, 1), (1, 1, 1, 1),
+]
+
+
+def _gen_valid_utf8(rng, weights, nbytes: int) -> bytes:
+    """Mirror tests/helpers/random_utf8.h: emit random codepoints whose
+    UTF-8 byte length is drawn from ``weights`` until ~nbytes."""
+    import numpy as np
+
+    w = np.asarray(weights, dtype=np.float64)
+    w = w / w.sum()
+    out = bytearray()
+    while len(out) < nbytes:
+        k = int(rng.choice(4, p=w)) + 1
+        if k == 1:
+            cp = int(rng.integers(0x01, 0x80))
+        elif k == 2:
+            cp = int(rng.integers(0x80, 0x800))
+        elif k == 3:
+            cp = int(rng.integers(0x800, 0x10000))
+            while 0xD800 <= cp <= 0xDFFF:
+                cp = int(rng.integers(0x800, 0x10000))
+        else:
+            cp = int(rng.integers(0x10000, 0x110000))
+        out += chr(cp).encode("utf-8")
+    return bytes(out)
+
+
+def _expected_utf8(data: bytes):
+    """Dual-oracle expectation: the golden scalar machine's (valid, pos,
+    code), cross-checked against CPython's independent decoder (validity
+    always; first-error byte offset via UnicodeDecodeError.start — the
+    same offset convention as simdutf's with-errors results)."""
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from simdutf_tpu.golden import utf8 as g8
+
+    arr = np.frombuffer(data, np.uint8)
+    res = g8.validate_with_errors(arr)
+    try:
+        data.decode("utf-8")
+        py_ok, py_start = True, None
+    except UnicodeDecodeError as e:
+        py_ok, py_start = False, e.start
+    assert res.is_ok == py_ok, (data, res, py_ok)
+    if res.is_ok:
+        return {"valid": True}
+    assert res.count == py_start, (data, res.count, py_start)
+    return {"valid": False, "pos": int(res.count), "code": res.error.name}
+
+
+def utf8_mutation_vectors():
+    """The reference's corrupt/brute-force methodology frozen as data:
+    per weight class, generate valid strings and corrupt one position
+    with (a) a random byte and (b) a one-hot bit value
+    (validate_utf8_brute_force_tests.cpp:19-28,74-77), keeping a spread
+    of now-invalid and still-valid mutants. Each vector carries its
+    dual-oracle expectation (golden machine == CPython, asserted at
+    extraction time)."""
+    import numpy as np
+
+    rng = np.random.default_rng(20260820)
+    vectors = []
+    for weights in _WEIGHT_COMBOS:
+        for rep in range(3):
+            base = _gen_valid_utf8(rng, weights, 200 + 60 * rep)
+            vectors.append({"data": b64(base), **_expected_utf8(base)})
+            invalid_kept = valid_kept = 0
+            trials = 0
+            while (invalid_kept < 12 or valid_kept < 3) and trials < 4000:
+                trials += 1
+                mut = bytearray(base)
+                pos = int(rng.integers(0, len(mut)))
+                if trials % 2:
+                    mut[pos] = int(rng.integers(0, 256))
+                else:
+                    mut[pos] = 1 << int(rng.integers(0, 8))
+                mb = bytes(mut)
+                if mb == base:
+                    continue
+                exp = _expected_utf8(mb)
+                if exp["valid"]:
+                    if valid_kept >= 3:
+                        continue
+                    valid_kept += 1
+                else:
+                    if invalid_kept >= 12:
+                        continue
+                    invalid_kept += 1
+                vectors.append({"data": b64(mb), **exp})
+    # truncation sweep on a 4-class mix (the reference's partial-sequence
+    # edge: every cut position near the end of a multi-byte sequence)
+    base = _gen_valid_utf8(rng, (1, 1, 1, 1), 96)
+    for cut in range(max(0, len(base) - 12), len(base)):
+        vectors.append({"data": b64(base[:cut]), **_expected_utf8(base[:cut])})
+    return vectors
+
+
+def _expected_utf16le(data: bytes):
+    """Golden utf16 expectation (unit-indexed pos), validity cross-checked
+    against CPython's utf-16-le decoder."""
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from simdutf_tpu.golden import utf16 as g16
+
+    w = np.frombuffer(data, np.uint16)
+    res = g16.validate_with_errors(w, False)
+    try:
+        data.decode("utf-16-le")
+        py_ok = True
+    except UnicodeDecodeError:
+        py_ok = False
+    assert res.is_ok == py_ok, (data, res, py_ok)
+    if res.is_ok:
+        return {"valid": True}
+    return {"valid": False, "pos": int(res.count), "code": res.error.name}
+
+
+def utf16_mutation_vectors():
+    """UTF-16LE mutation corpus: random BMP+astral unit streams with one
+    unit overwritten (lone-surrogate injections dominate), mirroring the
+    reference's random_utf16-driven validate/convert sweeps
+    (tests/validate_utf16_tests.cpp methodology)."""
+    import numpy as np
+
+    rng = np.random.default_rng(16_20260820)
+    vectors = []
+    for astral_w in (0.0, 0.15, 0.6):
+        for rep in range(4):
+            units = []
+            while len(units) < 120 + 30 * rep:
+                if rng.random() < astral_w:
+                    cp = int(rng.integers(0x10000, 0x110000))
+                    cpx = cp - 0x10000
+                    units += [0xD800 + (cpx >> 10), 0xDC00 + (cpx & 0x3FF)]
+                else:
+                    u = int(rng.integers(1, 0x10000))
+                    while 0xD800 <= u <= 0xDFFF:
+                        u = int(rng.integers(1, 0x10000))
+                    units.append(u)
+            base = np.asarray(units, np.uint16).tobytes()
+            vectors.append({"data": b64(base), **_expected_utf16le(base)})
+            invalid_kept = 0
+            trials = 0
+            while invalid_kept < 10 and trials < 2000:
+                trials += 1
+                mut = bytearray(base)
+                upos = int(rng.integers(0, len(mut) // 2))
+                val = (int(rng.integers(0xD800, 0xE000)) if trials % 2
+                       else int(rng.integers(0, 0x10000)))
+                mut[2 * upos : 2 * upos + 2] = val.to_bytes(2, "little")
+                mb = bytes(mut)
+                if mb == base:
+                    continue
+                exp = _expected_utf16le(mb)
+                if exp["valid"]:
+                    continue
+                invalid_kept += 1
+                vectors.append({"data": b64(mb), **exp})
+    return vectors
 
 
 if __name__ == "__main__":

@@ -150,6 +150,27 @@ def main():
 
     timed("full", chain(
         lambda x, n: kb.to_utf16_compose(x, n, False)[1]), xj)
+    # 'full' consumes only the unit count, so XLA dead-code-eliminates
+    # phase C and the out-cast (the round-3 11.7 ms "full pipeline" was
+    # really phase B + glue). The rows below force the real output:
+    #   fullc    : + phase C (out[0] read; the out-cast still folds away)
+    #   flagship : the bench-identical wrapper (o8.to_utf16, engine
+    #              pinned to butterfly) with the same out-probe bench.py
+    #              uses — everything the official row pays, including the
+    #              u16 bitcast pass and the census/routing wrapper
+    timed("fullc", chain(
+        lambda x, n: kb.to_utf16_compose(x, n, False)[0][0]
+        .astype(jnp.int32)), xj)
+
+    from simdutf_tpu.ops import engine_probe as ep
+
+    ep._CHOICE = "butterfly"
+
+    def flagship_body(x, n):
+        code, pos, out, out_len = o8.to_utf16(x, n, False)
+        return out_len + code + pos + out[out_len % 1000].astype(jnp.int32)
+
+    timed("flagship", chain(flagship_body), xj)
     timed("scatter", chain(
         lambda x, n: o8._to_utf16_general(x, n, False)[3]), xj)
 
