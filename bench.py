@@ -103,7 +103,21 @@ def run_chained(f, x, lengths):
     # device_get is the sync barrier: on the tunneled TPU platform,
     # block_until_ready has been observed returning before the work
     # drains, shifting cost into the next measurement.
-    jax.device_get(f(x, jnp.asarray(lengths)))
+    # The remote-compile helper POOL answers the same program
+    # inconsistently (HTTP 500 crashes on one request, success on the
+    # next — measured 2026-08-20), so the warmup compile retries twice
+    # before a row is declared failed; jax does not cache failed
+    # compiles, so a retry reaches a different helper.
+    for attempt in range(3):
+        try:
+            jax.device_get(f(x, jnp.asarray(lengths)))
+            break
+        except Exception as e:
+            if attempt == 2 or "remote_compile" not in str(e):
+                raise
+            log(f"    transient compile-helper failure; retrying "
+                f"({str(e).splitlines()[0][:90]})")
+            time.sleep(5)
     ts = []
     for t in range(TRIALS):
         lens_t = jnp.asarray(np.roll(lengths, t + 1))
@@ -271,6 +285,98 @@ def main():
         f"roundtrip {tunnel_ms:.1f} ms "
         f"({health_state.upper() + ' - numbers below under-report' if degraded else 'HEALTHY'})")
 
+    # --- in-state ceiling anchors (VERDICT r03 #6) ---------------------
+    # With the chip recurrently degraded, "% of HBM SOL" is
+    # unfalsifiable (every row reads ~0%). The falsifiable target is the
+    # fraction of what THIS device state can do: per path, an analytic
+    # bound from (a) the measured stream bandwidth above, (b) the
+    # measured identity-scatter latency, and (c) the VPU elementwise-op
+    # rate measured here — two chained runs whose per-pass op-chain
+    # lengths differ, so the traffic term cancels and the difference is
+    # pure vector-ALU time. Model details: PERF.md "In-state ceilings".
+    VPU_N, VPU_ITERS, VPU_K1, VPU_K2 = 8 * 1024 * 1024, 8, 4, 260
+    xv = jax.device_put(np.arange(VPU_N, dtype=np.int32))
+
+    def _mk_vpu(K):
+        @jax.jit
+        def p(x, k):
+            def body(i, acc):
+                y = x ^ (acc + k)
+                for _ in range(K - 1):
+                    y = y + (y >> 1)  # dependent: not fusable away
+                return y[0] + y[VPU_N - 3]
+            return lax.fori_loop(0, VPU_ITERS, body, jnp.int32(0))
+        return p
+
+    vpu_geops = None
+    try:
+        pv1, pv2 = _mk_vpu(VPU_K1), _mk_vpu(VPU_K2)
+        jax.device_get(pv1(xv, jnp.int32(0)))
+        jax.device_get(pv2(xv, jnp.int32(0)))
+        t0 = time.perf_counter()
+        jax.device_get(pv1(xv, jnp.int32(1)))
+        tv1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        jax.device_get(pv2(xv, jnp.int32(2)))
+        tv2 = time.perf_counter() - t0
+        if tv2 - tv1 > 2e-3:
+            vpu_geops = ((VPU_K2 - VPU_K1) * 2 * VPU_N * VPU_ITERS
+                         / (tv2 - tv1) / 1e9)
+            log(f"vpu anchor: {vpu_geops:.0f} Gelem-ops/s "
+                f"(chained int32, K={VPU_K1}/{VPU_K2} differential)")
+        else:
+            log(f"vpu anchor: differential too small to trust "
+                f"({(tv2 - tv1) * 1e3:.1f} ms); ceilings unavailable")
+    except Exception as e:  # pragma: no cover
+        log(f"vpu anchor skipped: {e}")
+
+    ceiling_pct = {}
+
+    def in_state_ceiling_ms(path: str, n_bytes: int) -> float | None:
+        """Analytic in-state lower bound (ms) for one flagship iteration.
+
+        max(traffic floor, VPU floor, scatter floor) with the measured
+        anchors; per-path constants документed in PERF.md. Returns None
+        when an anchor needed by the path is missing."""
+        bw = probe_gbps  # GB/s, chained-read stream bandwidth
+        t_traffic = t_vpu = t_scat = 0.0
+        nt = n_bytes / 32768.0
+        if path in ("utf8_to_utf16_butterfly", "utf16_to_utf8_butterfly",
+                    "base64_butterfly"):
+            if bw is None or vpu_geops is None:
+                return None
+            ops_elems = {
+                # (vector ops per tile) x (elements per vector op)
+                "utf8_to_utf16_butterfly": 650 * 9216 + 70 * 16384,
+                "utf16_to_utf8_butterfly": 520 * 9216 + 70 * 16384,
+                "base64_butterfly": 330 * 8192 + 70 * 16384,
+            }[path]
+            t_vpu = ops_elems * nt / (vpu_geops * 1e9) * 1e3
+            t_traffic = 3.0 * n_bytes / (bw * 1e9) * 1e3
+        elif path in ("utf8_to_utf16_scatter", "utf16_to_utf8_scatter",
+                      "base64_scatter"):
+            if scat_ns is None or bw is None:
+                return None
+            t_scat = n_bytes * scat_ns * 1e-6
+            t_traffic = 3.0 * n_bytes / (bw * 1e9) * 1e3
+        elif path == "validate_utf8":
+            if bw is None or vpu_geops is None:
+                return None
+            t_vpu = 40 * 9216 * nt / (vpu_geops * 1e9) * 1e3
+            t_traffic = n_bytes / (bw * 1e9) * 1e3
+        else:
+            return None
+        return max(t_traffic, t_vpu, t_scat)
+
+    def log_ceiling(row: str, path: str, n_bytes: int, dt_s: float):
+        c = in_state_ceiling_ms(path, n_bytes)
+        if c is None:
+            return
+        pct = 100.0 * (c / 1e3) / dt_s
+        ceiling_pct[row] = round(pct, 1)
+        log(f"    in-state ceiling [{path}]: {c:.2f} ms -> "
+            f"{pct:.0f}% of in-state ceiling")
+
     p, n = oi._pad(arr)
     log(f"corpus {nbytes} bytes, padded shape {p.shape}")
     t0 = time.time()
@@ -307,7 +413,14 @@ def main():
         def f_transcode(x, lens):
             def body(i, acc):
                 code, pos, out, out_len = o8.to_utf16(x, lens[i & 7], False)
-                probe = out[(acc % 1000).astype(jnp.int32)].astype(jnp.int32)
+                # content probe at STATIC indices: a dynamic single-element
+                # index into the engine's bitcast-composed output forces an
+                # unfused gather path costing ~30 ms/iter at 64 MiB in the
+                # scatter-degraded state (measured 2026-08-20) — a harness
+                # artifact no real consumer pays (the library ships the
+                # whole array). Caching is already defeated by the
+                # rotating length vector (fresh args per trial).
+                probe = (out[0] + out[777] + out[12345]).astype(jnp.int32)
                 return acc + out_len + code + pos + probe
             return lax.fori_loop(0, ITERS, body, jnp.int32(0))
         return f_transcode
@@ -345,6 +458,7 @@ def main():
     log(f"general engine: {engine} (full-scale A/B above)")
     dt = eng_dt[engine]
     transcode_gbps = nbytes / dt / 1e9
+    log_ceiling("utf8_to_utf16", f"utf8_to_utf16_{engine}", nbytes, dt)
     profile_dir = _os.environ.get("BENCH_PROFILE_DIR")
     if profile_dir:
         # one separately-profiled iteration AFTER the timed runs (the
@@ -427,7 +541,8 @@ def main():
                 def body(i, acc):
                     code, pos, out, out_len = o16.to_utf8(
                         x, lens[i & 7], False)
-                    probe = out[(acc % 1000).astype(jnp.int32)].astype(
+                    # static content probe (see flagship note)
+                    probe = (out[0] + out[777] + out[12345]).astype(
                         jnp.int32)
                     return acc + out_len + code + pos + probe
                 return lax.fori_loop(0, ITERS, body, jnp.int32(0))
@@ -457,6 +572,8 @@ def main():
             log(f"utf16->utf8 validating transcode: "
                 f"{fmt_gbps(nbytes16/dt16s[eng16]/1e9)} GB/s in "
                 f"(engine {eng16})")
+            log_ceiling("utf16_to_utf8", f"utf16_to_utf8_{eng16}",
+                        nbytes16, dt16s[eng16])
         else:
             log("utf16->utf8 validating transcode: skipped "
                 "(both engines failed; causes above)")
@@ -481,8 +598,9 @@ def main():
                 def body(i, acc):
                     fb, nv, nvb, packed, tv, ts = ob.decode_bulk_routed(
                         x, lens[i & 7], False, False)
-                    probe = packed[(acc % 1000).astype(jnp.int32)].astype(
-                        jnp.int32)
+                    # static content probe (see flagship note)
+                    probe = (packed[0] + packed[777] + packed[12345]
+                             ).astype(jnp.int32)
                     return acc + nv + fb % 7 + probe
                 return lax.fori_loop(0, ITERS, body, jnp.int32(0))
             return f_b64
@@ -512,6 +630,8 @@ def main():
             log(f"base64 forgiving decode (MIME \\r\\n/76): "
                 f"{fmt_gbps(len(a64)/dt64s[eng64]/1e9)} GB/s in "
                 f"(engine {eng64})")
+            log_ceiling("base64_decode", f"base64_{eng64}",
+                        len(a64), dt64s[eng64])
         else:
             log("base64 forgiving decode: skipped "
                 "(both engines failed; causes above)")
@@ -530,6 +650,7 @@ def main():
         f"utf8 validate (xla): {nbytes/dtv/1e9:.1f} GB/s "
         f"({100*(nbytes/hbm/1e9)/dtv:.0f}% of single-read SOL)"
     )
+    log_ceiling("validate_utf8", "validate_utf8", nbytes, dtv)
 
     try:
         from simdutf_tpu.kernels import validate as kv
@@ -594,7 +715,7 @@ def main():
         def f_widen(x, lens):
             def body(i, acc):
                 out, flag = ktr.ascii_widen_utf16(x, big_endian=False)
-                probe = out[(acc % 64).astype(jnp.int32), i & 127]
+                probe = out[0, i & 127] + out[7, i & 127]
                 return acc + flag + probe + lens[i & 7] * 0
             return lax.fori_loop(0, ITERS, body, jnp.int32(0))
 
@@ -622,7 +743,7 @@ def main():
         def f_b64c(x, lens):
             def body(i, acc):
                 out, flag = kb64.clean_decode(x, lens[i & 7])
-                probe = out[(acc % 64).astype(jnp.int32), i & 127]
+                probe = out[0, i & 127] + out[7, i & 127]
                 return acc + flag + probe
             return lax.fori_loop(0, ITERS, body, jnp.int32(0))
 
@@ -653,7 +774,7 @@ def main():
         def f_u3(x, lens):
             def body(i, acc):
                 out, flag = ktr.uniform3_utf8_to_utf16(x, lens[i & 7])
-                probe = out[(acc % 64).astype(jnp.int32), i & 127]
+                probe = out[0, i & 127] + out[7, i & 127]
                 return acc + flag + probe
             return lax.fori_loop(0, ITERS, body, jnp.int32(0))
 
@@ -694,6 +815,10 @@ def main():
         "engine_ab_gbps": {
             k: round(nbytes / v / 1e9, 2) for k, v in eng_dt.items()
         },
+        # in-state ceiling model (VERDICT r03 #6): % of the analytic
+        # bound achievable in THIS device state (PERF.md derivation)
+        "vpu_geops": round(vpu_geops, 1) if vpu_geops else None,
+        "ceiling_pct": ceiling_pct,
     }
     # Surface the best committed healthy-window artifact (captured by
     # tools/watch_healthy.sh into perf_records/) so a degraded-window run

@@ -30,8 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .validate import (_interpret, lane_shapecast_supported, vany,
-                       xla_driver)
+from .validate import (_interpret, pallas_lowers, sds, vany, xla_driver)
 
 RB = 16  # rows per tile: (16, 512) int32 = 32 KiB of chars
 
@@ -112,7 +111,10 @@ def clean_decode(x32: jnp.ndarray, nwords, url: bool = False,
     quads). Padding words decode as zeros without raising the flag.
 
     Returns (out (R, 384) int32 = decoded byte stream, flag)."""
-    if not lane_shapecast_supported():
+    if not pallas_lowers(
+        "b64_clean_decode",
+        lambda: _clean_decode_pallas(jnp.zeros((RB, 512), jnp.int32), 0),
+    ):
         return xla_driver(_decode_core, x32, nwords, url, both)
     return _clean_decode_pallas(x32, nwords, url, both)
 
@@ -133,8 +135,8 @@ def _clean_decode_pallas(x32: jnp.ndarray, nwords, url: bool = False,
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((x32.shape[0], 384), jnp.int32),
-            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            sds(x32, (x32.shape[0], 384), jnp.int32),
+            sds(x32, (1, 1), jnp.int32),
         ),
         interpret=_interpret(),
     )(jnp.reshape(jnp.asarray(nwords, jnp.int32), (1,)), x32)
@@ -171,9 +173,12 @@ def _pack_xla():
 def pack_sextets(w32: jnp.ndarray) -> jnp.ndarray:
     """(R, 512) int32 sextet-value words -> (R, 384) int32 byte words
     (4->3 fixed-rate repack of already-compacted 6-bit values). Pallas
-    when the toolchain lowers lane shape casts and R % RB == 0; the
-    bit-identical XLA driver otherwise."""
-    if w32.shape[0] % RB or not lane_shapecast_supported():
+    when the toolchain lowers its casts (own-kernel probe) and
+    R % RB == 0; the bit-identical XLA driver otherwise."""
+    if w32.shape[0] % RB or not pallas_lowers(
+        "b64_pack_sextets",
+        lambda: _pack_sextets_pallas(jnp.zeros((RB, 512), jnp.int32)),
+    ):
         return _pack_xla()(w32)
     return _pack_sextets_pallas(w32)
 
@@ -186,7 +191,7 @@ def _pack_sextets_pallas(w32: jnp.ndarray):
         grid=(grid,),
         in_specs=[pl.BlockSpec((RB, 512), lambda i: (i, 0))],
         out_specs=pl.BlockSpec((RB, 384), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((w32.shape[0], 384), jnp.int32),
+        out_shape=sds(w32, (w32.shape[0], 384), jnp.int32),
         interpret=_interpret(),
     )(w32)
 
@@ -240,9 +245,12 @@ def _encode_xla(url: bool):
 def block_encode(x32: jnp.ndarray, url: bool = False):
     """x32: (R, 384) int32 view of the padded payload (the caller slices
     to whole 3-byte groups). Returns (R, 512) int32 char stream (4 chars
-    per lane). Pallas when the toolchain lowers lane shape casts and
-    R % RB == 0; the bit-identical XLA driver otherwise."""
-    if x32.shape[0] % RB or not lane_shapecast_supported():
+    per lane). Pallas when the toolchain lowers its casts (own-kernel
+    probe) and R % RB == 0; the bit-identical XLA driver otherwise."""
+    if x32.shape[0] % RB or not pallas_lowers(
+        "b64_block_encode",
+        lambda: _block_encode_pallas(jnp.zeros((RB, 384), jnp.int32), url),
+    ):
         return _encode_xla(url)(x32)
     return _block_encode_pallas(x32, url)
 
@@ -255,6 +263,6 @@ def _block_encode_pallas(x32: jnp.ndarray, url: bool = False):
         grid=(grid,),
         in_specs=[pl.BlockSpec((RB, 384), lambda i: (i, 0))],
         out_specs=pl.BlockSpec((RB, 512), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((x32.shape[0], 512), jnp.int32),
+        out_shape=sds(x32, (x32.shape[0], 512), jnp.int32),
         interpret=_interpret(),
     )(x32)

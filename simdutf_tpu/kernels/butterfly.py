@@ -60,7 +60,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .validate import _interpret, vany
+from .validate import _interpret, sds, vany
 from ..errors import error_code as _ec
 
 PR = 64  # rows per tile
@@ -432,8 +432,8 @@ def _phase_b(xr, length, nt: int, big_endian: bool):
         functools.partial(_phase_b_kernel, big_endian=big_endian),
         grid_spec=grid,
         out_shape=(
-            jax.ShapeDtypeStruct((nt * PR, 2 * PW), jnp.int32),
-            jax.ShapeDtypeStruct((nt * 8, PW), jnp.int32),
+            sds(xr, (nt * PR, 2 * PW), jnp.int32),
+            sds(xr, (nt * 8, PW), jnp.int32),
         ),
         interpret=_interpret(),
     )(jnp.asarray(length, jnp.int32).reshape(1), xr, xr, xr)
@@ -510,7 +510,7 @@ def _phase_c(scratch, t0, off, nt: int, elen):
     return pl.pallas_call(
         _phase_c_kernel,
         grid_spec=grid,
-        out_shape=jax.ShapeDtypeStruct((nt * PR, 2 * PW), jnp.int32),
+        out_shape=sds(scratch, (nt * PR, 2 * PW), jnp.int32),
         interpret=_interpret(),
     )(t0, off, jnp.asarray(elen, jnp.int32).reshape(1),
       *([scratch] * CAND))

@@ -34,7 +34,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .validate import _interpret
+from .validate import _interpret, sds
 from .butterfly import (
     PR, PW, HR, BIG, _iotas, _groll_left, _groll_right, _flat_roll_left,
     _jroll, _proll,
@@ -228,8 +228,8 @@ def _phase_b16(xr, length, nt: int):
         _phase_b16_kernel,
         grid_spec=grid,
         out_shape=(
-            jax.ShapeDtypeStruct((nt * PR, PW), jnp.int32),
-            jax.ShapeDtypeStruct((nt * 8, PW), jnp.int32),
+            sds(xr, (nt * PR, PW), jnp.int32),
+            sds(xr, (nt * 8, PW), jnp.int32),
         ),
         interpret=_interpret(),
     )(jnp.asarray(length, jnp.int32).reshape(1), xr, xr, xr)
@@ -308,7 +308,7 @@ def _phase_c16(scratch, t0, off, nt: int, elen):
     return pl.pallas_call(
         _phase_c16_kernel,
         grid_spec=grid,
-        out_shape=jax.ShapeDtypeStruct((nt * PR, PW), jnp.int32),
+        out_shape=sds(scratch, (nt * PR, PW), jnp.int32),
         interpret=_interpret(),
     )(t0, off, jnp.asarray(elen, jnp.int32).reshape(1),
       *([scratch] * CAND))

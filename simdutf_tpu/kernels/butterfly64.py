@@ -29,13 +29,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .validate import _interpret
+from .validate import _interpret, sds
 from .butterfly import (
     PR, PW, HR, TILE, _iotas, _groll_left, _flat_roll_left, _proll,
 )
 from .butterfly16 import _phase_c16, CAND
 
 STAGES = 15  # log2(TILE) candidate positions (4 planes x 8192 groups)
+BIGPOS64 = TILE + 8  # no-invalid-char sentinel (tile-local positions)
+BIG = 2**31 - 1
 
 
 def _classify(b, url: bool, both: bool):
@@ -59,11 +61,16 @@ def _classify(b, url: bool, both: bool):
 
 def _tile_core64(x, base, length, url: bool, both: bool, roll):
     """x: (PR, PW) int32 tile (4 chars per lane). Returns (scratch
-    (PR, PW) int32 byte-packed compacted codes, count_row, err_any)."""
+    (PR, PW) int32 byte-packed compacted codes, count_row, ek, prefix):
+    ek = TILE-LOCAL position of the tile's first invalid char (BIGPOS64
+    when none) and prefix = kept chars strictly before it — the exact
+    in-kernel event discipline of kernels/butterfly.py, so the caller
+    needs NO fallback engine for invalid input (the scatter fallback
+    costs ~10x the fast path when taken; invalid chars must not pay it)."""
     row, lane = _iotas((PR, PW))
     gpos = row * PW + lane
     keeps, vals = [], []
-    err_any = jnp.int32(0)
+    ek = jnp.int32(BIGPOS64)
     for m in range(4):
         b = (x >> (8 * m)) & 0xFF
         q = base + 4 * gpos + m
@@ -71,8 +78,9 @@ def _tile_core64(x, base, length, url: bool, both: bool, roll):
         code = _classify(b, url, both)
         keeps.append((code <= 63) & in_r)
         vals.append(code)
-        err_any = jnp.maximum(
-            err_any, jnp.max(((code > 64) & in_r).astype(jnp.int32))
+        lpos = 4 * gpos + m
+        ek = jnp.minimum(
+            ek, jnp.min(jnp.where((code > 64) & in_r, lpos, BIGPOS64))
         )
 
     # tile-exclusive scan of keeps over flat byte order
@@ -120,21 +128,33 @@ def _tile_core64(x, base, length, url: bool, both: bool, roll):
             take = ((arr[m] >> 8) & s) != 0
             words[m] = jnp.where(take, arr[m] - (s << 8), words[m])
 
+    # kept chars strictly before the tile's first invalid char (exact
+    # valid-prefix count, butterfly.py's discipline)
+    prefix = jnp.int32(0)
+    for m in range(4):
+        prefix = prefix + jnp.sum(
+            (keeps[m] & ((4 * gpos + m) < ek)).astype(jnp.int32))
+
     b = [wv & 0xFF for wv in words]
     scratch = b[0] | (b[1] << 8) | (b[2] << 16) | (b[3] << 24)
-    return scratch, count_row, err_any
+    return scratch, count_row, ek, prefix
 
 
 def _phase_b64_kernel(len_ref, x_ref, scr_ref, st_ref, *, url, both):
     t = pl.program_id(0)
-    scratch, count_row, err = _tile_core64(
+    scratch, count_row, ek, prefix = _tile_core64(
         x_ref[...], t * TILE, len_ref[0], url, both, _proll,
     )
     scr_ref[...] = scratch
+    # stats lanes: 0 = kept count, 2 = first-invalid local pos (BIGPOS64
+    # when none), 3 = kept chars before it; others = has-event flag
     _, lane = _iotas((8, PW))
-    st_ref[...] = jnp.where(
-        lane == 0, jnp.broadcast_to(count_row, (8, PW)), err
-    )
+    has = (ek < BIGPOS64).astype(jnp.int32)
+    st = jnp.full((8, PW), has, jnp.int32)
+    st = jnp.where(lane == 0, jnp.broadcast_to(count_row, (8, PW)), st)
+    st = jnp.where(lane == 2, ek, st)
+    st = jnp.where(lane == 3, prefix, st)
+    st_ref[...] = st
 
 
 def _phase_b64(x32, length, nt: int, url: bool, both: bool):
@@ -151,8 +171,8 @@ def _phase_b64(x32, length, nt: int, url: bool, both: bool):
         functools.partial(_phase_b64_kernel, url=url, both=both),
         grid_spec=grid,
         out_shape=(
-            jax.ShapeDtypeStruct((nt * PR, PW), jnp.int32),
-            jax.ShapeDtypeStruct((nt * 8, PW), jnp.int32),
+            sds(x32, (nt * PR, PW), jnp.int32),
+            sds(x32, (nt * 8, PW), jnp.int32),
         ),
         interpret=_interpret(),
     )(jnp.asarray(length, jnp.int32).reshape(1), x32)
@@ -161,10 +181,13 @@ def _phase_b64(x32, length, nt: int, url: bool, both: bool):
 def compact_codes(chars_u8: jnp.ndarray, length, url: bool, both: bool):
     """Compact the base64 code stream of a padded uint8 buffer whose size
     is a multiple of TILE. Returns (dense u8[N] codes (zero beyond
-    nvalid), nvalid, err_any, cand_ok, off): err_any = an invalid char
-    exists (fall back for exact first_bad); cand_ok=False = whitespace so
-    dense that composition's segment bound would be exceeded (fall back);
-    off = per-tile exclusive output offsets (nt+1,)."""
+    nvalid), nvalid, first_bad, nvalid_at_bad, cand_ok, off):
+    first_bad = global index of the first invalid char (BIG when none)
+    and nvalid_at_bad = alphabet chars strictly before it — exact from
+    in-kernel events, matching ops/base64_ops.decode_bulk's scatter
+    semantics value-for-value. cand_ok=False = whitespace so dense that
+    composition's segment bound would be exceeded (the caller's only
+    remaining fallback reason); off = per-tile exclusive offsets."""
     from jax import lax
 
     n = chars_u8.shape[0]
@@ -175,22 +198,37 @@ def compact_codes(chars_u8: jnp.ndarray, length, url: bool, both: bool):
     ).reshape(-1, PW)
     scratch, stats = _phase_b64(x32, length, nt, url, both)
     counts = stats[::8, 0]
-    err_any = jnp.max(stats[::8, 1]) > 0
+    eks = stats[::8, 2]
+    prefs = stats[::8, 3]
     off = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
     )
     nvalid = off[nt]
     bases = jnp.arange(nt, dtype=jnp.int32) * TILE
+    # exact first invalid char across tiles (tile events are disjoint and
+    # increasing, butterfly.py's merge)
+    has = eks < BIGPOS64
+    gpos_t = bases + eks
+    first_bad = jnp.min(jnp.where(has, gpos_t, BIG))
+    first = has & (gpos_t == first_bad)
+    nvalid_at_bad = jnp.sum(jnp.where(first, off[:nt] + prefs, 0))
     t0 = (
         jnp.sum(off[None, :nt] <= bases[:, None], axis=1).astype(jnp.int32)
         - 1
     )
     # windows must not span more than CAND segments (empty segments from
-    # all-whitespace tiles could otherwise overflow the static unroll)
-    t_hi = jnp.sum(off[None, : nt + 1] < (bases + TILE)[:, None], axis=1)
-    cand_ok = jnp.max(t_hi - t0) <= CAND
+    # all-whitespace tiles could otherwise overflow the static unroll).
+    # Only the window's overlap with [0, nvalid) matters: the padded tail
+    # beyond ``length`` contributes a run of empty segments with
+    # off == nvalid, which intersect nothing — counting them flagged
+    # EVERY bench-scale MIME corpus as pathological and silently routed
+    # it to the scatter fallback (0.09 GB/s shipped while the fast path
+    # measured 0.91, 2026-08-20)
+    hi = jnp.minimum(bases + TILE, nvalid)
+    t_hi = jnp.sum(off[None, : nt + 1] < hi[:, None], axis=1)
+    cand_ok = jnp.max(jnp.where(hi > bases, t_hi - t0, 0)) <= CAND
     out32 = _phase_c16(scratch, t0, off, nt, nvalid)
     dense = lax.bitcast_convert_type(
         out32.reshape(-1, 1), jnp.uint8
     ).reshape(-1)
-    return dense, nvalid, err_any, cand_ok, off
+    return dense, nvalid, first_bad, nvalid_at_bad, cand_ok, off

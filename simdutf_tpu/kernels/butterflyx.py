@@ -25,7 +25,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .validate import _interpret
+from .validate import _interpret, sds
 from .butterfly import PR, PW, HR, _iotas, _groll_left, _flat_roll_left, _proll
 from .butterfly16 import _phase_c16, _dyn_word_roll_right
 from .butterfly32 import _phase_c32
@@ -130,8 +130,8 @@ def _run_phase_b(kernel, x32, length, nt: int, halo: bool):
         kernel,
         grid_spec=grid,
         out_shape=(
-            jax.ShapeDtypeStruct((nt * PR, PW), jnp.int32),
-            jax.ShapeDtypeStruct((nt * 8, PW), jnp.int32),
+            sds(x32, (nt * PR, PW), jnp.int32),
+            sds(x32, (nt * 8, PW), jnp.int32),
         ),
         interpret=_interpret(),
     )(*args)
@@ -295,7 +295,7 @@ def _phase_c_u16(scratch, t0, off, nt: int):
     return pl.pallas_call(
         kernel,
         grid_spec=grid,
-        out_shape=jax.ShapeDtypeStruct((nt * PR, PW), jnp.int32),
+        out_shape=sds(scratch, (nt * PR, PW), jnp.int32),
         interpret=_interpret(),
     )(t0, off, *([scratch] * CANDS))
 

@@ -299,7 +299,9 @@ def uniform3_utf8_to_utf16(x32: jnp.ndarray, n, big_endian: bool = False):
     = 512 chars per row; R % RU == 0); ``n`` = logical byte length
     (n % 3 == 0). Bytes at/after ``n`` never flag.
     Returns (out (R, 256) int32, flag)."""
-    if not kv.lane_shapecast_supported():
+    if not kv.pallas_lowers(
+            "uniform3_u8_u16",
+            lambda: _uniform3_pallas(jnp.zeros((RU, 384), jnp.int32), 0)):
         return _xla_driver(_uniform3_core, x32, n, big_endian)
     return _uniform3_pallas(x32, n, big_endian)
 
@@ -457,7 +459,9 @@ def uniform3_utf16_to_utf8(x32: jnp.ndarray, n, big_endian: bool = False):
     logical unit count (n % 4 == 0 padding-wise is not required — masked).
     Every unit must be in [0x800, 0xFFFF] minus surrogates.
     Returns (out (R, 384) int32 = UTF-8 byte stream, flag)."""
-    if not kv.lane_shapecast_supported():
+    if not kv.pallas_lowers(
+            "uniform3_u16_u8",
+            lambda: _rev3_pallas(jnp.zeros((RU, 256), jnp.int32), 0)):
         return _xla_driver(_rev3_core, x32, n, big_endian)
     return _rev3_pallas(x32, n, big_endian)
 
@@ -507,7 +511,9 @@ def _l1_32_kernel(x_ref, o_ref):
 def latin1_widen_utf32(x16: jnp.ndarray):
     """x16: (R, 256) int16 byte-pair view. Returns (R, 512) int32 = the
     UTF-32LE stream (one word per input byte). Always valid."""
-    if not kv.lane_shapecast_supported():
+    if not kv.pallas_lowers(
+            "latin1_widen_u32",
+            lambda: _l1_32_pallas(jnp.zeros((RU, 256), jnp.int16))):
         return _l1_32_xla(x16)
     return _l1_32_pallas(x16)
 
@@ -574,7 +580,9 @@ def bmp_widen_utf32(x32: jnp.ndarray, big_endian: bool = False):
     ((R, 512) int32 UTF-32LE stream, flag)."""
     if _butterfly_enabled():
         return _bmp_widen_bf(x32, big_endian)
-    if not kv.lane_shapecast_supported():
+    if not kv.pallas_lowers(
+            "bmp_widen_u32",
+            lambda: _bmp_widen_pallas(jnp.zeros((RU, 256), jnp.int32))):
         return _xla_driver(_bmp_widen_core, x32, 0, big_endian)
     return _bmp_widen_pallas(x32, big_endian)
 
@@ -685,7 +693,9 @@ def bmp_narrow_utf16(x32: jnp.ndarray, big_endian: bool = False):
     ((R, 256) int32 u16-pair stream, flag)."""
     if _butterfly_enabled():
         return _bmp_narrow_bf(x32, big_endian)
-    if not kv.lane_shapecast_supported():
+    if not kv.pallas_lowers(
+            "bmp_narrow_u16",
+            lambda: _bmp_narrow_pallas(jnp.zeros((RU, 512), jnp.int32))):
         return _xla_driver(_bmp_narrow_core, x32, 0, big_endian)
     return _bmp_narrow_pallas(x32, big_endian)
 
@@ -792,7 +802,9 @@ def _u2_32_kernel(n_ref, x_ref, o_ref, f_ref):
 def uniform2_utf8_to_utf32(x32: jnp.ndarray, n):
     """Pure 2-byte UTF-8 -> UTF-32: (R, 256) int32 in, ((R, 512) int32
     UTF-32LE stream, flag) out; ``n`` = logical byte length (n % 2 == 0)."""
-    if not kv.lane_shapecast_supported():
+    if not kv.pallas_lowers(
+            "uniform2_u8_u32",
+            lambda: _u2_32_pallas(jnp.zeros((RU, 256), jnp.int32), 0)):
         return _xla_driver(_u2_32_core, x32, n)
     return _u2_32_pallas(x32, n)
 
@@ -858,7 +870,9 @@ def _rev2_32_kernel(n_ref, x_ref, o_ref, f_ref):
 def uniform2_utf32_to_utf8(x32: jnp.ndarray, n):
     """Pure 2-byte-range UTF-32 -> UTF-8: (R, 512) int32 codepoints in,
     ((R, 256) int32 byte stream, flag) out; ``n`` = logical codepoints."""
-    if not kv.lane_shapecast_supported():
+    if not kv.pallas_lowers(
+            "uniform2_u32_u8",
+            lambda: _rev2_32_pallas(jnp.zeros((RU, 512), jnp.int32), 0)):
         return _xla_driver(_rev2_32_core, x32, n)
     return _rev2_32_pallas(x32, n)
 
@@ -910,7 +924,9 @@ def _u3_32_kernel(n_ref, x_ref, o_ref, f_ref):
 def uniform3_utf8_to_utf32(x32: jnp.ndarray, n):
     """Pure 3-byte UTF-8 -> UTF-32: (R, 384) int32 in (512 chars per row),
     ((R, 512) int32 UTF-32LE stream, flag); ``n`` = byte length (n%3==0)."""
-    if not kv.lane_shapecast_supported():
+    if not kv.pallas_lowers(
+            "uniform3_u8_u32",
+            lambda: _u3_32_pallas(jnp.zeros((RU, 384), jnp.int32), 0)):
         return _xla_driver(_u3_32_core, x32, n)
     return _u3_32_pallas(x32, n)
 
@@ -976,7 +992,9 @@ def _rev3_32_kernel(n_ref, x_ref, o_ref, f_ref):
 def uniform3_utf32_to_utf8(x32: jnp.ndarray, n):
     """Pure 3-byte-range UTF-32 -> UTF-8: (R, 512) int32 codepoints in,
     ((R, 384) int32 byte stream, flag); ``n`` = logical codepoints."""
-    if not kv.lane_shapecast_supported():
+    if not kv.pallas_lowers(
+            "uniform3_u32_u8",
+            lambda: _rev3_32_pallas(jnp.zeros((RU, 512), jnp.int32), 0)):
         return _xla_driver(_rev3_32_core, x32, n)
     return _rev3_32_pallas(x32, n)
 

@@ -18,6 +18,7 @@ the reference's 64-byte blocks with prev<1..3> carries
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -77,6 +78,73 @@ def xla_fn(core, *static):
 
 def xla_driver(core, x, n, *static):
     return xla_fn(core, *static)(x, jnp.asarray(n, jnp.int32))
+
+
+@functools.cache
+def _remote_compile_tunnel() -> bool:
+    """Whether device compiles go through the axon remote-compile helper
+    pool (identified from the PJRT platform version; the JAX_PLATFORMS
+    env var is unreliable — sitecustomize loads the axon plugin even when
+    the env says cpu)."""
+    try:
+        ver = getattr(jax.devices()[0].client, "platform_version", "") or ""
+        return "axon" in ver.lower()
+    except Exception:
+        return False
+
+
+def sds(like, shape, dtype):
+    """ShapeDtypeStruct for a pallas out_shape whose varying-manual-axes
+    (vma) are inherited from input ``like``: under shard_map with
+    check_vma (jax >= 0.9 default), a pallas_call must declare which mesh
+    axes its outputs vary over, and a kernel output always varies exactly
+    like the shard data feeding it."""
+    try:
+        vma = jax.typeof(like).vma
+    except Exception:
+        vma = None
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
+_LOWERS_OK: dict = {}
+
+
+def pallas_lowers(key: str, thunk) -> bool:
+    """One-tile compile probe of the REAL kernel behind ``key``.
+
+    The shared shapecast probe below is no longer representative: the
+    2026-08-20 toolchain accepts a 64-row lane-splitting cast but rejects
+    the 16-row cast inside the base64 pack kernel ("infer-vector-layout:
+    unsupported shape cast" — or an outright compile-helper crash,
+    depending on which helper of the pool serves the request). The only
+    trustworthy capability signal is compiling the kernel itself, so each
+    rate-converting wrapper probes its own pallas path once per process
+    with a one-tile dummy and routes to its XLA driver on ANY failure.
+    This is src/implementation.cpp's supported_by_runtime_system() made
+    per-kernel — with one hard exception: under the axon remote-compile
+    TUNNEL the compile service is a pool whose helpers answer the SAME
+    program differently per request (measured 2026-08-20: the one-tile
+    probe of _pack_sextets_pallas compiled, then the identical real
+    compile failed "unsupported shape cast"), so no probe is sound there
+    and the shapecast kernels default to their bit-identical XLA drivers.
+    SIMDUTF_TPU_SHAPECAST_PALLAS=1 forces probing anyway; =0 forces the
+    drivers everywhere."""
+    if _interpret():
+        return True
+    env = os.environ.get("SIMDUTF_TPU_SHAPECAST_PALLAS")
+    if env == "0":
+        return False
+    if env != "1" and _remote_compile_tunnel():
+        return False
+    if key not in _LOWERS_OK:
+        try:
+            jax.block_until_ready(thunk())
+            _LOWERS_OK[key] = True
+        except Exception:
+            _LOWERS_OK[key] = False
+    return _LOWERS_OK[key]
 
 
 @functools.cache

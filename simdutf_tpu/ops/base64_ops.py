@@ -132,10 +132,13 @@ def decode_bulk(chars: jnp.ndarray, length, url: bool, both: bool):
 def decode_bulk_routed(chars: jnp.ndarray, length, url: bool, both: bool):
     """decode_bulk with the whitespace-compaction engine selected by a
     one-time measurement (ops/engine_probe.general_engine64): the scatter
-    path, or the butterfly compaction kernel (kernels/butterfly64) with
-    exact fallbacks — any invalid char (first_bad semantics) or
-    pathologically dense whitespace re-runs the scatter path inside a
-    lax.cond, so outputs are bit-identical by construction."""
+    path, or the butterfly compaction kernel (kernels/butterfly64),
+    bit-identical by construction. Invalid chars need NO fallback — the
+    kernel computes exact (first_bad, nvalid_at_bad) events in-kernel
+    (kernels/butterfly.py's discipline). The only lax.cond left guards
+    pathologically dense whitespace (composition's segment bound,
+    cand_ok); its untaken scatter branch costs nothing (measured
+    const-false cond == fast path, 2026-08-20)."""
     from jax import lax
 
     from .engine_probe import general_engine64
@@ -146,8 +149,8 @@ def decode_bulk_routed(chars: jnp.ndarray, length, url: bool, both: bool):
             or general_engine64() != "butterfly"):
         return decode_bulk(chars, length, url, both)
 
-    dense, nvalid, err_any, cand_ok, off = kb64.compact_codes(
-        chars, length, url, both)
+    dense, nvalid, first_bad, nvalid_at_ev, cand_ok, off = (
+        kb64.compact_codes(chars, length, url, both))
 
     def fallback():
         return decode_bulk(chars, length, url, both)
@@ -176,17 +179,20 @@ def decode_bulk_routed(chars: jnp.ndarray, length, url: bool, both: bool):
             jnp.min(jnp.where(hit, wpos, BIG)),
             length,
         )
-        # nvalid_at_bad must match the scatter engine BIT-exactly even on
-        # the no-error path (ADVICE r03 #3): it returns rank[n-1], which
-        # is nvalid minus the validity of the last in-range char
+        # nvalid_at_bad must match the scatter engine BIT-exactly
+        # (rank[clamped_bad]): alphabet chars strictly before first_bad
+        # when one exists (the in-kernel event), else rank[n-1] = nvalid
+        # minus the validity of the last in-range char (ADVICE r03 #3)
         lastv = classify_chars(
             chars[n - 1].astype(jnp.int32).reshape(1), url, both)[0]
         last_valid = (lastv <= 63) & ((n - 1) < length)
-        nvalid_at_bad = nvalid - last_valid.astype(jnp.int32)
-        return (jnp.int32(BIG), nvalid, nvalid_at_bad,
+        nvalid_at_bad = jnp.where(
+            first_bad < BIG, nvalid_at_ev,
+            nvalid - last_valid.astype(jnp.int32))
+        return (first_bad, nvalid, nvalid_at_bad,
                 packed, tail_vals, tail_start)
 
-    return lax.cond(err_any | ~cand_ok, fallback, fast)
+    return lax.cond(cand_ok, fast, fallback)
 
 
 def encode_small(data: jnp.ndarray, url: bool):

@@ -82,9 +82,9 @@ def test_garbage_falls_back_exactly():
 def test_all_whitespace_trips_cand_bound():
     data = b" " * (3 * kb64.TILE) + b"TWFu"
     chars, length = _pad_tile(data)
-    dense, nvalid, err_any, cand_ok, off = kb64.compact_codes(
-        chars, length, False, False)
-    assert not bool(err_any)
+    dense, nvalid, first_bad, nvalid_at_bad, cand_ok, off = (
+        kb64.compact_codes(chars, length, False, False))
+    assert int(first_bad) == kb64.BIG
     assert int(nvalid) == 4
     # whether or not the bound trips, the routed path must stay exact
     import unittest.mock as mock
@@ -98,13 +98,50 @@ def test_all_whitespace_trips_cand_bound():
         assert np.array_equal(w, g)
 
 
+def test_padded_tail_does_not_trip_cand_bound():
+    """The padded region beyond ``length`` is a run of EMPTY segments
+    (off == nvalid); they intersect no output window and must not count
+    against CAND — the unclamped bound flagged every bench-scale MIME
+    corpus as pathological and silently shipped the scatter fallback
+    (0.09 GB/s vs the fast path's 0.91, 2026-08-20)."""
+    data = _mime(3 * kb64.TILE)  # ~3 tiles of content
+    arr = np.frombuffer(data, np.uint8)
+    n = 8 * kb64.TILE  # 5 empty trailing tiles
+    p = np.zeros(n, np.uint8)
+    p[: len(arr)] = arr
+    import jax.numpy as jnp
+
+    dense, nvalid, first_bad, nvalid_at_bad, cand_ok, off = (
+        kb64.compact_codes(jnp.asarray(p), jnp.int32(len(arr)),
+                           False, False))
+    assert bool(cand_ok)
+    assert int(first_bad) == kb64.BIG
+
+
+def test_in_kernel_first_bad_events_exact():
+    """first_bad/nvalid_at_bad come from in-kernel events now (no
+    fallback engine for invalid chars): exact parity with the scatter
+    engine at every injection site, including tile boundaries."""
+    base = _mime(5 * kb64.TILE)
+    for pos in (0, 1, kb64.TILE - 1, kb64.TILE, kb64.TILE + 7,
+                2 * kb64.TILE - 1, len(base) - 1):
+        data = bytearray(base)
+        data[pos] = ord("*")
+        chars, length = _pad_tile(bytes(data))
+        want = ob.decode_bulk(chars, length, False, False)
+        got = kb64.compact_codes(chars, length, False, False)
+        assert int(got[2]) == int(want[0]), pos      # first_bad
+        assert int(got[3]) == int(want[2]), pos      # nvalid_at_bad
+        assert int(got[1]) == int(want[1]), pos      # nvalid
+
+
 def test_dense_stream_decodes_end_to_end():
     payload = bytes(range(256)) * 300
     data = _b64_wrap(payload)
     chars, length = _pad_tile(data)
-    dense, nvalid, err_any, cand_ok, off = kb64.compact_codes(
-        chars, length, False, False)
-    assert not bool(err_any) and bool(cand_ok)
+    dense, nvalid, first_bad, nvalid_at_bad, cand_ok, off = (
+        kb64.compact_codes(chars, length, False, False))
+    assert int(first_bad) == kb64.BIG and bool(cand_ok)
     clean = pyb64.b64encode(payload)
     assert int(nvalid) == len(clean)
     codes = np.asarray(dense)[: int(nvalid)]

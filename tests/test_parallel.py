@@ -437,3 +437,107 @@ def test_sharded_to_well_formed_lone_surrogates(be):
             else su.to_well_formed_utf16le(data))
     assert got == want
     assert total == n_units
+
+
+# --- engine parity under shard_map (VERDICT r03 #8) -------------------------
+# The butterfly engines must behave identically to the scatter engine
+# INSIDE the distributed step: bit parity of outputs and exact cross-shard
+# first-error positions, with the engine pinned at trace time (the
+# reference's per-impl test loop, tests/helpers/test.cpp:106, at engine
+# granularity). Shard capacities are TILE-aligned so the butterfly paths
+# actually engage (they require n % TILE == 0, n >= TILE).
+
+
+def _tile_plan(data: bytes, unit: int = 1):
+    from simdutf_tpu.kernels import butterfly as kb
+
+    return plan_shards(
+        np.frombuffer(data, np.uint8) if unit == 1 else data,
+        len(jax.devices()), unit=unit, align=kb.TILE,
+    )
+
+
+@pytest.mark.parametrize("engine", ["scatter", "butterfly"])
+def test_sharded_transcode_engine_parity(engine, monkeypatch):
+    from simdutf_tpu.ops import engine_probe as ep
+
+    monkeypatch.setattr(ep, "_CHOICE", engine)
+    data = ("mixed é 東 \U0001f642 ascii tail " * 3000).encode()
+    import simdutf_tpu as su
+
+    data = data[: su.trim_partial_utf8(data)]
+    plan = _tile_plan(data)
+    from simdutf_tpu.kernels import butterfly as kb
+
+    assert plan.shards.shape[1] >= kb.TILE  # butterfly actually reachable
+    code, total, outs, out_lens = transcode_utf8_to_utf16_sharded(
+        plan, _mesh())
+    assert code == 0
+    res, expect = oracle.convert_utf8_to_utf16_with_errors(data, False)
+    assert total == res.count
+    assert gather_utf16(outs, out_lens).tobytes() == expect
+
+
+@pytest.mark.parametrize("engine", ["scatter", "butterfly"])
+def test_sharded_transcode_engine_exact_cross_shard_error(engine,
+                                                          monkeypatch):
+    from simdutf_tpu.ops import engine_probe as ep
+
+    monkeypatch.setattr(ep, "_CHOICE", engine)
+    base = bytearray(("mixed é 東 \U0001f642 " * 4000).encode())
+    ndev = len(jax.devices())
+    # injection sites near every shard boundary AND mid-shard
+    for frac in (1, 3, ndev - 1):
+        data = bytearray(base)
+        spot = len(data) * frac // ndev + 1
+        data[spot] = 0x80
+        mb = bytes(data)
+        expect = oracle.validate_utf8_with_errors(mb)
+        if expect.is_ok:
+            continue
+        plan = _tile_plan(mb)
+        code, pos, _, _ = transcode_utf8_to_utf16_sharded(plan, _mesh())
+        assert (code, pos) == (int(expect.error), expect.count), (
+            engine, spot)
+
+
+@pytest.mark.parametrize("engine", ["scatter", "butterfly"])
+def test_sharded_utf16_to_utf8_engine_parity(engine, monkeypatch):
+    from simdutf_tpu.ops import engine_probe as ep
+
+    monkeypatch.setattr(ep, "_CHOICE16", engine)
+    text = "pairs \U0001f680 東京 é ascii " * 2500
+    u16 = text.encode("utf-16-le")
+    from simdutf_tpu.kernels import butterfly16 as kb16
+
+    plan = plan_shards(np.frombuffer(u16, np.uint8),
+                       len(jax.devices()), unit=2, align=kb16.TILE_U)
+    code, nbytes, outs, out_lens = transcode_utf16_to_utf8_sharded(
+        plan, _mesh())
+    assert code == 0
+    want = text.encode("utf-8")
+    assert nbytes == len(want)
+    assert gather_utf16(outs, out_lens).tobytes() == want
+
+
+@pytest.mark.parametrize("engine", ["scatter", "butterfly"])
+def test_sharded_base64_engine_parity(engine, monkeypatch):
+    from simdutf_tpu.ops import engine_probe as ep
+    import base64 as pyb64
+
+    monkeypatch.setattr(ep, "_CHOICE64", engine)
+    from simdutf_tpu.kernels import butterfly64 as kb64
+
+    payload = bytes(range(256)) * 900
+    raw = pyb64.b64encode(payload)
+    wrapped = b"\r\n".join(raw[i:i + 76] for i in range(0, len(raw), 76))
+    plan = plan_shards_base64(wrapped, len(jax.devices()),
+                              align=kb64.TILE)
+    full, outs, out_lens, extra = base64_to_binary_sharded(
+        wrapped, plan, _mesh())
+    assert full.is_ok, (engine, full)
+    got = b"".join(
+        np.asarray(outs)[i, : int(out_lens[i])].tobytes()
+        for i in range(len(jax.devices()))
+    ) + extra.tobytes()
+    assert got == payload, engine

@@ -130,7 +130,7 @@ def main():
 
     def phase_c_only(s, t0a, offa, n):
         def b(i, acc):
-            out = kb._phase_c(s, t0a, offa + (i & 1), nt)
+            out = kb._phase_c(s, t0a, offa + (i & 1), nt, n - (i & 3))
             return acc + out[0, 0] + n * 0
         return lax.fori_loop(0, ITERS, b, jnp.int32(0))
 
@@ -168,7 +168,12 @@ def main():
 
     def flagship_body(x, n):
         code, pos, out, out_len = o8.to_utf16(x, n, False)
-        return out_len + code + pos + out[out_len % 1000].astype(jnp.int32)
+        # static content probe: a DYNAMIC single-element index into the
+        # bitcast-composed output forces an unfused gather costing ~30
+        # ms/iter at 64 MiB in the scatter-degraded state (bisected
+        # 2026-08-20: compose_out0 14.5 ms vs compose_outdyn 43.9 ms)
+        return out_len + code + pos + (
+            out[0] + out[777] + out[12345]).astype(jnp.int32)
 
     timed("flagship", chain(flagship_body), xj)
     timed("scatter", chain(
