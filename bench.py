@@ -303,7 +303,8 @@ def main():
             def body(i, acc):
                 y = x ^ (acc + k)
                 for _ in range(K - 1):
-                    y = y + (y >> 1)  # dependent: not fusable away
+                    y = y ^ (y << 13)  # xorshift step: dependent,
+                    y = y + (y >> 7)   # non-reassociable, not foldable
                 return y[0] + y[VPU_N - 3]
             return lax.fori_loop(0, VPU_ITERS, body, jnp.int32(0))
         return p
@@ -320,8 +321,16 @@ def main():
         jax.device_get(pv2(xv, jnp.int32(2)))
         tv2 = time.perf_counter() - t0
         if tv2 - tv1 > 2e-3:
-            vpu_geops = ((VPU_K2 - VPU_K1) * 2 * VPU_N * VPU_ITERS
+            vpu_geops = ((VPU_K2 - VPU_K1) * 4 * VPU_N * VPU_ITERS
                          / (tv2 - tv1) / 1e9)
+            # plausibility cap (the bw-probe discipline): v5e's VPU peaks
+            # at ~3.9 Tops int32 (8x128 lanes x 4 ALUs x 0.94 GHz); a
+            # reading past 1.5x peak is a probe artifact, and ceilings
+            # derived from it would overstate the gap
+            if vpu_geops > 1.5 * 3900:
+                log(f"vpu anchor implausible ({vpu_geops:.0f} G); "
+                    f"clamping to peak 3900")
+                vpu_geops = 3900.0
             log(f"vpu anchor: {vpu_geops:.0f} Gelem-ops/s "
                 f"(chained int32, K={VPU_K1}/{VPU_K2} differential)")
         else:
@@ -413,14 +422,15 @@ def main():
         def f_transcode(x, lens):
             def body(i, acc):
                 code, pos, out, out_len = o8.to_utf16(x, lens[i & 7], False)
-                # content probe at STATIC indices: a dynamic single-element
-                # index into the engine's bitcast-composed output forces an
-                # unfused gather path costing ~30 ms/iter at 64 MiB in the
-                # scatter-degraded state (measured 2026-08-20) — a harness
-                # artifact no real consumer pays (the library ships the
-                # whole array). Caching is already defeated by the
-                # rotating length vector (fresh args per trial).
-                probe = (out[0] + out[777] + out[12345]).astype(jnp.int32)
+                # content probe at out[0] ONLY: any OTHER single-element
+                # index into the engine's bitcast-composed output pays an
+                # unfused ~11 ms extraction at 64 MiB (dynamic indices ~30
+                # ms — bisected 2026-08-20), a harness artifact no real
+                # consumer pays (the library ships the whole array; the
+                # result scalars consumed below already depend on every
+                # input byte). Caching is defeated by the rotating length
+                # vector (fresh args per trial).
+                probe = out[0].astype(jnp.int32)
                 return acc + out_len + code + pos + probe
             return lax.fori_loop(0, ITERS, body, jnp.int32(0))
         return f_transcode
@@ -541,9 +551,8 @@ def main():
                 def body(i, acc):
                     code, pos, out, out_len = o16.to_utf8(
                         x, lens[i & 7], False)
-                    # static content probe (see flagship note)
-                    probe = (out[0] + out[777] + out[12345]).astype(
-                        jnp.int32)
+                    # static out[0] content probe (see flagship note)
+                    probe = out[0].astype(jnp.int32)
                     return acc + out_len + code + pos + probe
                 return lax.fori_loop(0, ITERS, body, jnp.int32(0))
             return f_u16to8
@@ -598,9 +607,8 @@ def main():
                 def body(i, acc):
                     fb, nv, nvb, packed, tv, ts = ob.decode_bulk_routed(
                         x, lens[i & 7], False, False)
-                    # static content probe (see flagship note)
-                    probe = (packed[0] + packed[777] + packed[12345]
-                             ).astype(jnp.int32)
+                    # static packed[0] content probe (see flagship note)
+                    probe = packed[0].astype(jnp.int32)
                     return acc + nv + fb % 7 + probe
                 return lax.fori_loop(0, ITERS, body, jnp.int32(0))
             return f_b64

@@ -125,6 +125,48 @@ def _groll_right(a, k: int, roll):
     return jnp.where(lane >= k, z1, z2)
 
 
+def _staged_moves(words, dmax, stages: int, dshift: int, roll):
+    """The LSB-first conditional-move-left rounds shared by every
+    butterfly engine. ``words`` = P phase planes packed as
+    payload | displacement << dshift; ``dmax`` = max displacement in the
+    tile. Stage s moves elements whose displacement bit s is set; stages
+    with s > dmax are skipped via lax.cond (provable no-ops: after the
+    earlier stages every remaining displacement is the original with its
+    low bits cleared, so dmax < s implies the bit is clear everywhere).
+    This prices the butterfly by the tile's actual disorder: all-kept
+    (ASCII) tiles skip every stage, ~3%-dropped MIME-class tiles skip the
+    top five, only adversarial tiles pay all rounds. The per-stage
+    update subtracts the MASKED bit (arr - (arr & (s << dshift))) instead
+    of recomputing the shifted constant — one fewer vector op per plane
+    per stage."""
+    from jax import lax
+
+    P = len(words)
+    for st in range(stages):
+        s = 1 << st
+
+        def do(ws, s=s):
+            if s % P == 0:
+                arr = [_flat_roll_left(ws[m], s // P, roll)
+                       for m in range(P)]
+            else:
+                arr = []
+                for m in range(P):
+                    mm, gg = (m + s) % P, (m + s) // P
+                    a = ws[mm]
+                    if gg:
+                        a = _groll_left(a, gg, roll)
+                    arr.append(a)
+            out = []
+            for m in range(P):
+                bit = arr[m] & (s << dshift)
+                out.append(jnp.where(bit != 0, arr[m] - bit, ws[m]))
+            return tuple(out)
+
+        words = list(lax.cond(dmax >= s, do, lambda ws: ws, tuple(words)))
+    return words
+
+
 def _flat_roll_left(a, s: int, roll):
     """Butterfly-stage roll: read flat element e+s on an (R, PW) plane
     (elements = groups here). s may exceed PW (pure row roll)."""
@@ -341,27 +383,21 @@ def _tile_core(prv, x, nxt, base, length, big_endian: bool, roll):
 
     # packed words: unit | displacement<<16; non-kept pinned at disp 0
     words = []
+    dmax = jnp.int32(0)
     for m in range(4):
         q = 4 * gpos + m
         disp = jnp.where(keeps[m], q - offs[m], 0)
+        dmax = jnp.maximum(dmax, jnp.max(disp))
         words.append(jnp.where(keeps[m], vals[m], 0) | (disp << 16))
 
-    # butterfly: LSB-first conditional move-left by s
-    for st in range(STAGES):
-        s = 1 << st
-        if s % 4 == 0:
-            arr = [_flat_roll_left(words[m], s // 4, roll) for m in range(4)]
-        else:
-            arr = []
-            for m in range(4):
-                mm, gg = (m + s) % 4, (m + s) // 4
-                a = words[mm]
-                if gg:
-                    a = _groll_left(a, gg, roll)
-                arr.append(a)
-        for m in range(4):
-            take = ((arr[m] >> 16) & s) != 0
-            words[m] = jnp.where(take, arr[m] - (s << 16), words[m])
+    # butterfly: LSB-first conditional move-left by s. A stage whose
+    # shift exceeds the tile's max displacement is provably a no-op
+    # (after stages < k every remaining displacement is its original
+    # value with the low k bits cleared, so dmax < 2^k implies zero) —
+    # lax.cond skips it, which prices the butterfly by the tile's actual
+    # disorder: all-kept (ASCII) tiles skip all 15 stages, ~3%-dropped
+    # MIME-class tiles skip 5, only adversarial tiles pay every round.
+    words = _staged_moves(words, dmax, STAGES, 16, roll)
 
     # pack compacted units (plane q%4, group q//4 holds flat unit q) into
     # true-order int32 pairs: pair p = units (2p, 2p+1); even pairs live

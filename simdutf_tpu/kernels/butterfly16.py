@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .validate import _interpret, sds
 from .butterfly import (
     PR, PW, HR, BIG, _iotas, _groll_left, _groll_right, _flat_roll_left,
-    _jroll, _proll,
+    _jroll, _proll, _staged_moves,
 )
 from ..errors import error_code as _ec
 
@@ -161,25 +161,12 @@ def _tile_core16(prv, x, nxt, base, length, roll):
         else:
             wv = jnp.zeros((PR, PW), jnp.int32)
         words.append(wv)
+    dmax = jnp.max(jnp.where(keeps[0], disp_u, 0))
 
     # butterfly: LSB-first conditional move-left by s over candidate
-    # stream c = 4*g + m (identical structure to kernels/butterfly.py)
-    for st in range(STAGES):
-        s = 1 << st
-        if s % SLOTS == 0:
-            arr = [_flat_roll_left(words[m], s // SLOTS, roll)
-                   for m in range(SLOTS)]
-        else:
-            arr = []
-            for m in range(SLOTS):
-                mm, gg = (m + s) % SLOTS, (m + s) // SLOTS
-                a = words[mm]
-                if gg:
-                    a = _groll_left(a, gg, roll)
-                arr.append(a)
-        for m in range(SLOTS):
-            take = ((arr[m] >> 8) & s) != 0
-            words[m] = jnp.where(take, arr[m] - (s << 8), words[m])
+    # stream c = 4*g + m (kernels/butterfly._staged_moves: shared rounds,
+    # stages above the tile's max displacement skipped)
+    words = _staged_moves(words, dmax, STAGES, 8, roll)
 
     # compacted candidate c sits at plane c%4, group c//4: output word k
     # = bytes (4k..4k+3) = planes 0..3 of group k

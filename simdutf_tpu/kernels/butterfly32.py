@@ -23,7 +23,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .validate import _interpret, sds
 from .butterfly import (
-    PR, PW, HR, _iotas, _groll_left, _flat_roll_left, _jroll, _proll,
+    PR, PW, HR, _iotas, _groll_left, _flat_roll_left, _jroll, _proll, _staged_moves,
 )
 from .butterfly16 import _dyn_word_roll_right
 
@@ -139,17 +139,8 @@ def _tile_core32(prv, x, nxt, base, length, roll):
     ]
 
     # butterfly: LSB-first conditional move-left by s over candidate
-    # stream c = 2*g + m
-    for st in range(STAGES):
-        s = 1 << st
-        if s % 2 == 0:
-            arr = [_flat_roll_left(words[m], s // 2, roll) for m in (0, 1)]
-        else:
-            arr = [_groll_left(words[1], 0, roll),
-                   _groll_left(words[0], 1, roll)]
-        for m in (0, 1):
-            take = ((arr[m] >> 16) & s) != 0
-            words[m] = jnp.where(take, arr[m] - (s << 16), words[m])
+    # stream c = 2*g + m (shared rounds; no-op stages skipped)
+    words = _staged_moves(words, jnp.max(disp), STAGES, 16, roll)
 
     # compacted candidate c at plane c%2, group c//2: u32 word k = lo from
     # plane 0, hi from plane 1

@@ -31,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .validate import _interpret, sds
 from .butterfly import (
-    PR, PW, HR, TILE, _iotas, _groll_left, _flat_roll_left, _proll,
+    PR, PW, HR, TILE, _iotas, _groll_left, _flat_roll_left, _proll, _staged_moves,
 )
 from .butterfly16 import _phase_c16, CAND
 
@@ -107,26 +107,16 @@ def _tile_core64(x, base, length, url: bool, both: bool, roll):
 
     # packed words: code | displacement<<8 (disp < 2^15)
     words = []
+    dmax = jnp.int32(0)
     for m in range(4):
         q = 4 * gpos + m
         disp = jnp.where(keeps[m], q - offs[m], 0)
+        dmax = jnp.maximum(dmax, jnp.max(disp))
         words.append(jnp.where(keeps[m], vals[m], 0) | (disp << 8))
 
-    for st in range(STAGES):
-        s = 1 << st
-        if s % 4 == 0:
-            arr = [_flat_roll_left(words[m], s // 4, roll) for m in range(4)]
-        else:
-            arr = []
-            for m in range(4):
-                mm, gg = (m + s) % 4, (m + s) // 4
-                a = words[mm]
-                if gg:
-                    a = _groll_left(a, gg, roll)
-                arr.append(a)
-        for m in range(4):
-            take = ((arr[m] >> 8) & s) != 0
-            words[m] = jnp.where(take, arr[m] - (s << 8), words[m])
+    # shared rounds (kernels/butterfly._staged_moves); with one \r\n per
+    # 76 chars the max tile displacement is ~860, so stages 10-14 skip
+    words = _staged_moves(words, dmax, STAGES, 8, roll)
 
     # kept chars strictly before the tile's first invalid char (exact
     # valid-prefix count, butterfly.py's discipline)

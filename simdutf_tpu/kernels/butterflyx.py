@@ -26,7 +26,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .validate import _interpret, sds
-from .butterfly import PR, PW, HR, _iotas, _groll_left, _flat_roll_left, _proll
+from .butterfly import (PR, PW, HR, _iotas, _groll_left,
+                        _flat_roll_left, _proll, _staged_moves)
 from .butterfly16 import _phase_c16, _dyn_word_roll_right
 from .butterfly32 import _phase_c32
 
@@ -67,30 +68,17 @@ def _compact(keeps, vals, off, val_bits: int, slots: int, roll):
     gpos = row * PW + lane
     stages = (slots * TILE_E - 1).bit_length()
     words = []
+    dmax = jnp.int32(0)
     for m in range(slots):
         if m < len(keeps):
             disp = jnp.where(keeps[m], slots * gpos - off, 0)
+            dmax = jnp.maximum(dmax, jnp.max(disp))
             words.append(
                 jnp.where(keeps[m], vals[m], 0) | (disp << val_bits))
         else:
             words.append(jnp.zeros((PR, PW), jnp.int32))
-    for st in range(stages):
-        s = 1 << st
-        if s % slots == 0:
-            arr = [_flat_roll_left(words[m], s // slots, roll)
-                   for m in range(slots)]
-        else:
-            arr = []
-            for m in range(slots):
-                mm, gg = (m + s) % slots, (m + s) // slots
-                a = words[mm]
-                if gg:
-                    a = _groll_left(a, gg, roll)
-                arr.append(a)
-        for m in range(slots):
-            take = ((arr[m] >> val_bits) & s) != 0
-            words[m] = jnp.where(take, arr[m] - (s << val_bits), words[m])
-    return words
+    # shared rounds (kernels/butterfly._staged_moves; no-op stages skip)
+    return _staged_moves(words, dmax, stages, val_bits, roll)
 
 
 def _pack_bytes4(words):

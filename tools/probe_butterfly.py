@@ -172,8 +172,7 @@ def main():
         # bitcast-composed output forces an unfused gather costing ~30
         # ms/iter at 64 MiB in the scatter-degraded state (bisected
         # 2026-08-20: compose_out0 14.5 ms vs compose_outdyn 43.9 ms)
-        return out_len + code + pos + (
-            out[0] + out[777] + out[12345]).astype(jnp.int32)
+        return out_len + code + pos + out[0].astype(jnp.int32)
 
     timed("flagship", chain(flagship_body), xj)
     timed("scatter", chain(
