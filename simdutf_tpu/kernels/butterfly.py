@@ -45,10 +45,11 @@ reformulated as orphan-continuation events so every event lands in the
 tile containing it) plus the unit count of the valid prefix. Every unit
 before the first error is bit-correct by construction (its offset
 depends only on preceding bytes), so out[:err_len] IS the exact
-scalar-machine partial output. The degraded-runtime findings that forced
-this shape: a pallas-bearing branch under a dynamic conditional pays a
-~25 ms conditional-output copy, and a separate XLA tail-mask pass over
-the 2N output costs ~29 ms (perf_records/butterfly_probe.jsonl).
+scalar-machine partial output. (The round-3 "conditional-output copy"
+that originally forced the no-conditional shape was later root-caused to
+minor-dim-k arrays materializing padded at branch boundaries — PERF.md
+round 4; the no-fallback design stays because it is strictly cheaper and
+simpler either way.)
 """
 
 from __future__ import annotations
@@ -60,7 +61,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .validate import _interpret, sds, vany
+from .validate import _interpret, sds, u8_words, vany
 from ..errors import error_code as _ec
 
 PR = 64  # rows per tile
@@ -185,7 +186,53 @@ def _flat_roll_left(a, s: int, roll):
 def _tile_core(prv, x, nxt, base, length, big_endian: bool, roll):
     """prv/nxt: (HR, PW) int32 halo rows; x: (PR, PW) int32 tile.
     base: global byte index of x[0,0]; length: global valid length.
-    Returns (scratch (PR, 2*PW) int32 pair-packed units, count, err)."""
+    Returns (scratch (PR, 2*PW) int32 pair-packed units, count, err).
+
+    Per-tile ASCII short-circuit (the reference's per-block is_ascii
+    fast path, generic/utf8_to_utf16/utf8_to_utf16.h:235-240, at tile
+    granularity): a tile whose raw bytes — and the previous tile's last
+    group, so no multi-byte sequence can straddle in — are all < 0x80
+    takes a ~100-op identity emission (keep = in-range, unit = byte,
+    displacement = 0, no classification / scan / orphan logic) under an
+    in-kernel lax.cond. Conservative by construction: garbage bytes
+    beyond ``length`` that happen to be non-ASCII merely route the tile
+    to the full path. Realistic corpora (twitter.json-class: ASCII with
+    occasional multi-byte spans) pay the full classification only on the
+    tiles that actually contain multi-byte sequences."""
+    MASK80 = jnp.int32(-2139062144)  # 0x80808080 as signed int32
+    simple = ~(
+        vany((x & MASK80) != 0)
+        # conservative straddle guard: any non-ASCII in the previous
+        # tile's trailing 512 bytes routes to the full path (vector-wide
+        # reduce; Mosaic has no cheap scalar extract from a vreg)
+        | vany((prv[HR - 1 :, :] & MASK80) != 0)
+    )
+
+    def cheap():
+        row_c, lane_c = _iotas((PR, PW))
+        gpos_c = row_c * PW + lane_c
+        vals_c = []
+        for m in range(4):
+            q = base + 4 * gpos_c + m
+            v = jnp.where((q >= 0) & (q < length), (x >> (8 * m)) & 0xFF, 0)
+            if big_endian:
+                v = (v << 8) & 0xFFFF
+            vals_c.append(v)
+        q01 = vals_c[0] | (vals_c[1] << 16)
+        q23 = vals_c[2] | (vals_c[3] << 16)
+        scratch_c = _interleave2(q01, q23, roll)
+        count = jnp.clip(length - base, 0, TILE)
+        count_row = jnp.broadcast_to(
+            count.astype(jnp.int32).reshape(1, 1), (1, PW))
+        return scratch_c, count_row, jnp.int32(BIGKEY), count
+
+    return jax.lax.cond(
+        simple, cheap,
+        lambda: _tile_core_full(prv, x, nxt, base, length, big_endian,
+                                roll))
+
+
+def _tile_core_full(prv, x, nxt, base, length, big_endian: bool, roll):
     ext = jnp.concatenate([prv, x, nxt], axis=0)  # (HR+PR+HR, PW)
     RE = ext.shape[0]
 
@@ -448,16 +495,26 @@ def _phase_b_kernel(len_ref, prv_ref, x_ref, nxt_ref, scr_ref, st_ref,
     st_ref[...] = st
 
 
-def _phase_b(xr, length, nt: int, big_endian: bool):
-    """xr: (64 + nt*64 + 64, 128) int32 (one zero lead/trail tile).
-    Returns (scratch (nt*64, 256) i32, stats (nt, 128) i32)."""
+def _phase_b(x32, length, nt: int, big_endian: bool):
+    """x32: (nt*64, 128) int32 view of the UNPADDED byte buffer.
+    Returns (scratch (nt*64, 256) i32, stats (nt, 128) i32).
+
+    Halo blocks at the buffer edges read CLAMPED indices instead of a
+    zero-padded copy: the kernel already masks every byte by its global
+    position (q >= 0 and q < length), so edge-halo contents are never
+    consumed — and the jnp.pad the old form needed was a full extra
+    read+write pass over the corpus (~2.2 ms at 64 MiB, tools/
+    probe_butterfly 'prep')."""
     grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nt,),
         in_specs=[
-            pl.BlockSpec((HR, PW), lambda t, L: (8 * (t + 1) - 1, 0)),
-            pl.BlockSpec((PR, PW), lambda t, L: (t + 1, 0)),
-            pl.BlockSpec((HR, PW), lambda t, L: (8 * (t + 2), 0)),
+            pl.BlockSpec(
+                (HR, PW), lambda t, L: (jnp.maximum(8 * t - 1, 0), 0)),
+            pl.BlockSpec((PR, PW), lambda t, L: (t, 0)),
+            pl.BlockSpec(
+                (HR, PW),
+                lambda t, L: (jnp.minimum(8 * (t + 1), 8 * nt - 1), 0)),
         ],
         out_specs=(
             pl.BlockSpec((PR, 2 * PW), lambda t, L: (t, 0)),
@@ -468,11 +525,11 @@ def _phase_b(xr, length, nt: int, big_endian: bool):
         functools.partial(_phase_b_kernel, big_endian=big_endian),
         grid_spec=grid,
         out_shape=(
-            sds(xr, (nt * PR, 2 * PW), jnp.int32),
-            sds(xr, (nt * 8, PW), jnp.int32),
+            sds(x32, (nt * PR, 2 * PW), jnp.int32),
+            sds(x32, (nt * 8, PW), jnp.int32),
         ),
         interpret=_interpret(),
-    )(jnp.asarray(length, jnp.int32).reshape(1), xr, xr, xr)
+    )(jnp.asarray(length, jnp.int32).reshape(1), x32, x32, x32)
 
 
 # --- phase C pallas_call -------------------------------------------------
@@ -494,62 +551,70 @@ def _dyn_pair_roll_right(w, k, roll):
     return jnp.where(lane >= lk, z2, z3)
 
 
-def _phase_c_kernel(t0_ref, off_ref, elen_ref, s0, s1, s2, s3, s4,
-                    out_ref):
-    j = pl.program_id(0)
+def _phase_c_kernel(t0_ref, off_ref, elen_ref, s_ref, out_ref):
+    """Grid (j, m): candidate m of out tile j. The out block is revisited
+    across m (the pallas accumulation idiom — it stays VMEM-resident
+    because the out index map ignores m), so scratch is ONE input whose
+    block index varies per (j, m) instead of CAND aliased arguments: the
+    aliased form made XLA materialize CAND copies of the whole scratch
+    whenever phase C sat inside a conditional branch (the round-3 "25 ms
+    conditional-output copy"; re-measured 2026-08-20 as ~30 ms inside the
+    census switch)."""
+    j, m = pl.program_id(0), pl.program_id(1)
     base_u = j * UNITS
     row, lane = _iotas((PR, 2 * PW))
     p = row * (2 * PW) + lane  # pair index within the out tile
     u_lo = base_u + 2 * p
-    acc_lo = jnp.zeros((PR, 2 * PW), jnp.int32)
-    acc_hi = jnp.zeros((PR, 2 * PW), jnp.int32)
-    srcs = [s0, s1, s2, s3, s4]
     nt = off_ref.shape[0] - 1
-    for m in range(CAND):
-        t = jnp.minimum(t0_ref[j] + m, nt - 1)
-        o_start = off_ref[t]
-        # elen clamps every segment: units at/after the valid-prefix end
-        # stay zero (the error-path tail mask folded into the masking the
-        # kernel already does — a separate XLA pass over the 2N-byte
-        # output costs ~29 ms in the degraded elementwise class)
-        o_end = jnp.minimum(off_ref[t + 1], elen_ref[0])
-        sh_units = (o_start - base_u) % UNITS  # circular
-        w = srcs[m][...]
-        # units-granularity roll right: odd part first (unit lane swap
-        # across int32 pairs), then a dynamic pair roll
-        wprev = _dyn_pair_roll_right(w, jnp.int32(1), _proll)
-        w_odd = ((w << 16) | ((wprev >> 16) & 0xFFFF))
-        wbase = jnp.where((sh_units & 1) != 0, w_odd, w)
-        rolled = _dyn_pair_roll_right(wbase, sh_units // 2, _proll)
-        in_lo = (u_lo >= o_start) & (u_lo < o_end)
-        in_hi = (u_lo + 1 >= o_start) & (u_lo + 1 < o_end)
-        acc_lo = jnp.where(in_lo, rolled & 0xFFFF, acc_lo)
-        acc_hi = jnp.where(in_hi, (rolled >> 16) & 0xFFFF, acc_hi)
-    out_ref[...] = acc_lo | (acc_hi << 16)
+    t = jnp.minimum(t0_ref[j] + m, nt - 1)
+    o_start = off_ref[t]
+    # elen clamps every segment: units at/after the valid-prefix end
+    # stay zero (the error-path tail mask folded into the masking the
+    # kernel already does — a separate XLA pass over the 2N-byte
+    # output costs ~29 ms in the degraded elementwise class)
+    o_end = jnp.minimum(off_ref[t + 1], elen_ref[0])
+    sh_units = (o_start - base_u) % UNITS  # circular
+    w = s_ref[...]
+    # units-granularity roll right: odd part first (unit lane swap
+    # across int32 pairs), then a dynamic pair roll
+    wprev = _dyn_pair_roll_right(w, jnp.int32(1), _proll)
+    w_odd = ((w << 16) | ((wprev >> 16) & 0xFFFF))
+    wbase = jnp.where((sh_units & 1) != 0, w_odd, w)
+    rolled = _dyn_pair_roll_right(wbase, sh_units // 2, _proll)
+    in_lo = (u_lo >= o_start) & (u_lo < o_end)
+    in_hi = (u_lo + 1 >= o_start) & (u_lo + 1 < o_end)
+    mask = (jnp.where(in_lo, 0xFFFF, 0)
+            | jnp.where(in_hi, jnp.int32(-65536), 0))  # 0xFFFF0000
+
+    @pl.when(m == 0)
+    def _init():
+        out_ref[...] = rolled & mask
+
+    @pl.when(m > 0)
+    def _acc():
+        out_ref[...] = (out_ref[...] & ~mask) | (rolled & mask)
 
 
 def _phase_c(scratch, t0, off, nt: int, elen):
     grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(nt,),
+        grid=(nt, CAND),
         in_specs=[
             pl.BlockSpec(
                 (PR, 2 * PW),
-                (lambda m: lambda j, t0r, offr, elr: (
-                    jnp.minimum(t0r[j] + m, nt - 1), 0))(m),
-            )
-            for m in range(CAND)
+                lambda j, m, t0r, offr, elr: (
+                    jnp.minimum(t0r[j] + m, nt - 1), 0),
+            ),
         ],
         out_specs=pl.BlockSpec(
-            (PR, 2 * PW), lambda j, t0r, offr, elr: (j, 0)),
+            (PR, 2 * PW), lambda j, m, t0r, offr, elr: (j, 0)),
     )
     return pl.pallas_call(
         _phase_c_kernel,
         grid_spec=grid,
         out_shape=sds(scratch, (nt * PR, 2 * PW), jnp.int32),
         interpret=_interpret(),
-    )(t0, off, jnp.asarray(elen, jnp.int32).reshape(1),
-      *([scratch] * CAND))
+    )(t0, off, jnp.asarray(elen, jnp.int32).reshape(1), scratch)
 
 
 # --- driver ----------------------------------------------------------------
@@ -566,11 +631,8 @@ def to_utf16_compose(b_u8: jnp.ndarray, length, big_endian: bool):
     n = b_u8.shape[0]
     assert n % TILE == 0, n
     nt = n // TILE
-    x32 = jax.lax.bitcast_convert_type(
-        b_u8.reshape(-1, 4), jnp.int32
-    ).reshape(-1, PW)
-    xr = jnp.pad(x32, ((PR, PR), (0, 0)))
-    scratch, stats = _phase_b(xr, length, nt, big_endian)
+    x32 = u8_words(b_u8)  # (nt*64, 128); no minor-4 array (validate.py)
+    scratch, stats = _phase_b(x32, length, nt, big_endian)
     counts = stats[::8, 0]
     eks = stats[::8, 2]
     prefs = stats[::8, 3]

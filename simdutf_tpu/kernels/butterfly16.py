@@ -195,16 +195,23 @@ def _phase_b16_kernel(len_ref, prv_ref, x_ref, nxt_ref, scr_ref, st_ref):
     st_ref[...] = st
 
 
-def _phase_b16(xr, length, nt: int):
-    """xr: (64 + nt*64 + 64, 128) int32 units (one zero lead/trail tile).
+def _phase_b16(x32, length, nt: int):
+    """x32: (nt*64, 128) int32 units (unpadded; clamped edge halos).
     Returns (scratch (nt*64, 128) i32, stats (nt*8, 128) i32)."""
     grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nt,),
         in_specs=[
-            pl.BlockSpec((HR, PW), lambda t, L: (8 * (t + 1) - 1, 0)),
-            pl.BlockSpec((PR, PW), lambda t, L: (t + 1, 0)),
-            pl.BlockSpec((HR, PW), lambda t, L: (8 * (t + 2), 0)),
+            # clamped edge halos on the UNPADDED buffer: out-of-range
+            # halo contents are masked by global position in the core
+            # (q >= 0 / q < length), so the old zero-pad copy — a full
+            # extra pass over the corpus — is unnecessary
+            pl.BlockSpec(
+                (HR, PW), lambda t, L: (jnp.maximum(8 * t - 1, 0), 0)),
+            pl.BlockSpec((PR, PW), lambda t, L: (t, 0)),
+            pl.BlockSpec(
+                (HR, PW),
+                lambda t, L: (jnp.minimum(8 * (t + 1), 8 * nt - 1), 0)),
         ],
         out_specs=(
             pl.BlockSpec((PR, PW), lambda t, L: (t, 0)),
@@ -215,11 +222,11 @@ def _phase_b16(xr, length, nt: int):
         _phase_b16_kernel,
         grid_spec=grid,
         out_shape=(
-            sds(xr, (nt * PR, PW), jnp.int32),
-            sds(xr, (nt * 8, PW), jnp.int32),
+            sds(x32, (nt * PR, PW), jnp.int32),
+            sds(x32, (nt * 8, PW), jnp.int32),
         ),
         interpret=_interpret(),
-    )(jnp.asarray(length, jnp.int32).reshape(1), xr, xr, xr)
+    )(jnp.asarray(length, jnp.int32).reshape(1), x32, x32, x32)
 
 
 # --- phase C pallas_call ---------------------------------------------------
@@ -236,69 +243,73 @@ def _dyn_word_roll_right(w, k, roll):
     return jnp.where(lane >= lk, z2, z3)
 
 
-def _phase_c16_kernel(t0_ref, off_ref, elen_ref, s0, s1, s2, s3, s4,
-                      out_ref):
-    j = pl.program_id(0)
+def _phase_c16_kernel(t0_ref, off_ref, elen_ref, s_ref, out_ref):
+    # grid (j, m): out block revisited across m (VMEM-resident), scratch
+    # is ONE input — the CAND-aliased form made XLA materialize CAND
+    # copies of scratch whenever phase C sat inside a conditional branch
+    # (kernels/butterfly._phase_c_kernel)
+    j, m = pl.program_id(0), pl.program_id(1)
     base_b = j * CAPB  # global byte index of this out tile's first byte
     row, lane = _iotas((PR, PW))
     p = row * PW + lane  # word index within the out tile
     b_lo = base_b + 4 * p
-    acc = jnp.zeros((PR, PW), jnp.int32)
-    srcs = [s0, s1, s2, s3, s4]
     nt = off_ref.shape[0] - 1
-    for m in range(CAND):
-        t = jnp.minimum(t0_ref[j] + m, nt - 1)
-        o_start = off_ref[t]
-        # elen clamps every segment: bytes at/after the valid-prefix end
-        # stay zero (error-path tail mask folded into existing masking)
-        o_end = jnp.minimum(off_ref[t + 1], elen_ref[0])
-        sh_bytes = (o_start - base_b) % CAPB  # circular
-        wv = srcs[m][...]
-        kw = sh_bytes // 4
-        kr = sh_bytes % 4
-        w1 = _dyn_word_roll_right(wv, kw, _proll)
-        wp = _dyn_word_roll_right(wv, kw + 1, _proll)
-        # byte-granularity roll: out word = low (4-kr) bytes shifted up
-        # from w1, top kr bytes of wp shifted down
-        rolled = w1
-        for r in (1, 2, 3):
-            cand = (w1 << (8 * r)) | ((wp >> (32 - 8 * r))
-                                      & ((1 << (8 * r)) - 1))
-            rolled = jnp.where(kr == r, cand, rolled)
-        # per-byte in-segment masks (byte-3 constant wraps negative in i32)
-        mask = jnp.zeros((PR, PW), jnp.int32)
-        for l in range(4):
-            in_l = (b_lo + l >= o_start) & (b_lo + l < o_end)
-            bmask = jnp.int32(int.from_bytes(
-                (0xFF << (8 * l)).to_bytes(4, "little"), "little",
-                signed=True))
-            mask = mask | jnp.where(in_l, bmask, 0)
-        acc = (acc & ~mask) | (rolled & mask)
-    out_ref[...] = acc
+    t = jnp.minimum(t0_ref[j] + m, nt - 1)
+    o_start = off_ref[t]
+    # elen clamps every segment: bytes at/after the valid-prefix end
+    # stay zero (error-path tail mask folded into existing masking)
+    o_end = jnp.minimum(off_ref[t + 1], elen_ref[0])
+    sh_bytes = (o_start - base_b) % CAPB  # circular
+    wv = s_ref[...]
+    kw = sh_bytes // 4
+    kr = sh_bytes % 4
+    w1 = _dyn_word_roll_right(wv, kw, _proll)
+    wp = _dyn_word_roll_right(wv, kw + 1, _proll)
+    # byte-granularity roll: out word = low (4-kr) bytes shifted up
+    # from w1, top kr bytes of wp shifted down
+    rolled = w1
+    for r in (1, 2, 3):
+        cand = (w1 << (8 * r)) | ((wp >> (32 - 8 * r))
+                                  & ((1 << (8 * r)) - 1))
+        rolled = jnp.where(kr == r, cand, rolled)
+    # per-byte in-segment masks (byte-3 constant wraps negative in i32)
+    mask = jnp.zeros((PR, PW), jnp.int32)
+    for l in range(4):
+        in_l = (b_lo + l >= o_start) & (b_lo + l < o_end)
+        bmask = jnp.int32(int.from_bytes(
+            (0xFF << (8 * l)).to_bytes(4, "little"), "little",
+            signed=True))
+        mask = mask | jnp.where(in_l, bmask, 0)
+
+    @pl.when(m == 0)
+    def _init():
+        out_ref[...] = rolled & mask
+
+    @pl.when(m > 0)
+    def _acc():
+        out_ref[...] = (out_ref[...] & ~mask) | (rolled & mask)
 
 
 def _phase_c16(scratch, t0, off, nt: int, elen):
     grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(nt,),
+        grid=(nt, CAND),
         in_specs=[
             pl.BlockSpec(
                 (PR, PW),
-                (lambda m: lambda j, t0r, offr, elr: (
-                    jnp.minimum(t0r[j] + m, nt - 1), 0))(m),
-            )
-            for m in range(CAND)
+                lambda j, m, t0r, offr, elr: (
+                    jnp.minimum(t0r[j] + m, nt - 1), 0),
+            ),
         ],
         out_specs=pl.BlockSpec(
-            (PR, PW), lambda j, t0r, offr, elr: (j, 0)),
+            (PR, PW), lambda j, m, t0r, offr, elr: (j, 0)),
     )
     return pl.pallas_call(
         _phase_c16_kernel,
         grid_spec=grid,
         out_shape=sds(scratch, (nt * PR, PW), jnp.int32),
         interpret=_interpret(),
-    )(t0, off, jnp.asarray(elen, jnp.int32).reshape(1),
-      *([scratch] * CAND))
+    )(t0, off, jnp.asarray(elen, jnp.int32).reshape(1), scratch)
 
 
 # --- driver ----------------------------------------------------------------
@@ -314,8 +325,7 @@ def to_utf8_compose(w_u16: jnp.ndarray, length):
     assert n % TILE_U == 0, n
     nt = n // TILE_U
     x32 = w_u16.astype(jnp.int32).reshape(-1, PW)
-    xr = jnp.pad(x32, ((PR, PR), (0, 0)))
-    scratch, stats = _phase_b16(xr, length, nt)
+    scratch, stats = _phase_b16(x32, length, nt)
     counts = stats[::8, 0]
     eks = stats[::8, 2]
     prefs = stats[::8, 3]

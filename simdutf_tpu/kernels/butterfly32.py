@@ -163,14 +163,21 @@ def _phase_b32_kernel(len_ref, prv_ref, x_ref, nxt_ref, scr_ref, st_ref):
     )
 
 
-def _phase_b32(xr, length, nt: int):
+def _phase_b32(x32, length, nt: int):
     grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nt,),
         in_specs=[
-            pl.BlockSpec((HR, PW), lambda t, L: (8 * (t + 1) - 1, 0)),
-            pl.BlockSpec((PR, PW), lambda t, L: (t + 1, 0)),
-            pl.BlockSpec((HR, PW), lambda t, L: (8 * (t + 2), 0)),
+            # clamped edge halos on the UNPADDED buffer: out-of-range
+            # halo contents are masked by global position in the core
+            # (q >= 0 / q < length), so the old zero-pad copy — a full
+            # extra pass over the corpus — is unnecessary
+            pl.BlockSpec(
+                (HR, PW), lambda t, L: (jnp.maximum(8 * t - 1, 0), 0)),
+            pl.BlockSpec((PR, PW), lambda t, L: (t, 0)),
+            pl.BlockSpec(
+                (HR, PW),
+                lambda t, L: (jnp.minimum(8 * (t + 1), 8 * nt - 1), 0)),
         ],
         out_specs=(
             pl.BlockSpec((PR, PW), lambda t, L: (t, 0)),
@@ -181,54 +188,60 @@ def _phase_b32(xr, length, nt: int):
         _phase_b32_kernel,
         grid_spec=grid,
         out_shape=(
-            sds(xr, (nt * PR, PW), jnp.int32),
-            sds(xr, (nt * 8, PW), jnp.int32),
+            sds(x32, (nt * PR, PW), jnp.int32),
+            sds(x32, (nt * 8, PW), jnp.int32),
         ),
         interpret=_interpret(),
-    )(jnp.asarray(length, jnp.int32).reshape(1), xr, xr, xr)
+    )(jnp.asarray(length, jnp.int32).reshape(1), x32, x32, x32)
 
 
 # --- phase C pallas_call (word granularity) --------------------------------
 
-def _phase_c32_kernel(t0_ref, off_ref, s0, s1, s2, s3, s4, out_ref):
-    j = pl.program_id(0)
+def _phase_c32_kernel(t0_ref, off_ref, s_ref, out_ref):
+    # grid (j, m): out block revisited across m (VMEM-resident), scratch
+    # is ONE input — the CAND-aliased form made XLA materialize CAND
+    # copies of scratch whenever phase C sat inside a conditional branch
+    # (kernels/butterfly._phase_c_kernel)
+    j, m = pl.program_id(0), pl.program_id(1)
     base_w = j * CAPW
     row, lane = _iotas((PR, PW))
     p = base_w + row * PW + lane  # global output word index
-    acc = jnp.zeros((PR, PW), jnp.int32)
-    srcs = [s0, s1, s2, s3, s4]
     nt = off_ref.shape[0] - 1
-    for m in range(CAND):
-        t = jnp.minimum(t0_ref[j] + m, nt - 1)
-        o_start = off_ref[t]
-        o_end = off_ref[t + 1]
-        sh = (o_start - base_w) % CAPW
-        rolled = _dyn_word_roll_right(srcs[m][...], sh, _proll)
-        in_w = (p >= o_start) & (p < o_end)
-        acc = jnp.where(in_w, rolled, acc)
-    out_ref[...] = acc
+    t = jnp.minimum(t0_ref[j] + m, nt - 1)
+    o_start = off_ref[t]
+    o_end = off_ref[t + 1]
+    sh = (o_start - base_w) % CAPW
+    rolled = _dyn_word_roll_right(s_ref[...], sh, _proll)
+    in_w = (p >= o_start) & (p < o_end)
+
+    @pl.when(m == 0)
+    def _init():
+        out_ref[...] = jnp.where(in_w, rolled, 0)
+
+    @pl.when(m > 0)
+    def _acc():
+        out_ref[...] = jnp.where(in_w, rolled, out_ref[...])
 
 
 def _phase_c32(scratch, t0, off, nt: int):
     grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(nt,),
+        grid=(nt, CAND),
         in_specs=[
             pl.BlockSpec(
                 (PR, PW),
-                (lambda m: lambda j, t0r, offr: (
-                    jnp.minimum(t0r[j] + m, nt - 1), 0))(m),
-            )
-            for m in range(CAND)
+                lambda j, m, t0r, offr: (
+                    jnp.minimum(t0r[j] + m, nt - 1), 0),
+            ),
         ],
-        out_specs=pl.BlockSpec((PR, PW), lambda j, t0r, offr: (j, 0)),
+        out_specs=pl.BlockSpec((PR, PW), lambda j, m, t0r, offr: (j, 0)),
     )
     return pl.pallas_call(
         _phase_c32_kernel,
         grid_spec=grid,
         out_shape=sds(scratch, (nt * PR, PW), jnp.int32),
         interpret=_interpret(),
-    )(t0, off, *([scratch] * CAND))
+    )(t0, off, scratch)
 
 
 # --- driver ----------------------------------------------------------------
@@ -241,8 +254,7 @@ def to_utf32_compose(b_u8: jnp.ndarray, length):
     assert n % TILE_B == 0, n
     nt = n // TILE_B
     x32 = b_u8.astype(jnp.int32).reshape(-1, PW)
-    xr = jnp.pad(x32, ((PR, PR), (0, 0)))
-    scratch, stats = _phase_b32(xr, length, nt)
+    scratch, stats = _phase_b32(x32, length, nt)
     counts = stats[::8, 0]
     err_any = jnp.max(stats[::8, 1]) > 0
     err_any = err_any | (

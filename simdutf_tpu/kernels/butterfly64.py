@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .validate import _interpret, sds
+from .validate import _interpret, sds, u8_words
 from .butterfly import (
     PR, PW, HR, TILE, _iotas, _groll_left, _flat_roll_left, _proll, _staged_moves,
 )
@@ -183,9 +183,7 @@ def compact_codes(chars_u8: jnp.ndarray, length, url: bool, both: bool):
     n = chars_u8.shape[0]
     assert n % TILE == 0, n
     nt = n // TILE
-    x32 = lax.bitcast_convert_type(
-        chars_u8.reshape(-1, 4), jnp.int32
-    ).reshape(-1, PW)
+    x32 = u8_words(chars_u8)  # (nt*64, 128); no minor-4 array
     scratch, stats = _phase_b64(x32, length, nt, url, both)
     counts = stats[::8, 0]
     eks = stats[::8, 2]

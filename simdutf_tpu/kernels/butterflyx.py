@@ -93,12 +93,17 @@ def _stats_block(count_row, err):
 
 def _run_phase_b(kernel, x32, length, nt: int, halo: bool):
     """pallas_call driver shared by all phase Bs. halo=True passes ±1-tile
-    8-row halos (x32 must carry one zero lead/trail tile)."""
+    8-row halos as CLAMPED edge blocks of the unpadded buffer (their
+    out-of-range contents are masked by global position in every core,
+    so no zero-pad copy is needed)."""
     if halo:
         in_specs = [
-            pl.BlockSpec((HR, PW), lambda t, L: (8 * (t + 1) - 1, 0)),
-            pl.BlockSpec((PR, PW), lambda t, L: (t + 1, 0)),
-            pl.BlockSpec((HR, PW), lambda t, L: (8 * (t + 2), 0)),
+            pl.BlockSpec(
+                (HR, PW), lambda t, L: (jnp.maximum(8 * t - 1, 0), 0)),
+            pl.BlockSpec((PR, PW), lambda t, L: (t, 0)),
+            pl.BlockSpec(
+                (HR, PW),
+                lambda t, L: (jnp.minimum(8 * (t + 1), 8 * nt - 1), 0)),
         ]
     else:
         in_specs = [pl.BlockSpec((PR, PW), lambda t, L: (t, 0))]
@@ -241,51 +246,55 @@ def _phase_c_u16(scratch, t0, off, nt: int):
     CAPU = 2 * TILE_E
     CANDS = 5
 
-    def kernel(t0_ref, off_ref, *refs):
-        srcs, out_ref = refs[:-1], refs[-1]
-        j = pl.program_id(0)
+    def kernel(t0_ref, off_ref, s_ref, out_ref):
+        # grid (j, m): out block revisited across m; scratch is ONE input
+        # (kernels/butterfly._phase_c_kernel's accumulation idiom)
+        j, m = pl.program_id(0), pl.program_id(1)
         base_u = j * CAPU
         row, lane = _iotas((PR, PW))
         p = row * PW + lane
         u_lo = base_u + 2 * p
-        acc_lo = jnp.zeros((PR, PW), jnp.int32)
-        acc_hi = jnp.zeros((PR, PW), jnp.int32)
         ntt = off_ref.shape[0] - 1
-        for m in range(CANDS):
-            t = jnp.minimum(t0_ref[j] + m, ntt - 1)
-            o_start = off_ref[t]
-            o_end = off_ref[t + 1]
-            sh_units = (o_start - base_u) % CAPU
-            w = srcs[m][...]
-            wprev = _dyn_word_roll_right(w, jnp.int32(1), _proll)
-            w_odd = (w << 16) | ((wprev >> 16) & 0xFFFF)
-            wbase = jnp.where((sh_units & 1) != 0, w_odd, w)
-            rolled = _dyn_word_roll_right(wbase, sh_units // 2, _proll)
-            in_lo = (u_lo >= o_start) & (u_lo < o_end)
-            in_hi = (u_lo + 1 >= o_start) & (u_lo + 1 < o_end)
-            acc_lo = jnp.where(in_lo, rolled & 0xFFFF, acc_lo)
-            acc_hi = jnp.where(in_hi, (rolled >> 16) & 0xFFFF, acc_hi)
-        out_ref[...] = acc_lo | (acc_hi << 16)
+        t = jnp.minimum(t0_ref[j] + m, ntt - 1)
+        o_start = off_ref[t]
+        o_end = off_ref[t + 1]
+        sh_units = (o_start - base_u) % CAPU
+        w = s_ref[...]
+        wprev = _dyn_word_roll_right(w, jnp.int32(1), _proll)
+        w_odd = (w << 16) | ((wprev >> 16) & 0xFFFF)
+        wbase = jnp.where((sh_units & 1) != 0, w_odd, w)
+        rolled = _dyn_word_roll_right(wbase, sh_units // 2, _proll)
+        in_lo = (u_lo >= o_start) & (u_lo < o_end)
+        in_hi = (u_lo + 1 >= o_start) & (u_lo + 1 < o_end)
+        mask = (jnp.where(in_lo, 0xFFFF, 0)
+                | jnp.where(in_hi, jnp.int32(-65536), 0))
+
+        @pl.when(m == 0)
+        def _init():
+            out_ref[...] = rolled & mask
+
+        @pl.when(m > 0)
+        def _acc():
+            out_ref[...] = (out_ref[...] & ~mask) | (rolled & mask)
 
     grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(nt,),
+        grid=(nt, CANDS),
         in_specs=[
             pl.BlockSpec(
                 (PR, PW),
-                (lambda m: lambda j, t0r, offr: (
-                    jnp.minimum(t0r[j] + m, nt - 1), 0))(m),
-            )
-            for m in range(CANDS)
+                lambda j, m, t0r, offr: (
+                    jnp.minimum(t0r[j] + m, nt - 1), 0),
+            ),
         ],
-        out_specs=pl.BlockSpec((PR, PW), lambda j, t0r, offr: (j, 0)),
+        out_specs=pl.BlockSpec((PR, PW), lambda j, m, t0r, offr: (j, 0)),
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid,
         out_shape=sds(scratch, (nt * PR, PW), jnp.int32),
         interpret=_interpret(),
-    )(t0, off, *([scratch] * CANDS))
+    )(t0, off, scratch)
 
 
 def u32_to_utf16_compose(w_u32: jnp.ndarray, length, big_endian: bool):
@@ -373,8 +382,7 @@ def u16_to_utf32_compose(w_u16: jnp.ndarray, length):
     assert n % TILE_E == 0, n
     nt = n // TILE_E
     x32 = w_u16.astype(jnp.int32).reshape(-1, PW)
-    xr = jnp.pad(x32, ((PR, PR), (0, 0)))
-    scratch, stats = _run_phase_b(_kernel_u16_to_u32, xr, length, nt, True)
+    scratch, stats = _run_phase_b(_kernel_u16_to_u32, x32, length, nt, True)
     off, t0, total, err_any = _offsets(stats, nt, TILE_E)
     out32 = _phase_c32(scratch, t0, off, nt)
     u32 = lax.bitcast_convert_type(

@@ -76,10 +76,13 @@ def sextets_to_bytes(vals_u8: jnp.ndarray, n: int) -> jnp.ndarray:
 
     from ..kernels import base64_kernel as kb
 
-    w = lax.bitcast_convert_type(vals_u8.reshape(-1, 4), jnp.int32)
-    m = w.shape[0]
+    m = vals_u8.shape[0] // 4
     if m % 512 == 0:
-        out32 = kb.pack_sextets(w.reshape(-1, 512))
+        from ..kernels.validate import u8_words
+
+        # (R, 512) i32 word rows without a minor-4 array (validate.py)
+        w512 = u8_words(vals_u8).reshape(-1, 512)
+        out32 = kb.pack_sextets(w512)
         return lax.bitcast_convert_type(
             out32.reshape(-1, 1), jnp.uint8).reshape(-1)
     # small/odd buckets (< 2 KiB of chars): the minor-dim form is fine

@@ -135,50 +135,75 @@ def _mask_tail(vals, count, n_out):
     return jnp.where(idx < count, vals, 0)
 
 
+def _words_to_u8(words32, total_bytes):
+    """int32 little-endian word planes -> flat u8 stream (no minor-dim
+    stack: a (m, k<128)-minor array pads its last dim to 128 lanes
+    whenever XLA materializes it — ~35 ms per branch at 64 MiB,
+    round-3's census-branch 'elementwise floor')."""
+    from jax import lax
+
+    return lax.bitcast_convert_type(
+        words32.reshape(-1, 1), jnp.uint8).reshape(-1)[:total_bytes]
+
+
 def _u8_fast_branches(w, length, n):
     """Fixed-rate utf16->utf8 branches on native-order uint16 w; each
     returns (out u8[3n], out_len) matching the general engine
-    bit-for-bit. uint8/uint16 arithmetic only."""
+    bit-for-bit. Lane-major: the 1:2 and 1:4 expansions pack whole int32
+    output words from strided unit planes (2 units -> 1 word, 1 pair ->
+    1 word), so no minor-dim-k array ever materializes. The 1:3
+    expansion has no word-exact packing (LCM(3,4) = 12 forces a 3-way
+    lane interleave, which this machine can only do as a padded stack),
+    so the uniform-3 class routes to the general engine instead — the
+    butterfly measures ~1.7x faster than the padded-stack branch."""
 
     def br_ascii():
         u = jnp.where(positions(n) < length, w, 0).astype(jnp.uint8)
         return jnp.pad(u, (0, 2 * n)), length
 
     def br_u2r():
-        b0 = ((w >> 6) | 0xC0).astype(jnp.uint8)
-        b1 = ((w & 0x3F) | 0x80).astype(jnp.uint8)
-        by = jnp.stack([b0, b1], axis=1).reshape(-1)  # 2n
         cnt = 2 * length
-        by = _mask_tail(by, cnt, 2 * n)
+        if n % 512:
+            b0 = ((w >> 6) | 0xC0).astype(jnp.uint8)
+            b1 = ((w & 0x3F) | 0x80).astype(jnp.uint8)
+            by = jnp.stack([b0, b1], axis=1).reshape(-1)  # 2n
+            by = _mask_tail(by, cnt, 2 * n)
+            return jnp.pad(by, (0, n)), cnt
+        W = w.astype(jnp.int32).reshape(-1, 512)
+        E, O = W[:, 0::2], W[:, 1::2]  # even/odd units, (R, 256)
+        words = (((E >> 6) | 0xC0) | (((E & 0x3F) | 0x80) << 8)
+                 | (((O >> 6) | 0xC0) << 16) | (((O & 0x3F) | 0x80) << 24))
+        by = _mask_tail(_words_to_u8(words, 2 * n), cnt, 2 * n)
         return jnp.pad(by, (0, n)), cnt
 
-    def br_u3r():
-        b0 = ((w >> 12) | 0xE0).astype(jnp.uint8)
-        b1 = (((w >> 6) & 0x3F) | 0x80).astype(jnp.uint8)
-        b2 = ((w & 0x3F) | 0x80).astype(jnp.uint8)
-        by = jnp.stack([b0, b1, b2], axis=1).reshape(-1)  # 3n exactly
-        cnt = 3 * length
-        return _mask_tail(by, cnt, 3 * n), cnt
-
     def br_astral():
-        pr = w.reshape(-1, 2)
-        hi, lo = pr[:, 0], pr[:, 1]
+        cnt = 2 * length
+        if n % 512:
+            pr = w.reshape(-1, 2)
+            hi, lo = pr[:, 0].astype(jnp.int32), pr[:, 1].astype(jnp.int32)
+            hb = hi - 0xD7C0
+            b0 = (0xF0 | (hb >> 8)).astype(jnp.uint8)
+            b1 = (0x80 | ((hb >> 2) & 0x3F)).astype(jnp.uint8)
+            b2 = (0x80 | (((hb & 0x03) << 4)
+                          | ((lo >> 6) & 0x0F))).astype(jnp.uint8)
+            b3 = (0x80 | (lo & 0x3F)).astype(jnp.uint8)
+            by = jnp.stack([b0, b1, b2, b3], axis=1).reshape(-1)
+            by = _mask_tail(by, cnt, 2 * n)
+            return jnp.pad(by, (0, n)), cnt
+        W = w.astype(jnp.int32).reshape(-1, 512)
+        hi, lo = W[:, 0::2], W[:, 1::2]  # surrogate pairs, (R, 256)
         # cp = 0x10000 + ((hi-D800)<<10) + (lo-DC00); cp>>18 is always 4
         # for astral, so b0 = F0 | (cp>>18) needs only hi's top bits:
         # cp bits 18..20 = (hi-D800+0x40) >> 8
         hb = hi - 0xD7C0  # = (cp >> 10), 11 bits
-        b0 = (0xF0 | (hb >> 8)).astype(jnp.uint8)
-        b1 = (0x80 | ((hb >> 2) & 0x3F)).astype(jnp.uint8)
-        b2 = (0x80 | (((hb & 0x03) << 4) | ((lo >> 6) & 0x0F))).astype(
-            jnp.uint8
-        )
-        b3 = (0x80 | (lo & 0x3F)).astype(jnp.uint8)
-        by = jnp.stack([b0, b1, b2, b3], axis=1).reshape(-1)  # 2n
-        cnt = 2 * length
-        by = _mask_tail(by, cnt, 2 * n)
+        words = ((0xF0 | (hb >> 8))
+                 | ((0x80 | ((hb >> 2) & 0x3F)) << 8)
+                 | ((0x80 | (((hb & 0x03) << 4) | ((lo >> 6) & 0x0F))) << 16)
+                 | ((0x80 | (lo & 0x3F)) << 24))
+        by = _mask_tail(_words_to_u8(words, 2 * n), cnt, 2 * n)
         return jnp.pad(by, (0, n)), cnt
 
-    return br_ascii, br_u2r, br_u3r, br_astral
+    return br_ascii, br_u2r, None, br_astral
 
 
 def _codepoints(w: jnp.ndarray, length):
@@ -279,22 +304,16 @@ def to_utf8(words: jnp.ndarray, length, big_endian: bool):
     """Returns (err_code, err_pos, out u8[3N], out_len); with the scatter
     engine, census-routed (see ops/utf8.to_utf16): whole-buffer uniform
     UTF-8-width classes take fixed-rate elementwise branches. With the
-    butterfly engine (measured), the flat butterfly runs for every class
-    (correct on all of them; the census switch's dynamic conditional
-    costs a degraded-state copy while its XLA branches lose to the
-    butterfly in the states where the butterfly wins). Bytes at/after
-    out_len are zero."""
+    butterfly engine (measured), the butterfly serves the general branch
+    of the same census switch (round 4: the round-3 switch-cost lore was
+    the bench's dynamic-index artifact, not the switch — PERF.md). Bytes
+    at/after out_len are zero."""
     n = words.shape[0]
-    from .engine_probe import general_engine16
-    from ..kernels import butterfly16 as kb16
-
-    butterfly = (not n % kb16.TILE_U and n >= kb16.TILE_U
-                 and general_engine16() == "butterfly")
-    if butterfly or not DEVICE_ROUTING:
+    if not DEVICE_ROUTING:
         return _general_utf8(native(words, length, big_endian), length, n)
     w16 = _native16(words, big_endian)
     ascii_, u2r, u3r, astral = census(w16, length)
-    br_ascii, br_u2r, br_u3r, br_astral = _u8_fast_branches(w16, length, n)
+    br_ascii, br_u2r, _, br_astral = _u8_fast_branches(w16, length, n)
 
     def wrap(br):
         def f():
@@ -305,7 +324,7 @@ def to_utf8(words: jnp.ndarray, length, big_endian: bool):
 
     return route(
         [(ascii_, wrap(br_ascii)), (u2r, wrap(br_u2r)),
-         (u3r, wrap(br_u3r)), (astral, wrap(br_astral))],
+         (astral, wrap(br_astral))],
         lambda: _general_utf8(
             native(words, length, big_endian), length, n),
     )
@@ -446,7 +465,7 @@ def to_utf8_valid(words: jnp.ndarray, length, big_endian: bool):
         return general()
     w16 = _native16(words, big_endian)
     ascii_, u2r, u3r, astral = census(w16, length)
-    br_ascii, br_u2r, br_u3r, br_astral = _u8_fast_branches(w16, length, n)
+    br_ascii, br_u2r, _, br_astral = _u8_fast_branches(w16, length, n)
 
     def wrap(br):
         def f():
@@ -456,7 +475,7 @@ def to_utf8_valid(words: jnp.ndarray, length, big_endian: bool):
 
     return route(
         [(ascii_, wrap(br_ascii)), (u2r, wrap(br_u2r)),
-         (u3r, wrap(br_u3r)), (astral, wrap(br_astral))],
+         (astral, wrap(br_astral))],
         general,
     )
 

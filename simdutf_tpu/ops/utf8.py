@@ -251,50 +251,100 @@ def _swp16(u, big_endian: bool):
     return (u << 8) | (u >> 8)
 
 
+def _pair_u16_stream(lo, hi):
+    """Interleave two u16-value int32 planes into a flat u16 stream
+    (lo unit first) through ONE int32 word plane — never a minor-2
+    stack, whose last dim TPU pads to 128 lanes when it materializes
+    (the round-3 'elementwise floor' of these branches was exactly that
+    padding, ~35 ms/branch at 64 MiB)."""
+    from jax import lax
+
+    w = (lo & 0xFFFF) | (hi << 16)
+    return lax.bitcast_convert_type(
+        w.reshape(-1, 1), jnp.uint16).reshape(-1)
+
+
 def _u16_fast_branches(b, length, n, big_endian: bool):
     """The four fixed-rate utf8->utf16 branches; each returns
     (out u16[n], out_len) bit-identical to the general engine on its
-    class. Pure elementwise + static reshapes: no scan, no scatter, and
-    uint16 arithmetic throughout (a 64 MiB corpus must not materialize
-    4N-byte temporaries: int32 intermediates OOMed TPU buffer
-    assignment when combined under one lax.switch)."""
+    class. Lane-major throughout (kernels/validate.u8_words + strided
+    lane slices): no scan, no scatter, and no minor-dim-2/3/4 arrays —
+    those pad to 128 lanes whenever XLA materializes them (measured as
+    the branches' ~35 ms floor in round 3)."""
+    from ..kernels.validate import u8_words
 
     def br_ascii():
         u = jnp.where(positions(n) < length, b, 0).astype(jnp.uint16)
         return _swp16(u, big_endian), length
 
     def br_u2():
-        pr = b.astype(jnp.uint16).reshape(-1, 2)
-        u = ((pr[:, 0] & 0x1F) << 6) | (pr[:, 1] & 0x3F)
         cnt = length // 2
-        u = _mask_units(_swp16(u, big_endian), cnt)
+        if n % 512:
+            pr = b.astype(jnp.uint16).reshape(-1, 2)
+            u = ((pr[:, 0] & 0x1F) << 6) | (pr[:, 1] & 0x3F)
+            u = _mask_units(_swp16(u, big_endian), cnt)
+            return jnp.pad(u, (0, n - u.shape[0])), cnt
+        w = u8_words(b)  # (n/512, 128) i32: 2 units per word
+        u_lo = ((w & 0x1F) << 6) | ((w >> 8) & 0x3F)
+        u_hi = (((w >> 16) & 0x1F) << 6) | ((w >> 24) & 0x3F)
+        u = _pair_u16_stream(
+            _swp16(u_lo, big_endian).astype(jnp.int32),
+            _swp16(u_hi, big_endian).astype(jnp.int32))
+        u = _mask_units(u, cnt)
         return jnp.pad(u, (0, n - u.shape[0])), cnt
 
     def br_u3():
-        n3 = n // 3 * 3  # capacity is a power of two; drop the stub
-        tr = b[:n3].astype(jnp.uint16).reshape(-1, 3)
-        u = (
-            ((tr[:, 0] & 0x0F) << 12) | ((tr[:, 1] & 0x3F) << 6)
-            | (tr[:, 2] & 0x3F)
-        )
         cnt = length // 3
+
+        def triples(tb):
+            # (R, 384) u8 rows; strided lane slices keep minors at 128
+            x2 = tb.reshape(-1, 384)
+            t0 = x2[:, 0::3].astype(jnp.int32)
+            t1 = x2[:, 1::3].astype(jnp.int32)
+            t2 = x2[:, 2::3].astype(jnp.int32)
+            return (((t0 & 0x0F) << 12) | ((t1 & 0x3F) << 6)
+                    | (t2 & 0x3F)).reshape(-1)
+
+        n384 = n // 1536 * 1536
+        n3 = n // 3 * 3
+        if n384 == 0:
+            tr = b[:n3].astype(jnp.uint16).reshape(-1, 3)
+            u = (((tr[:, 0] & 0x0F) << 12) | ((tr[:, 1] & 0x3F) << 6)
+                 | (tr[:, 2] & 0x3F))
+        else:
+            head = triples(b[:n384]).astype(jnp.uint16)
+            tail = b[n384:n3].astype(jnp.uint16).reshape(-1, 3)
+            ut = (((tail[:, 0] & 0x0F) << 12)
+                  | ((tail[:, 1] & 0x3F) << 6) | (tail[:, 2] & 0x3F))
+            u = jnp.concatenate([head, ut])
         u = _mask_units(_swp16(u, big_endian), cnt)
         return jnp.pad(u, (0, n - u.shape[0])), cnt
 
     def br_u4():
-        q = b.astype(jnp.uint16).reshape(-1, 4)
+        cnt = length // 2
+        if n % 512:
+            q = b.astype(jnp.uint16).reshape(-1, 4)
+            hi = (0xD7C0 + (((q[:, 0] & 0x07) << 8)
+                            | ((q[:, 1] & 0x3F) << 2)
+                            | ((q[:, 2] >> 4) & 0x03)))
+            lo = 0xDC00 + (((q[:, 2] & 0x0F) << 6) | (q[:, 3] & 0x3F))
+            u = jnp.stack(
+                [_swp16(hi, big_endian), _swp16(lo, big_endian)], axis=1
+            ).reshape(-1)
+            u = _mask_units(u, cnt)
+            return jnp.pad(u, (0, n - u.shape[0])), cnt
+        w = u8_words(b)  # one astral codepoint per word
+        b0, b1 = w & 0xFF, (w >> 8) & 0xFF
+        b2, b3 = (w >> 16) & 0xFF, (w >> 24) & 0xFF
         # surrogates from bytes without materializing the 21-bit cp:
         #   hi = D800 + (cp-0x10000)>>10, cp>>10 = ((b0&7)<<8)|((b1&3F)<<2)
         #        |((b2>>4)&3), so hi = D7C0 + that (the -0x10000 folds in)
-        hi = (
-            0xD7C0 + (((q[:, 0] & 0x07) << 8) | ((q[:, 1] & 0x3F) << 2)
-                      | ((q[:, 2] >> 4) & 0x03))
-        )
-        lo = 0xDC00 + (((q[:, 2] & 0x0F) << 6) | (q[:, 3] & 0x3F))
-        u = jnp.stack(
-            [_swp16(hi, big_endian), _swp16(lo, big_endian)], axis=1
-        ).reshape(-1)  # n // 2 units
-        cnt = length // 2
+        hi = 0xD7C0 + (((b0 & 0x07) << 8) | ((b1 & 0x3F) << 2)
+                       | ((b2 >> 4) & 0x03))
+        lo = 0xDC00 + (((b2 & 0x0F) << 6) | (b3 & 0x3F))
+        u = _pair_u16_stream(
+            _swp16(hi, big_endian).astype(jnp.int32),
+            _swp16(lo, big_endian).astype(jnp.int32))
         u = _mask_units(u, cnt)
         return jnp.pad(u, (0, n - u.shape[0])), cnt
 
@@ -384,15 +434,15 @@ def _general_utf16(b: jnp.ndarray, length, big_endian: bool):
 
 
 def to_utf16(b: jnp.ndarray, length, big_endian: bool):
-    """Validating transcode. With the scatter engine, routes on a one-pass
-    device census: whole-buffer structured classes (ASCII / uniform
-    2/3/4-byte) take fixed-rate elementwise branches (their census
-    predicate IS the validity proof); mixed input pays the scatter engine.
-    With the butterfly engine (measured, ops/engine_probe), the flat
-    butterfly runs for EVERY class: it is correct on all of them, and in
-    the device states where it wins, the census layer's dynamic switch
-    costs a degraded conditional-output copy while its XLA fast branches
-    lose to the butterfly anyway.
+    """Validating transcode. Routes on a one-pass device census:
+    whole-buffer structured classes (ASCII / uniform 2/3/4-byte) take
+    fixed-rate elementwise branches (their census predicate IS the
+    validity proof); mixed input pays the general engine — scatter or
+    butterfly, measured (ops/engine_probe) — as the switch's default
+    branch. (Round 4: the round-3 "switch costs a 25 ms conditional
+    copy" lore was the bench's dynamic-index artifact, not the switch;
+    census-routed ascii measured 24.9 GB/s vs 4.9 through the butterfly,
+    PERF.md.)
 
     Returns (err_code, err_pos, out u16[N], out_len). On error out_len is
     the number of units for the valid prefix (scalar-machine partial
@@ -400,12 +450,7 @@ def to_utf16(b: jnp.ndarray, length, big_endian: bool):
     worst case (1 unit/byte).
     """
     n = b.shape[0]
-    from .engine_probe import general_engine
-    from ..kernels import butterfly as kb
-
-    butterfly = (not n % kb.TILE and n >= kb.TILE
-                 and general_engine() == "butterfly")
-    if butterfly or not DEVICE_ROUTING:
+    if not DEVICE_ROUTING:
         return _general_utf16(b, length, big_endian)
     ascii_, u2, u3, u4 = census(b, length)
     br_ascii, br_u2, br_u3, br_u4 = _u16_fast_branches(b, length, n, big_endian)

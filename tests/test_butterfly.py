@@ -41,6 +41,14 @@ VALID = {
     "emoji": "\U0001f642\U0001f680\U0001f30d".encode() * 3000,
     # exactly one tile, ending mid-tile
     "one_tile_partial": ("aé東\U0001f642".encode() * 2000)[: kb.TILE // 2],
+    # per-TILE ascii shortcut: ascii tile / CJK tile / ascii tile, with a
+    # 3-byte sequence straddling the ascii->CJK boundary (the shortcut's
+    # straddle guard must route tile 1 to the full path) and a multibyte
+    # char in the last 512 bytes of tile 1 (disqualifies tile 2's guard)
+    "tile_granular_mix": (
+        b"a" * (kb.TILE - 2) + "東".encode()  # straddles into tile 1
+        + "京は日本".encode() * 2340  # CJK tile
+    )[: 2 * kb.TILE - 200] + "é".encode() + b"z" * kb.TILE,
 }
 
 
