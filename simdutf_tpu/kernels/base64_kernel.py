@@ -196,6 +196,159 @@ def _pack_sextets_pallas(w32: jnp.ndarray):
     )(w32)
 
 
+# --- dense 4->3 word repack (no reshape, no minor-dim arrays) -----------
+#
+# sextets_to_bytes' word-plane form (pack_sextets) is bit-correct but its
+# (R, 512) geometry needs a minor-dim reshape, which this toolchain's
+# Mosaic cannot lower (lane shapecast) — so it ran the XLA driver, and the
+# (R,128)->(R,512) relayout + u8 round-trip around it cost ~30 ms at the
+# 64 MiB MIME corpus (perf_records/base64_probe.jsonl, 2026-08-20: repack
+# 36.9 ms of the 75 ms routed total; VERDICT r04 #1). pack_words repacks
+# the (R, 128) int32 word stream phase C16 already produces DIRECTLY:
+# per (64, 128) block, 4 sextet-words (16 values) become 3 byte-words (12
+# bytes) with rolls + selects only —
+#   1. per word: 24-bit payload y; mix with the next word's payload into
+#      the three output-word candidates A0/A1/A2 (out word 3s+d needs
+#      words 4s+d and 4s+d+1), selected per lane by lane%4;
+#   2. lane compaction: candidate at lane i moves left by i//4 (monotone;
+#      5 LSB-first butterfly rounds with a carried displacement plane —
+#      butterfly._staged_moves' discipline with static initial disps);
+#   3. per-row roll by (96*(r%4)) % 128 aligns each row's 96 valid words
+#      to their final lane phase, a threshold select pairs rows (out row
+#      3t+f spans input rows 4t+f, 4t+f+1), and a 4-round row butterfly
+#      (row a moves up a//4) compacts 64 rows to 48.
+# Reference counterpart: the 64-char-block 4->3 repack of
+# src/generic/base64.h:43-246, re-derived for roll-only data movement.
+
+def _pack_words_core(ext, roll):
+    """ext: (RE, 128) int32 sextet-value words, RE = R + 8 (the trailing 8
+    rows are the next block's first rows; only their first row's lane 0
+    can be consumed, via the next-word payload of the block's last word).
+    Returns (3R/4, 128) int32 packed output words."""
+    RE = ext.shape[0]
+    R = RE - 8
+    w = ext
+    v0 = w & 0xFF
+    v1 = (w >> 8) & 0xFF
+    v2 = (w >> 16) & 0xFF
+    v3 = (w >> 24) & 0xFF  # sextet values < 64: sign bit never set
+    t = (v0 << 18) | (v1 << 12) | (v2 << 6) | v3
+    y = ((t >> 16) & 0xFF) | (((t >> 8) & 0xFF) << 8) | ((t & 0xFF) << 16)
+    y1 = _groll_left_b64(y, 1, roll)  # payload of the next flat word
+    row, lane = _iotas_b64((RE, 128))
+    A0 = y | (y1 << 24)
+    A1 = (y >> 8) | (y1 << 16)
+    A2 = (y >> 16) | (y1 << 8)
+    lm = lane & 3
+    C = jnp.where(lm == 0, A0, jnp.where(lm == 1, A1, A2))
+    # lane compaction: candidate at lane i (i%4 < 3) moves left by i//4;
+    # i%4 == 3 lanes are dropped (disp 0, overwritten — butterfly.py's
+    # non-kept pinning). Wrapped reads only land at lanes >= 112, beyond
+    # the 96 valid output lanes.
+    disp = jnp.where(lm < 3, lane >> 2, 0)
+    for st in range(5):
+        s = 1 << st
+        mc = roll(C, 128 - s, 1)
+        md = roll(disp, 128 - s, 1)
+        take = (md & s) != 0
+        C = jnp.where(take, mc, C)
+        disp = jnp.where(take, md - s, disp)
+    # row r's 96 words start at flat word 96r -> lane phase (96r) % 128 =
+    # {0, 96, 64, 32} by r % 4 (the 384t term vanishes mod 128)
+    rm = row & 3
+    C = jnp.where(rm == 1, roll(C, 96, 1), C)
+    C = jnp.where(rm == 2, roll(C, 64, 1), C)
+    C = jnp.where(rm == 3, roll(C, 32, 1), C)
+    # out row 3t+f = input rows 4t+f (below the lane threshold) and
+    # 4t+f+1 (above); thresholds {96, 64, 32} for f = {0, 1, 2}
+    Cn = roll(C, RE - 1, 0)
+    thresh = jnp.where(rm == 0, 96, jnp.where(rm == 1, 64, 32))
+    V = jnp.where(lane < thresh, C, Cn)
+    # row compaction: row a moves up by a//4 (a%4 == 3 dropped); halo
+    # rows would need a move of 16+, outside the 4 stages, so they stay
+    # put and are sliced away
+    dr = jnp.where(rm < 3, row >> 2, 0)
+    for st in range(4):
+        s = 1 << st
+        mv = roll(V, RE - s, 0)
+        mdr = roll(dr, RE - s, 0)
+        take = (mdr & s) != 0
+        V = jnp.where(take, mv, V)
+        dr = jnp.where(take, mdr - s, dr)
+    return V[: (R // 4) * 3]
+
+
+def _groll_left_b64(a, k: int, roll):
+    """Flat roll left by k over (R, 128) in row-major order (the
+    butterfly._groll_left construction; duplicated to keep this module
+    free of a circular import)."""
+    R = a.shape[0]
+    z1 = roll(a, 128 - k, 1)
+    z2 = roll(z1, R - 1, 0)
+    _, lane = _iotas_b64(a.shape)
+    return jnp.where(lane < 128 - k, z1, z2)
+
+
+def _iotas_b64(shape):
+    return (jax.lax.broadcasted_iota(jnp.int32, shape, 0),
+            jax.lax.broadcasted_iota(jnp.int32, shape, 1))
+
+
+PWR = 64  # rows per pack_words block: (64, 128) int32 = 32 KiB of codes
+
+
+def _pack_words_kernel(x_ref, nxt_ref, o_ref):
+    ext = jnp.concatenate([x_ref[...], nxt_ref[...]], axis=0)
+    o_ref[...] = _pack_words_core(ext, lambda a, s, ax: pltpu.roll(a, s, ax))
+
+
+@jax.jit
+def _pack_words_pallas(w128: jnp.ndarray):
+    nt = w128.shape[0] // PWR
+    return pl.pallas_call(
+        _pack_words_kernel,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((PWR, 128), lambda t: (t, 0)),
+            pl.BlockSpec(
+                (8, 128),
+                lambda t: (jnp.minimum(8 * (t + 1), 8 * nt - 1), 0)),
+        ],
+        out_specs=pl.BlockSpec((PWR * 3 // 4, 128), lambda t: (t, 0)),
+        out_shape=sds(w128, (w128.shape[0] * 3 // 4, 128), jnp.int32),
+        interpret=_interpret(),
+    )(w128, w128)
+
+
+@functools.cache
+def _pack_words_xla():
+    def f(w128):
+        nt = w128.shape[0] // PWR
+        blocks = w128.reshape(nt, PWR, 128)
+        halo = jnp.concatenate(
+            [blocks[1:, :8], blocks[-1:, :8]], axis=0)
+        ext = jnp.concatenate([blocks, halo], axis=1)  # (nt, 72, 128)
+        out = jax.vmap(
+            lambda e: _pack_words_core(e, jnp.roll))(ext)
+        return out.reshape(nt * (PWR * 3 // 4), 128)
+    return jax.jit(f)
+
+
+def pack_words(w128: jnp.ndarray) -> jnp.ndarray:
+    """(R, 128) int32 sextet-value words (R % 64 == 0) -> (3R/4, 128)
+    int32 packed byte words — the fixed-rate 4->3 repack with no reshape
+    and no minor-dim array anywhere. The kernel is rolls + selects +
+    integer ops only (no lane shapecast, unlike pack_sextets), the same
+    primitive class as the butterfly engines, so it runs the pallas path
+    unguarded like they do (the pallas_lowers tunnel gate exists for
+    shapecast kernels; measured 11.5 ms vs the 36.9 ms reshape detour at
+    the 64 MiB MIME corpus, perf_records/base64_probe.jsonl). The
+    vmapped XLA driver covers non-block-aligned shapes."""
+    if w128.shape[0] % PWR:
+        return _pack_words_xla()(w128)
+    return _pack_words_pallas(w128)
+
+
 def _unclassify(v, url: bool):
     """6-bit value -> char byte (inverse range mapping, no table)."""
     c = v + 65

@@ -170,16 +170,20 @@ def _phase_b64(x32, length, nt: int, url: bool, both: bool):
 
 def compact_codes(chars_u8: jnp.ndarray, length, url: bool, both: bool):
     """Compact the base64 code stream of a padded uint8 buffer whose size
-    is a multiple of TILE. Returns (dense u8[N] codes (zero beyond
+    is a multiple of TILE. Returns (words (N/512, 128) int32 of dense
+    byte-packed codes (code q at byte q%4 of flat word q//4; zero beyond
     nvalid), nvalid, first_bad, nvalid_at_bad, cand_ok, off):
     first_bad = global index of the first invalid char (BIG when none)
     and nvalid_at_bad = alphabet chars strictly before it — exact from
     in-kernel events, matching ops/base64_ops.decode_bulk's scatter
     semantics value-for-value. cand_ok=False = whitespace so dense that
     composition's segment bound would be exceeded (the caller's only
-    remaining fallback reason); off = per-tile exclusive offsets."""
-    from jax import lax
+    remaining fallback reason); off = per-tile exclusive offsets.
 
+    The dense stream stays in WORD form end to end: the caller feeds it
+    straight to base64_kernel.pack_words — a u8 bitcast round-trip plus
+    the (R,128)->(R,512) relayout it forced cost ~30 ms at the 64 MiB
+    MIME corpus (perf_records/base64_probe.jsonl, VERDICT r04 #1)."""
     n = chars_u8.shape[0]
     assert n % TILE == 0, n
     nt = n // TILE
@@ -215,8 +219,5 @@ def compact_codes(chars_u8: jnp.ndarray, length, url: bool, both: bool):
     hi = jnp.minimum(bases + TILE, nvalid)
     t_hi = jnp.sum(off[None, : nt + 1] < hi[:, None], axis=1)
     cand_ok = jnp.max(jnp.where(hi > bases, t_hi - t0, 0)) <= CAND
-    out32 = _phase_c16(scratch, t0, off, nt, nvalid)
-    dense = lax.bitcast_convert_type(
-        out32.reshape(-1, 1), jnp.uint8
-    ).reshape(-1)
-    return dense, nvalid, first_bad, nvalid_at_bad, cand_ok, off
+    words = _phase_c16(scratch, t0, off, nt, nvalid)
+    return words, nvalid, first_bad, nvalid_at_bad, cand_ok, off

@@ -152,17 +152,32 @@ def decode_bulk_routed(chars: jnp.ndarray, length, url: bool, both: bool):
             or general_engine64() != "butterfly"):
         return decode_bulk(chars, length, url, both)
 
-    dense, nvalid, first_bad, nvalid_at_ev, cand_ok, off = (
+    words, nvalid, first_bad, nvalid_at_ev, cand_ok, off = (
         kb64.compact_codes(chars, length, url, both))
 
     def fallback():
         return decode_bulk(chars, length, url, both)
 
     def fast():
-        packed = sextets_to_bytes(dense, n)
+        from jax import lax as _lax
+
+        from ..kernels import base64_kernel as kb
+
+        # the dense code stream never leaves word form: phase C16's
+        # (R, 128) int32 words feed the roll-only pack_words kernel and
+        # only the final byte stream is bitcast out. The prior u8 detour
+        # (bitcast -> u8_words -> (R,512) reshape -> pack_sextets) cost
+        # ~37 of the 75 ms routed total (perf_records/base64_probe.jsonl)
+        packed = _lax.bitcast_convert_type(
+            kb.pack_words(words).reshape(-1, 1), jnp.uint8).reshape(-1)
         nfull = (nvalid // 4) * 4
+        # tail sextets nfull..nfull+3 are the 4 bytes of ONE dense word
+        # (nfull % 4 == 0; zeros beyond nvalid by phase C's clamp) — one
+        # scalar gather from a materialized pallas output instead of the
+        # round-4 form's 4 dynamic gathers through the bitcast chain
+        tw = words[(nfull // 4) // 128, (nfull // 4) % 128]
         tail_vals = jnp.stack(
-            [dense[jnp.minimum(nfull + i, n - 1)] for i in range(4)]
+            [((tw >> (8 * i)) & 0xFF).astype(jnp.uint8) for i in range(4)]
         )
         # tail_start = source index of the rank-nfull kept char: locate
         # its tile from the per-tile offsets, then rescan that one 32 KiB
