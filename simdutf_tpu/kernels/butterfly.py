@@ -551,7 +551,7 @@ def _dyn_pair_roll_right(w, k, roll):
     return jnp.where(lane >= lk, z2, z3)
 
 
-def _phase_c_kernel(t0_ref, off_ref, elen_ref, s_ref, out_ref):
+def _phase_c_kernel(t0_ref, thi_ref, off_ref, elen_ref, s_ref, out_ref):
     """Grid (j, m): candidate m of out tile j. The out block is revisited
     across m (the pallas accumulation idiom — it stays VMEM-resident
     because the out index map ignores m), so scratch is ONE input whose
@@ -559,62 +559,94 @@ def _phase_c_kernel(t0_ref, off_ref, elen_ref, s_ref, out_ref):
     aliased form made XLA materialize CAND copies of the whole scratch
     whenever phase C sat inside a conditional branch (the round-3 "25 ms
     conditional-output copy"; re-measured 2026-08-20 as ~30 ms inside the
-    census switch)."""
+    census switch).
+
+    Candidates past the tile's ACTUAL span (t0..thi, typically 2-3 of the
+    static worst-case CAND=5) clamp their block index to thi: consecutive
+    equal indices skip the HBM fetch under Mosaic's pipelining, and the
+    merge compute is gated off. The unclamped form re-read the whole
+    scratch CAND times — the dominant phase-C cost whenever stream
+    bandwidth is the binding resource (measured 2026-08-20: 6.4 -> ~3 ms
+    at 64 MiB in a 140 GB/s device state)."""
     j, m = pl.program_id(0), pl.program_id(1)
     base_u = j * UNITS
     row, lane = _iotas((PR, 2 * PW))
     p = row * (2 * PW) + lane  # pair index within the out tile
     u_lo = base_u + 2 * p
     nt = off_ref.shape[0] - 1
-    t = jnp.minimum(t0_ref[j] + m, nt - 1)
-    o_start = off_ref[t]
-    # elen clamps every segment: units at/after the valid-prefix end
-    # stay zero (the error-path tail mask folded into the masking the
-    # kernel already does — a separate XLA pass over the 2N-byte
-    # output costs ~29 ms in the degraded elementwise class)
-    o_end = jnp.minimum(off_ref[t + 1], elen_ref[0])
-    sh_units = (o_start - base_u) % UNITS  # circular
-    w = s_ref[...]
-    # units-granularity roll right: odd part first (unit lane swap
-    # across int32 pairs), then a dynamic pair roll
-    wprev = _dyn_pair_roll_right(w, jnp.int32(1), _proll)
-    w_odd = ((w << 16) | ((wprev >> 16) & 0xFFFF))
-    wbase = jnp.where((sh_units & 1) != 0, w_odd, w)
-    rolled = _dyn_pair_roll_right(wbase, sh_units // 2, _proll)
-    in_lo = (u_lo >= o_start) & (u_lo < o_end)
-    in_hi = (u_lo + 1 >= o_start) & (u_lo + 1 < o_end)
-    mask = (jnp.where(in_lo, 0xFFFF, 0)
-            | jnp.where(in_hi, jnp.int32(-65536), 0))  # 0xFFFF0000
+    t = jnp.minimum(jnp.minimum(t0_ref[j] + m, thi_ref[j]), nt - 1)
+    live = (m == 0) | (t0_ref[j] + m <= thi_ref[j])
+
+    def _merge(init: bool):
+        # the whole merge — roll, mask AND store — lives inside the
+        # pl.when bodies: computed unconditionally, the dead candidates'
+        # ~60 vector ops dominated phase C (~0.7 ms per clamped
+        # candidate at 64 MiB, measured 2026-08-20)
+        o_start = off_ref[t]
+        # elen clamps every segment: units at/after the valid-prefix end
+        # stay zero (the error-path tail mask folded into the masking the
+        # kernel already does — a separate XLA pass over the 2N-byte
+        # output costs ~29 ms in the degraded elementwise class)
+        o_end = jnp.minimum(off_ref[t + 1], elen_ref[0])
+        sh_units = (o_start - base_u) % UNITS  # circular
+        w = s_ref[...]
+        # units-granularity roll right: odd part first (unit lane swap
+        # across int32 pairs), then a dynamic pair roll
+        wprev = _dyn_pair_roll_right(w, jnp.int32(1), _proll)
+        w_odd = ((w << 16) | ((wprev >> 16) & 0xFFFF))
+        wbase = jnp.where((sh_units & 1) != 0, w_odd, w)
+        rolled = _dyn_pair_roll_right(wbase, sh_units // 2, _proll)
+        in_lo = (u_lo >= o_start) & (u_lo < o_end)
+        in_hi = (u_lo + 1 >= o_start) & (u_lo + 1 < o_end)
+        mask = (jnp.where(in_lo, 0xFFFF, 0)
+                | jnp.where(in_hi, jnp.int32(-65536), 0))  # 0xFFFF0000
+        if init:
+            out_ref[...] = rolled & mask
+        else:
+            out_ref[...] = (out_ref[...] & ~mask) | (rolled & mask)
 
     @pl.when(m == 0)
     def _init():
-        out_ref[...] = rolled & mask
+        _merge(True)
 
-    @pl.when(m > 0)
+    @pl.when((m > 0) & live)
     def _acc():
-        out_ref[...] = (out_ref[...] & ~mask) | (rolled & mask)
+        _merge(False)
 
 
-def _phase_c(scratch, t0, off, nt: int, elen):
+def _span_hi(off, nt: int, unit_cap: int):
+    """t_hi[j] = last segment whose start offset lies before out tile
+    j's end — with t0, the tile's actual candidate span. Clamped into
+    [0, nt); the kernel additionally clamps to >= the index map's m=0
+    block so degenerate tiles stay consistent."""
+    bases = jnp.arange(nt, dtype=jnp.int32) * unit_cap
+    return jnp.clip(
+        jnp.sum(off[None, :nt] < (bases[:, None] + unit_cap), axis=1)
+        .astype(jnp.int32) - 1,
+        0, nt - 1)
+
+
+def _phase_c(scratch, t0, thi, off, nt: int, elen):
     grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(nt, CAND),
         in_specs=[
             pl.BlockSpec(
                 (PR, 2 * PW),
-                lambda j, m, t0r, offr, elr: (
-                    jnp.minimum(t0r[j] + m, nt - 1), 0),
+                lambda j, m, t0r, thir, offr, elr: (
+                    jnp.minimum(jnp.minimum(t0r[j] + m, thir[j]),
+                                nt - 1), 0),
             ),
         ],
         out_specs=pl.BlockSpec(
-            (PR, 2 * PW), lambda j, m, t0r, offr, elr: (j, 0)),
+            (PR, 2 * PW), lambda j, m, t0r, thir, offr, elr: (j, 0)),
     )
     return pl.pallas_call(
         _phase_c_kernel,
         grid_spec=grid,
         out_shape=sds(scratch, (nt * PR, 2 * PW), jnp.int32),
         interpret=_interpret(),
-    )(t0, off, jnp.asarray(elen, jnp.int32).reshape(1), scratch)
+    )(t0, thi, off, jnp.asarray(elen, jnp.int32).reshape(1), scratch)
 
 
 # --- driver ----------------------------------------------------------------
@@ -658,7 +690,8 @@ def to_utf16_compose(b_u8: jnp.ndarray, length, big_endian: bool):
         - 1
     )
     out_len = jnp.where(err_any, err_len, total)
-    out32 = _phase_c(scratch, t0, off, nt, out_len)
+    thi = _span_hi(off, nt, UNITS)
+    out32 = _phase_c(scratch, t0, thi, off, nt, out_len)
     u16 = jax.lax.bitcast_convert_type(
         out32.reshape(-1), jnp.uint16
     ).reshape(-1)

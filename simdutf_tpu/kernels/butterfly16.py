@@ -243,73 +243,89 @@ def _dyn_word_roll_right(w, k, roll):
     return jnp.where(lane >= lk, z2, z3)
 
 
-def _phase_c16_kernel(t0_ref, off_ref, elen_ref, s_ref, out_ref):
+def _phase_c16_kernel(t0_ref, thi_ref, off_ref, elen_ref, s_ref, out_ref):
     # grid (j, m): out block revisited across m (VMEM-resident), scratch
     # is ONE input — the CAND-aliased form made XLA materialize CAND
     # copies of scratch whenever phase C sat inside a conditional branch
-    # (kernels/butterfly._phase_c_kernel)
+    # (kernels/butterfly._phase_c_kernel). Candidates past the tile's
+    # actual span clamp to thi: equal consecutive block indices skip the
+    # HBM fetch, the merge is gated off (butterfly._phase_c_kernel's
+    # span clamp — phase C traffic was CAND x scratch otherwise).
     j, m = pl.program_id(0), pl.program_id(1)
     base_b = j * CAPB  # global byte index of this out tile's first byte
     row, lane = _iotas((PR, PW))
     p = row * PW + lane  # word index within the out tile
     b_lo = base_b + 4 * p
     nt = off_ref.shape[0] - 1
-    t = jnp.minimum(t0_ref[j] + m, nt - 1)
-    o_start = off_ref[t]
-    # elen clamps every segment: bytes at/after the valid-prefix end
-    # stay zero (error-path tail mask folded into existing masking)
-    o_end = jnp.minimum(off_ref[t + 1], elen_ref[0])
-    sh_bytes = (o_start - base_b) % CAPB  # circular
-    wv = s_ref[...]
-    kw = sh_bytes // 4
-    kr = sh_bytes % 4
-    w1 = _dyn_word_roll_right(wv, kw, _proll)
-    wp = _dyn_word_roll_right(wv, kw + 1, _proll)
-    # byte-granularity roll: out word = low (4-kr) bytes shifted up
-    # from w1, top kr bytes of wp shifted down
-    rolled = w1
-    for r in (1, 2, 3):
-        cand = (w1 << (8 * r)) | ((wp >> (32 - 8 * r))
-                                  & ((1 << (8 * r)) - 1))
-        rolled = jnp.where(kr == r, cand, rolled)
-    # per-byte in-segment masks (byte-3 constant wraps negative in i32)
-    mask = jnp.zeros((PR, PW), jnp.int32)
-    for l in range(4):
-        in_l = (b_lo + l >= o_start) & (b_lo + l < o_end)
-        bmask = jnp.int32(int.from_bytes(
-            (0xFF << (8 * l)).to_bytes(4, "little"), "little",
-            signed=True))
-        mask = mask | jnp.where(in_l, bmask, 0)
+    t = jnp.minimum(jnp.minimum(t0_ref[j] + m, thi_ref[j]), nt - 1)
+    live = (m == 0) | (t0_ref[j] + m <= thi_ref[j])
+
+    def _merge(init: bool):
+        # roll + mask + store all live inside the pl.when bodies so
+        # clamped candidates cost nothing (butterfly._phase_c_kernel)
+        o_start = off_ref[t]
+        # elen clamps every segment: bytes at/after the valid-prefix end
+        # stay zero (error-path tail mask folded into existing masking)
+        o_end = jnp.minimum(off_ref[t + 1], elen_ref[0])
+        sh_bytes = (o_start - base_b) % CAPB  # circular
+        wv = s_ref[...]
+        kw = sh_bytes // 4
+        kr = sh_bytes % 4
+        w1 = _dyn_word_roll_right(wv, kw, _proll)
+        wp = _dyn_word_roll_right(wv, kw + 1, _proll)
+        # byte-granularity roll: out word = low (4-kr) bytes shifted up
+        # from w1, top kr bytes of wp shifted down
+        rolled = w1
+        for r in (1, 2, 3):
+            cand = (w1 << (8 * r)) | ((wp >> (32 - 8 * r))
+                                      & ((1 << (8 * r)) - 1))
+            rolled = jnp.where(kr == r, cand, rolled)
+        # per-byte in-segment masks (byte-3 constant wraps negative)
+        mask = jnp.zeros((PR, PW), jnp.int32)
+        for l in range(4):
+            in_l = (b_lo + l >= o_start) & (b_lo + l < o_end)
+            bmask = jnp.int32(int.from_bytes(
+                (0xFF << (8 * l)).to_bytes(4, "little"), "little",
+                signed=True))
+            mask = mask | jnp.where(in_l, bmask, 0)
+        if init:
+            out_ref[...] = rolled & mask
+        else:
+            out_ref[...] = (out_ref[...] & ~mask) | (rolled & mask)
 
     @pl.when(m == 0)
     def _init():
-        out_ref[...] = rolled & mask
+        _merge(True)
 
-    @pl.when(m > 0)
+    @pl.when((m > 0) & live)
     def _acc():
-        out_ref[...] = (out_ref[...] & ~mask) | (rolled & mask)
+        _merge(False)
 
 
 def _phase_c16(scratch, t0, off, nt: int, elen):
+    from .butterfly import _span_hi
+
+    thi = _span_hi(off, nt, CAPB)
     grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(nt, CAND),
         in_specs=[
             pl.BlockSpec(
                 (PR, PW),
-                lambda j, m, t0r, offr, elr: (
-                    jnp.minimum(t0r[j] + m, nt - 1), 0),
+                lambda j, m, t0r, thir, offr, elr: (
+                    jnp.minimum(jnp.minimum(t0r[j] + m, thir[j]),
+                                nt - 1), 0),
             ),
         ],
         out_specs=pl.BlockSpec(
-            (PR, PW), lambda j, m, t0r, offr, elr: (j, 0)),
+            (PR, PW), lambda j, m, t0r, thir, offr, elr: (j, 0)),
     )
     return pl.pallas_call(
         _phase_c16_kernel,
         grid_spec=grid,
         out_shape=sds(scratch, (nt * PR, PW), jnp.int32),
         interpret=_interpret(),
-    )(t0, off, jnp.asarray(elen, jnp.int32).reshape(1), scratch)
+    )(t0, thi, off, jnp.asarray(elen, jnp.int32).reshape(1), scratch)
 
 
 # --- driver ----------------------------------------------------------------

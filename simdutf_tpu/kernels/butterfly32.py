@@ -197,51 +197,67 @@ def _phase_b32(x32, length, nt: int):
 
 # --- phase C pallas_call (word granularity) --------------------------------
 
-def _phase_c32_kernel(t0_ref, off_ref, s_ref, out_ref):
+def _phase_c32_kernel(t0_ref, thi_ref, off_ref, s_ref, out_ref):
     # grid (j, m): out block revisited across m (VMEM-resident), scratch
     # is ONE input — the CAND-aliased form made XLA materialize CAND
     # copies of scratch whenever phase C sat inside a conditional branch
-    # (kernels/butterfly._phase_c_kernel)
+    # (kernels/butterfly._phase_c_kernel). Candidates past the tile's
+    # actual span clamp to thi (fetch skipped, merge gated —
+    # butterfly._phase_c_kernel's span clamp).
     j, m = pl.program_id(0), pl.program_id(1)
     base_w = j * CAPW
     row, lane = _iotas((PR, PW))
     p = base_w + row * PW + lane  # global output word index
     nt = off_ref.shape[0] - 1
-    t = jnp.minimum(t0_ref[j] + m, nt - 1)
-    o_start = off_ref[t]
-    o_end = off_ref[t + 1]
-    sh = (o_start - base_w) % CAPW
-    rolled = _dyn_word_roll_right(s_ref[...], sh, _proll)
-    in_w = (p >= o_start) & (p < o_end)
+    t = jnp.minimum(jnp.minimum(t0_ref[j] + m, thi_ref[j]), nt - 1)
+    live = (m == 0) | (t0_ref[j] + m <= thi_ref[j])
+
+    def _merge(init: bool):
+        # roll + mask + store inside the pl.when bodies so clamped
+        # candidates cost nothing (butterfly._phase_c_kernel)
+        o_start = off_ref[t]
+        o_end = off_ref[t + 1]
+        sh = (o_start - base_w) % CAPW
+        rolled = _dyn_word_roll_right(s_ref[...], sh, _proll)
+        in_w = (p >= o_start) & (p < o_end)
+        if init:
+            out_ref[...] = jnp.where(in_w, rolled, 0)
+        else:
+            out_ref[...] = jnp.where(in_w, rolled, out_ref[...])
 
     @pl.when(m == 0)
     def _init():
-        out_ref[...] = jnp.where(in_w, rolled, 0)
+        _merge(True)
 
-    @pl.when(m > 0)
+    @pl.when((m > 0) & live)
     def _acc():
-        out_ref[...] = jnp.where(in_w, rolled, out_ref[...])
+        _merge(False)
 
 
 def _phase_c32(scratch, t0, off, nt: int):
+    from .butterfly import _span_hi
+
+    thi = _span_hi(off, nt, CAPW)
     grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(nt, CAND),
         in_specs=[
             pl.BlockSpec(
                 (PR, PW),
-                lambda j, m, t0r, offr: (
-                    jnp.minimum(t0r[j] + m, nt - 1), 0),
+                lambda j, m, t0r, thir, offr: (
+                    jnp.minimum(jnp.minimum(t0r[j] + m, thir[j]),
+                                nt - 1), 0),
             ),
         ],
-        out_specs=pl.BlockSpec((PR, PW), lambda j, m, t0r, offr: (j, 0)),
+        out_specs=pl.BlockSpec(
+            (PR, PW), lambda j, m, t0r, thir, offr: (j, 0)),
     )
     return pl.pallas_call(
         _phase_c32_kernel,
         grid_spec=grid,
         out_shape=sds(scratch, (nt * PR, PW), jnp.int32),
         interpret=_interpret(),
-    )(t0, off, scratch)
+    )(t0, thi, off, scratch)
 
 
 # --- driver ----------------------------------------------------------------

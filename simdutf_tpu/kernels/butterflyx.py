@@ -245,56 +245,71 @@ def _phase_c_u16(scratch, t0, off, nt: int):
     (unit 2p | 2p+1 per word), CAP = 2 * TILE_E units per tile."""
     CAPU = 2 * TILE_E
     CANDS = 5
+    from .butterfly import _span_hi
 
-    def kernel(t0_ref, off_ref, s_ref, out_ref):
+    thi = _span_hi(off, nt, CAPU)
+
+    def kernel(t0_ref, thi_ref, off_ref, s_ref, out_ref):
         # grid (j, m): out block revisited across m; scratch is ONE input
-        # (kernels/butterfly._phase_c_kernel's accumulation idiom)
+        # (kernels/butterfly._phase_c_kernel's accumulation idiom, incl.
+        # its span clamp: candidates past thi skip fetch and merge)
         j, m = pl.program_id(0), pl.program_id(1)
         base_u = j * CAPU
         row, lane = _iotas((PR, PW))
         p = row * PW + lane
         u_lo = base_u + 2 * p
         ntt = off_ref.shape[0] - 1
-        t = jnp.minimum(t0_ref[j] + m, ntt - 1)
-        o_start = off_ref[t]
-        o_end = off_ref[t + 1]
-        sh_units = (o_start - base_u) % CAPU
-        w = s_ref[...]
-        wprev = _dyn_word_roll_right(w, jnp.int32(1), _proll)
-        w_odd = (w << 16) | ((wprev >> 16) & 0xFFFF)
-        wbase = jnp.where((sh_units & 1) != 0, w_odd, w)
-        rolled = _dyn_word_roll_right(wbase, sh_units // 2, _proll)
-        in_lo = (u_lo >= o_start) & (u_lo < o_end)
-        in_hi = (u_lo + 1 >= o_start) & (u_lo + 1 < o_end)
-        mask = (jnp.where(in_lo, 0xFFFF, 0)
-                | jnp.where(in_hi, jnp.int32(-65536), 0))
+        t = jnp.minimum(jnp.minimum(t0_ref[j] + m, thi_ref[j]), ntt - 1)
+        live = (m == 0) | (t0_ref[j] + m <= thi_ref[j])
+
+        def _merge(init: bool):
+            # roll + mask + store inside the pl.when bodies so clamped
+            # candidates cost nothing (butterfly._phase_c_kernel)
+            o_start = off_ref[t]
+            o_end = off_ref[t + 1]
+            sh_units = (o_start - base_u) % CAPU
+            w = s_ref[...]
+            wprev = _dyn_word_roll_right(w, jnp.int32(1), _proll)
+            w_odd = (w << 16) | ((wprev >> 16) & 0xFFFF)
+            wbase = jnp.where((sh_units & 1) != 0, w_odd, w)
+            rolled = _dyn_word_roll_right(wbase, sh_units // 2, _proll)
+            in_lo = (u_lo >= o_start) & (u_lo < o_end)
+            in_hi = (u_lo + 1 >= o_start) & (u_lo + 1 < o_end)
+            mask = (jnp.where(in_lo, 0xFFFF, 0)
+                    | jnp.where(in_hi, jnp.int32(-65536), 0))
+            if init:
+                out_ref[...] = rolled & mask
+            else:
+                out_ref[...] = (out_ref[...] & ~mask) | (rolled & mask)
 
         @pl.when(m == 0)
         def _init():
-            out_ref[...] = rolled & mask
+            _merge(True)
 
-        @pl.when(m > 0)
+        @pl.when((m > 0) & live)
         def _acc():
-            out_ref[...] = (out_ref[...] & ~mask) | (rolled & mask)
+            _merge(False)
 
     grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(nt, CANDS),
         in_specs=[
             pl.BlockSpec(
                 (PR, PW),
-                lambda j, m, t0r, offr: (
-                    jnp.minimum(t0r[j] + m, nt - 1), 0),
+                lambda j, m, t0r, thir, offr: (
+                    jnp.minimum(jnp.minimum(t0r[j] + m, thir[j]),
+                                nt - 1), 0),
             ),
         ],
-        out_specs=pl.BlockSpec((PR, PW), lambda j, m, t0r, offr: (j, 0)),
+        out_specs=pl.BlockSpec(
+            (PR, PW), lambda j, m, t0r, thir, offr: (j, 0)),
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid,
         out_shape=sds(scratch, (nt * PR, PW), jnp.int32),
         interpret=_interpret(),
-    )(t0, off, scratch)
+    )(t0, thi, off, scratch)
 
 
 def u32_to_utf16_compose(w_u32: jnp.ndarray, length, big_endian: bool):

@@ -144,7 +144,9 @@ def test_dense_stream_decodes_end_to_end():
     assert int(first_bad) == kb64.BIG and bool(cand_ok)
     clean = pyb64.b64encode(payload)
     assert int(nvalid) == len(clean)
-    codes = np.asarray(dense)[: int(nvalid)]
+    # dense stream ships in word form (code q at byte q%4 of word q//4)
+    codes = np.asarray(dense).reshape(-1, 1).view(np.uint8).reshape(-1)[
+        : int(nvalid)]
     tab = np.full(256, 255, np.uint8)
     alpha = b"ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/"
     for i, ch in enumerate(alpha):

@@ -130,7 +130,8 @@ def main():
 
     def phase_c_only(s, t0a, offa, n):
         def b(i, acc):
-            out = kb._phase_c(s, t0a, offa + (i & 1), nt, n - (i & 3))
+            thi = kb._span_hi(offa + (i & 1), nt, kb.UNITS)
+            out = kb._phase_c(s, t0a, thi, offa + (i & 1), nt, n - (i & 3))
             return acc + out[0, 0] + n * 0
         return lax.fori_loop(0, ITERS, b, jnp.int32(0))
 
