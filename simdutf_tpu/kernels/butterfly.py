@@ -183,7 +183,8 @@ def _flat_roll_left(a, s: int, roll):
 
 # --- the per-tile core (shared by the Pallas kernel and the jnp model) ---
 
-def _tile_core(prv, x, nxt, base, length, big_endian: bool, roll):
+def _tile_core(prv, x, nxt, base, length, big_endian: bool, roll,
+               no_l2: bool = False, no_l4: bool = False):
     """prv/nxt: (HR, PW) int32 halo rows; x: (PR, PW) int32 tile.
     base: global byte index of x[0,0]; length: global valid length.
     Returns (scratch (PR, 2*PW) int32 pair-packed units, count, err).
@@ -229,10 +230,20 @@ def _tile_core(prv, x, nxt, base, length, big_endian: bool, roll):
     return jax.lax.cond(
         simple, cheap,
         lambda: _tile_core_full(prv, x, nxt, base, length, big_endian,
-                                roll))
+                                roll, no_l2, no_l4))
 
 
-def _tile_core_full(prv, x, nxt, base, length, big_endian: bool, roll):
+def _tile_core_full(prv, x, nxt, base, length, big_endian: bool, roll,
+                    no_l2: bool = False, no_l4: bool = False):
+    """``no_l2``/``no_l4`` are census-proven ABSENCE guarantees: the
+    caller's one-pass census (ops/utf8.census presence bits) showed no
+    in-range byte with (b & 0xE0) == 0xC0 / no byte >= 0xF0, so the
+    lead2 / lead4+badlead lattice arms, their neighbor reads, the astral
+    emission (surrogate-pair unit1, cp_prev rolls) and the j=3 orphan
+    round are statically dead and compiled out — the reference's
+    per-block dispatch (utf8_to_utf16.h:237-240) done as census-selected
+    kernel variants. Exact by construction: every pruned term is
+    all-false under the census predicate."""
     ext = jnp.concatenate([prv, x, nxt], axis=0)  # (HR+PR+HR, PW)
     RE = ext.shape[0]
 
@@ -283,44 +294,50 @@ def _tile_core_full(prv, x, nxt, base, length, big_endian: bool, roll):
     err_events = []  # (PR, PW) int32 keys on the MAIN region
     for m in range(4):
         b = planes[m][EXTM0 : HR + PR]
-        b1, b2, b3 = nb(m, 1), nb(m, 2), nb(m, 3)
+        b1, b2 = nb(m, 1), nb(m, 2)
         is_cont = (b & 0xC0) == 0x80
         c1 = (b1 & 0xC0) == 0x80
         c2 = (b2 & 0xC0) == 0x80
-        c3 = (b3 & 0xC0) == 0x80
         ascii_ = b < 0x80
-        lead2 = (b & 0xE0) == 0xC0
         lead3 = (b & 0xF0) == 0xE0
-        lead4 = (b & 0xF8) == 0xF0
-        badlead = b >= 0xF8
-        cp2 = ((b & 0x1F) << 6) | (b1 & 0x3F)
         cp3 = ((b & 0x0F) << 12) | ((b1 & 0x3F) << 6) | (b2 & 0x3F)
-        cp4 = (
-            ((b & 0x07) << 18) | ((b1 & 0x3F) << 12) | ((b2 & 0x3F) << 6)
-            | (b3 & 0x3F)
-        )
         err = jnp.zeros_like(b)
-        err = jnp.where(lead2 & ~c1, _TOO_SHORT, err)
-        err = jnp.where(lead2 & c1 & (cp2 < 0x80), _OVERLONG, err)
+        if not no_l2:
+            lead2 = (b & 0xE0) == 0xC0
+            cp2 = ((b & 0x1F) << 6) | (b1 & 0x3F)
+            err = jnp.where(lead2 & ~c1, _TOO_SHORT, err)
+            err = jnp.where(lead2 & c1 & (cp2 < 0x80), _OVERLONG, err)
         ok3 = c1 & c2
         err = jnp.where(lead3 & ~ok3, _TOO_SHORT, err)
         err = jnp.where(lead3 & ok3 & (cp3 < 0x800), _OVERLONG, err)
         err = jnp.where(
             lead3 & ok3 & (cp3 >= 0xD800) & (cp3 <= 0xDFFF), _SURROGATE, err
         )
-        ok4 = c1 & c2 & c3
-        err = jnp.where(lead4 & ~ok4, _TOO_SHORT, err)
-        err = jnp.where(lead4 & ok4 & (cp4 <= 0xFFFF), _OVERLONG, err)
-        err = jnp.where(lead4 & ok4 & (cp4 > 0x10FFFF), _TOO_LARGE, err)
-        err = jnp.where(badlead, _HEADER_BITS, err)
+        if not no_l4:
+            b3 = nb(m, 3)
+            c3 = (b3 & 0xC0) == 0x80
+            lead4 = (b & 0xF8) == 0xF0
+            badlead = b >= 0xF8
+            cp4 = (
+                ((b & 0x07) << 18) | ((b1 & 0x3F) << 12)
+                | ((b2 & 0x3F) << 6) | (b3 & 0x3F)
+            )
+            ok4 = c1 & c2 & c3
+            err = jnp.where(lead4 & ~ok4, _TOO_SHORT, err)
+            err = jnp.where(lead4 & ok4 & (cp4 <= 0xFFFF), _OVERLONG, err)
+            err = jnp.where(lead4 & ok4 & (cp4 > 0x10FFFF), _TOO_LARGE, err)
+            err = jnp.where(badlead, _HEADER_BITS, err)
         seqlen = jnp.where(ascii_, 1, 0)
-        seqlen = jnp.where(lead2, 2, seqlen)
+        if not no_l2:
+            seqlen = jnp.where(lead2, 2, seqlen)
         seqlen = jnp.where(lead3, 3, seqlen)
-        seqlen = jnp.where(lead4, 4, seqlen)
         cp = jnp.where(ascii_, b, 0)
-        cp = jnp.where(lead2, cp2, cp)
+        if not no_l2:
+            cp = jnp.where(lead2, cp2, cp)
         cp = jnp.where(lead3, cp3, cp)
-        cp = jnp.where(lead4, cp4, cp)
+        if not no_l4:
+            seqlen = jnp.where(lead4, 4, seqlen)
+            cp = jnp.where(lead4, cp4, cp)
         in_r = (base + 4 * gpos_x + m >= 0) & (base + 4 * gpos_x + m < length)
         lead = ~is_cont & in_r
         # bad-lead events (MAIN region only: EXTM halo events belong to
@@ -331,7 +348,8 @@ def _tile_core_full(prv, x, nxt, base, length, big_endian: bool, roll):
             (lpos << 8) | _sl_main(err), BIGKEY))
         cp_m.append(cp)
         lead_m.append(lead)
-        lead4_m.append(lead & lead4)
+        if not no_l4:
+            lead4_m.append(lead & lead4)
         cont_m.append(is_cont & in_r)
         seql_m.append(seqlen)
 
@@ -359,7 +377,9 @@ def _tile_core_full(prv, x, nxt, base, length, big_endian: bool, roll):
     seql_lead = [jnp.where(lead_m[m], seql_m[m], 0) for m in range(4)]
     for m in range(4):
         covered = None
-        for j in (1, 2, 3):
+        # with no 4-byte leads anywhere, no lead can cover the byte 3
+        # positions after it — the j=3 backward round is statically dead
+        for j in ((1, 2) if no_l4 else (1, 2, 3)):
             c = back(seql_lead, m, j) > j
             covered = c if covered is None else (covered | c)
         orph = _sl_main(cont_m[m]) & ~covered
@@ -379,6 +399,15 @@ def _tile_core_full(prv, x, nxt, base, length, big_endian: bool, roll):
 
     vals, keeps = [], []
     for m in range(4):
+        if no_l4:
+            # no astral codepoints anywhere: every unit is unit0 = cp
+            # (cp <= 0xFFFF by construction), no surrogate-pair lane and
+            # no cp_prev backward rolls
+            keep = _sl_main(lead_m[m])
+            val = bswap(_sl_main(cp_m[m])) & 0xFFFF
+            keeps.append(keep)
+            vals.append(val)
+            continue
         pm = (m - 1) % 4
         if m == 0:
             al4 = _sl_main(
@@ -476,12 +505,12 @@ def _interleave2(a, b, roll):
 # --- phase B pallas_call -------------------------------------------------
 
 def _phase_b_kernel(len_ref, prv_ref, x_ref, nxt_ref, scr_ref, st_ref,
-                    *, big_endian):
+                    *, big_endian, no_l2=False, no_l4=False):
     t = pl.program_id(0)
     base = t * TILE
     scratch, count_row, ek, prefix = _tile_core(
         prv_ref[...], x_ref[...], nxt_ref[...], base, len_ref[0],
-        big_endian, _proll,
+        big_endian, _proll, no_l2, no_l4,
     )
     scr_ref[...] = scratch
     # stats lanes: 0 = unit count, 2 = min event key (BIGKEY when the
@@ -495,7 +524,8 @@ def _phase_b_kernel(len_ref, prv_ref, x_ref, nxt_ref, scr_ref, st_ref,
     st_ref[...] = st
 
 
-def _phase_b(x32, length, nt: int, big_endian: bool):
+def _phase_b(x32, length, nt: int, big_endian: bool,
+             no_l2: bool = False, no_l4: bool = False):
     """x32: (nt*64, 128) int32 view of the UNPADDED byte buffer.
     Returns (scratch (nt*64, 256) i32, stats (nt, 128) i32).
 
@@ -522,7 +552,8 @@ def _phase_b(x32, length, nt: int, big_endian: bool):
         ),
     )
     return pl.pallas_call(
-        functools.partial(_phase_b_kernel, big_endian=big_endian),
+        functools.partial(_phase_b_kernel, big_endian=big_endian,
+                          no_l2=no_l2, no_l4=no_l4),
         grid_spec=grid,
         out_shape=(
             sds(x32, (nt * PR, 2 * PW), jnp.int32),
@@ -651,7 +682,8 @@ def _phase_c(scratch, t0, thi, off, nt: int, elen):
 
 # --- driver ----------------------------------------------------------------
 
-def to_utf16_compose(b_u8: jnp.ndarray, length, big_endian: bool):
+def to_utf16_compose(b_u8: jnp.ndarray, length, big_endian: bool,
+                     no_l2: bool = False, no_l4: bool = False):
     """Butterfly transcode of a 1-D padded uint8 buffer whose size is a
     multiple of TILE. Returns (out u16[N], total, err_any, err_pos,
     err_code, err_len): on invalid input err_pos/err_code are the exact
@@ -664,7 +696,7 @@ def to_utf16_compose(b_u8: jnp.ndarray, length, big_endian: bool):
     assert n % TILE == 0, n
     nt = n // TILE
     x32 = u8_words(b_u8)  # (nt*64, 128); no minor-4 array (validate.py)
-    scratch, stats = _phase_b(x32, length, nt, big_endian)
+    scratch, stats = _phase_b(x32, length, nt, big_endian, no_l2, no_l4)
     counts = stats[::8, 0]
     eks = stats[::8, 2]
     prefs = stats[::8, 3]

@@ -237,6 +237,21 @@ def census(b: jnp.ndarray, length):
     return ascii_, u2, u3, u4
 
 
+def presence(b: jnp.ndarray, length):
+    """(has2, has4): whether any in-range byte is a 2-byte lead /
+    a byte >= 0xF0 (4-byte lead or bad lead). Their NEGATIONS license
+    the census-pruned butterfly kernel variants (kernels/butterfly
+    no_l2/no_l4): a class the census proves absent can be compiled out
+    of the lattice exactly. Fused into the same single read as census()
+    under jit (both are reductions over the same elementwise masks)."""
+    n = b.shape[0]
+    b = b.astype(jnp.uint8)
+    in_r = positions(n) < length
+    has2 = jnp.any(((b & 0xE0) == 0xC0) & in_r)
+    has4 = jnp.any((b >= 0xF0) & in_r)
+    return has2, has4
+
+
 def _mask_units(units, count):
     """Zero units at/after ``count`` so fast-branch buffers match the
     general engine's zeros-past-out_len exactly."""
@@ -399,10 +414,15 @@ def _to_utf16_general(b: jnp.ndarray, length, big_endian: bool):
     return jnp.where(ok, 0, err_code), jnp.where(ok, length, err_pos), out, out_len
 
 
-def _general_utf16(b: jnp.ndarray, length, big_endian: bool):
+def _general_utf16(b: jnp.ndarray, length, big_endian: bool,
+                   no_l2: bool = False, no_l4: bool = False):
     """The mixed-script general path, engine-selected at trace time by a
     one-time measurement (ops/engine_probe): the scatter engine, or the
-    butterfly concentration pipeline.
+    butterfly concentration pipeline. ``no_l2``/``no_l4`` select the
+    census-pruned butterfly variants (kernels/butterfly._tile_core_full);
+    they are only passed when the caller's census proved the class
+    absent, and the scatter engine ignores them (its lattice is one
+    fused pass — pruning buys nothing there).
 
     Butterfly structure (tuned on the degraded-runtime findings,
     PERF.md round 3): the compose pipeline runs UNCONDITIONALLY and
@@ -421,7 +441,7 @@ def _general_utf16(b: jnp.ndarray, length, big_endian: bool):
     if n % kb.TILE or n < kb.TILE or general_engine() != "butterfly":
         return _to_utf16_general(b, length, big_endian)
     out, total, err_any, err_pos, err_code, err_len = kb.to_utf16_compose(
-        b, length, big_endian)
+        b, length, big_endian, no_l2, no_l4)
     ok = ~err_any
     # out is already zeroed at/after the valid-prefix end (phase C clamps
     # every segment by it), so no tail-mask pass is needed here
@@ -462,9 +482,26 @@ def to_utf16(b: jnp.ndarray, length, big_endian: bool):
             return z, z + length, out, z + cnt
         return f
 
+    branches = [(ascii_, wrap(br_ascii)), (u2, wrap(br_u2)),
+                (u3, wrap(br_u3)), (u4, wrap(br_u4))]
+    from .engine_probe import general_engine
+    from ..kernels import butterfly as _kb
+
+    if (general_engine() == "butterfly" and n % _kb.TILE == 0
+            and n >= _kb.TILE):
+        # census-pruned butterfly variants for mixed input missing whole
+        # width classes (zh-class corpora: ASCII + 3-byte only). Ordered
+        # most- to least-pruned; route() takes the first true predicate,
+        # and the structured classes above win over these.
+        has2, has4 = presence(b, length)
+        branches += [
+            (~has2 & ~has4,
+             lambda: _general_utf16(b, length, big_endian, True, True)),
+            (~has4,
+             lambda: _general_utf16(b, length, big_endian, False, True)),
+        ]
     return route(
-        [(ascii_, wrap(br_ascii)), (u2, wrap(br_u2)),
-         (u3, wrap(br_u3)), (u4, wrap(br_u4))],
+        branches,
         lambda: _general_utf16(b, length, big_endian),
     )
 

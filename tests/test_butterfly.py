@@ -183,3 +183,90 @@ def test_butterfly_error_positions_at_boundaries():
             assert err_code == int(res.error), (j, inj)
             assert err_len == len(want), (j, inj, err_len, len(want))
             assert np.array_equal(out[:err_len], want), (j, inj)
+
+
+# --- census-pruned kernel variants (round 5) -------------------------------
+
+def _run_pruned(data: bytes, no_l2: bool, no_l4: bool, be=False):
+    arr = np.frombuffer(data, np.uint8)
+    n = max(kb.TILE, ((len(arr) + kb.TILE - 1) // kb.TILE) * kb.TILE)
+    p = np.zeros(n, np.uint8)
+    p[: len(arr)] = arr
+    out, total, err, err_pos, err_code, err_len = kb.to_utf16_compose(
+        jnp.asarray(p), jnp.int32(len(arr)), be, no_l2, no_l4
+    )
+    return (np.asarray(out), int(total), bool(err),
+            int(err_pos), int(err_code), int(err_len))
+
+
+PRUNED_CORPORA = {
+    # (corpus, no_l2 legal?, no_l4 legal?)
+    "zh_spaces": (("東京は日本 " * 7).encode() * 380, True, True),
+    "bmp_mixed": ("aé東京 й ".encode() * 2400, False, True),
+    "ascii_only": (b"plain ascii corpus " * 4000, True, True),
+}
+
+
+@pytest.mark.parametrize("name", sorted(PRUNED_CORPORA))
+@pytest.mark.parametrize("be", [False, True])
+def test_pruned_variants_match_full(name, be):
+    """A pruned kernel variant must be bit-identical to the full kernel
+    on any corpus its census predicate admits (the pruned terms are
+    all-false there by construction)."""
+    import simdutf_tpu as su
+
+    data, ok2, ok4 = PRUNED_CORPORA[name]
+    data = bytes(data[: su.trim_partial_utf8(data)])
+    want = _run(data, be)
+    for no_l2, no_l4 in [(False, True), (True, True)]:
+        if (no_l2 and not ok2) or (no_l4 and not ok4):
+            continue
+        got = _run_pruned(data, no_l2, no_l4, be)
+        assert got[1:] == want[1:], (name, no_l2, no_l4)
+        assert np.array_equal(got[0], want[0]), (name, no_l2, no_l4)
+
+
+def test_pruned_variant_error_parity():
+    """Errors expressible inside the pruned class (orphan continuation,
+    bad 3-byte lattice, surrogates, truncation) must report exactly like
+    the full kernel under the pruned variants."""
+    base = ("東京は日本 ascii ".encode() * 3000)[: 2 * kb.TILE]
+    import simdutf_tpu as su
+
+    base = bytearray(base[: su.trim_partial_utf8(base)])
+    injections = [b"\x80", b"\xe0\x80\x80", b"\xed\xa0\x80",
+                  b"\xe4\xb8", b"\xe4 "]
+    for target in (0, kb.TILE - 2, kb.TILE + 3, len(base) - 4):
+        j = min(target, len(base) - 4)
+        while base[j] & 0xC0 == 0x80:
+            j -= 1
+        for inj in injections:
+            data = bytes(base[:j]) + inj + bytes(base[j:])
+            want = _run(data)
+            got = _run_pruned(data, True, True)
+            assert got[1:] == want[1:], (j, inj)
+            assert np.array_equal(got[0], want[0]), (j, inj)
+
+
+def test_routed_pruned_path_engages(monkeypatch):
+    """Through ops/utf8.to_utf16 with the butterfly pinned, a zh-class
+    corpus (ASCII + 3-byte, no 2-byte, no astral) routes through the
+    pruned variant and must match the golden machine exactly."""
+    from simdutf_tpu.ops import engine_probe as ep
+    from simdutf_tpu.ops import utf8 as o8
+    from simdutf_tpu.golden import utf8 as g8
+    import simdutf_tpu as su
+
+    monkeypatch.setattr(ep, "_CHOICE", "butterfly")
+    data = ("東京は日本の首都 with ascii words ".encode() * 1500)
+    data = data[: su.trim_partial_utf8(data)]
+    arr = np.frombuffer(data, np.uint8)
+    n = ((len(arr) + kb.TILE - 1) // kb.TILE) * kb.TILE
+    p = np.zeros(n, np.uint8)
+    p[: len(arr)] = arr
+    code, pos, out, out_len = o8.to_utf16(
+        jnp.asarray(p), jnp.int32(len(arr)), False)
+    res, want = g8.convert_to_utf16_with_errors(arr, False)
+    assert res.is_ok and int(code) == 0
+    assert int(out_len) == len(want)
+    assert np.array_equal(np.asarray(out)[: len(want)], want)
