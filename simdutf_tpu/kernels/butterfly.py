@@ -129,42 +129,42 @@ def _groll_right(a, k: int, roll):
 def _staged_moves(words, dmax, stages: int, dshift: int, roll):
     """The LSB-first conditional-move-left rounds shared by every
     butterfly engine. ``words`` = P phase planes packed as
-    payload | displacement << dshift; ``dmax`` = max displacement in the
-    tile. Stage s moves elements whose displacement bit s is set; stages
-    with s > dmax are skipped via lax.cond (provable no-ops: after the
-    earlier stages every remaining displacement is the original with its
-    low bits cleared, so dmax < s implies the bit is clear everywhere).
-    This prices the butterfly by the tile's actual disorder: all-kept
-    (ASCII) tiles skip every stage, ~3%-dropped MIME-class tiles skip the
-    top five, only adversarial tiles pay all rounds. The per-stage
-    update subtracts the MASKED bit (arr - (arr & (s << dshift))) instead
-    of recomputing the shifted constant — one fewer vector op per plane
-    per stage."""
-    from jax import lax
-
+    payload | displacement << dshift. Stage s moves elements whose
+    displacement bit s is set. All stages run UNCONDITIONALLY: the
+    round-4 per-stage lax.cond skipping (stages with s > dmax are
+    provable no-ops) cost ~1.9 ms per tile-sweep in Mosaic branch
+    overhead on the mixed flagship — where nothing skips — and even a
+    2-cond grouped form paid ~1.8 ms (any in-kernel branch spills the
+    live plane set; measured 2026-08-20: phase B 11.7 conds / 11.6
+    grouped / 9.9 uncond). What skipping could save is small by
+    construction: the top stages (s >= 4P*128) move by whole rows —
+    row rolls run at ~8x lane-roll throughput — and fully-ordered
+    tiles take the per-tile ASCII shortcut before reaching here, so the
+    suffix a realistic tile could skip is the cheap suffix. ``dmax`` is
+    retained for the callers' stats but no longer drives control flow.
+    The per-stage update subtracts the MASKED bit (arr - (arr & (s <<
+    dshift))) instead of recomputing the shifted constant — one fewer
+    vector op per plane per stage."""
+    del dmax  # no longer drives control flow (see docstring)
     P = len(words)
     for st in range(stages):
         s = 1 << st
-
-        def do(ws, s=s):
-            if s % P == 0:
-                arr = [_flat_roll_left(ws[m], s // P, roll)
-                       for m in range(P)]
-            else:
-                arr = []
-                for m in range(P):
-                    mm, gg = (m + s) % P, (m + s) // P
-                    a = ws[mm]
-                    if gg:
-                        a = _groll_left(a, gg, roll)
-                    arr.append(a)
-            out = []
+        if s % P == 0:
+            arr = [_flat_roll_left(words[m], s // P, roll)
+                   for m in range(P)]
+        else:
+            arr = []
             for m in range(P):
-                bit = arr[m] & (s << dshift)
-                out.append(jnp.where(bit != 0, arr[m] - bit, ws[m]))
-            return tuple(out)
-
-        words = list(lax.cond(dmax >= s, do, lambda ws: ws, tuple(words)))
+                mm, gg = (m + s) % P, (m + s) // P
+                a = words[mm]
+                if gg:
+                    a = _groll_left(a, gg, roll)
+                arr.append(a)
+        out = []
+        for m in range(P):
+            bit = arr[m] & (s << dshift)
+            out.append(jnp.where(bit != 0, arr[m] - bit, words[m]))
+        words = out
     return words
 
 

@@ -376,6 +376,58 @@ def _count_kernel(len_ref, x_ref, out_ref, *, what: str):
     out_ref[0, 0] = out_ref[0, 0] + part
 
 
+def _utf8_kernel_len(len_ref, x_ref, nxt_ref, out_ref):
+    """utf8_first_event with an explicit logical length: bytes at/after
+    ``len`` read as zero, reproducing the zero-padded-buffer semantics
+    (a sequence truncated AT the length reports TOO_SHORT at its lead,
+    exactly like the scalar machine). This is the dispatched-surface
+    variant: ops/utf8.validate_with_errors routes big buffers here so a
+    caller's dynamic length is honored without re-staging the buffer."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        out_ref[0, 0] = BIG
+        out_ref[0, 1] = 0
+
+    base = i * (BR * W)
+    L = len_ref[0]
+    b = x_ref[...].astype(jnp.int32)
+    row, lane = _iotas(b.shape)
+    b = jnp.where(base + row * W + lane < L, b, 0)
+    nx = nxt_ref[...].astype(jnp.int32)
+    rn, ln = _iotas(nx.shape)
+    nx = jnp.where((i + 1) * (BR * W) + rn * W + ln < L, nx, 0)
+    pos, code = _utf8_events(b, nx, base)
+
+    @pl.when(pos < out_ref[0, 0])
+    def _update():
+        out_ref[0, 0] = pos
+        out_ref[0, 1] = code
+
+
+@jax.jit
+def utf8_first_event_len(x2d: jnp.ndarray, length):
+    """Length-masked :func:`utf8_first_event` (same layout contract,
+    except bytes at/after ``length`` may be arbitrary)."""
+    rows = x2d.shape[0] - BR
+    grid = rows // BR
+    out = pl.pallas_call(
+        _utf8_kernel_len,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((BR, W), lambda i: (i, 0)),
+            pl.BlockSpec((8, HALO), lambda i: ((i + 1) * BR // 8, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 2), jnp.int32),
+        interpret=_interpret(),
+    )(jnp.reshape(jnp.asarray(length, jnp.int32), (1,)), x2d, x2d)
+    return out[0, 0], out[0, 1]
+
+
 @jax.jit
 def utf8_first_event(x2d: jnp.ndarray):
     """x2d: (R+1, W) uint8, zero-padded beyond the logical length, last row

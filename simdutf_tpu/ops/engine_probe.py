@@ -691,3 +691,140 @@ def general_engine() -> str:
         _record({"ts": time.time(), "probe_error": str(e)[:300]})
         _CHOICE = "scatter"
     return _CHOICE
+
+
+_VE_CHOICE: str | None = None
+
+
+def _probe_validate_engine() -> str:
+    """Time the dispatched validate surface's two engines — the XLA
+    classify lattice vs the pallas event kernel — at probe scale with
+    length-jittered chained loops (every iteration's kernel call depends
+    on the rotating length vector, so neither engine can be hoisted out
+    of the loop). Winner is recorded under the shared fingerprint cache;
+    bench.py re-records at flagship scale every run (VERDICT r04 #4)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..kernels import validate as kv
+    from . import utf8 as o8
+
+    nbytes = _PROBE_MB * 1024 * 1024
+    block = _mixed_block()
+    data = (block * (nbytes // len(block) + 1))[:nbytes]
+    tile = kv.BR * kv.W
+    n = nbytes // tile * tile
+    arr = np.frombuffer(data[:n], np.uint8).copy()
+    lens = np.array([_trim_u8(data, n - 24 * i) for i in range(8)],
+                    np.int32)
+    xj = jax.device_put(arr)
+
+    f_xla = _chained(lambda b, L: sum(
+        o8._validate_with_errors_xla(b, L)))
+
+    def _event_body(b, L):
+        x2d = jnp.concatenate(
+            [b.reshape(-1, kv.W), jnp.zeros((kv.BR, kv.W), b.dtype)])
+        pos, code = kv.utf8_first_event_len(x2d, L)
+        return pos + code
+
+    f_event = _chained(_event_body)
+    t_xla = _time_chained(f_xla, xj, lens)
+    t_event = _time_chained(f_event, xj, lens)
+    winner = "event" if t_event < t_xla else "xla"
+    fp = fingerprint()
+    _record({
+        "ts": time.time(),
+        "op": "utf8 validate engine",
+        "corpus_mb": nbytes >> 20,
+        "chained_iters": _PROBE_ITERS,
+        "xla_ms": round(t_xla * 1e3, 2),
+        "event_ms": round(t_event * 1e3, 2),
+        "xla_gbps": round(nbytes / t_xla / 1e9, 2),
+        "event_gbps": round(nbytes / t_event / 1e9, 2),
+        "winner": winner,
+        "device": str(jax.devices()[0]),
+        "probe_scatter_ns": fp["probe_scatter_ns"],
+        "regime": fp["regime"],
+    })
+    return winner
+
+
+def _cached_validate_engine() -> str | None:
+    try:
+        with open(_records_path()) as f:
+            lines = f.readlines()
+    except OSError:
+        return None
+    want = None
+    for line in reversed(lines):
+        try:
+            rec = json.loads(line)
+        except ValueError:
+            continue
+        if (rec.get("op") != "utf8 validate engine"
+                or rec.get("winner") not in ("xla", "event")
+                or "regime" not in rec):
+            continue
+        if time.time() - rec.get("ts", 0) > _TTL_S:
+            return None
+        if want is None:
+            want = fingerprint()
+        if (rec.get("regime") == want["regime"]
+                and rec.get("device") == want.get("device")):
+            return rec["winner"]
+        return None
+    return None
+
+
+def record_validate_verdict(nbytes: int, t_xla: float,
+                            t_event: float) -> str:
+    """Record bench.py's full-scale validate A/B into the shared cache."""
+    import jax
+
+    winner = "event" if t_event < t_xla else "xla"
+    fp = fingerprint()
+    _record({
+        "ts": time.time(),
+        "op": "utf8 validate engine",
+        "corpus_mb": nbytes >> 20,
+        "xla_ms": round(t_xla * 1e3, 2),
+        "event_ms": round(t_event * 1e3, 2),
+        "xla_gbps": round(nbytes / t_xla / 1e9, 2),
+        "event_gbps": round(nbytes / t_event / 1e9, 2),
+        "winner": winner,
+        "device": str(jax.devices()[0]),
+        "probe_scatter_ns": fp["probe_scatter_ns"],
+        "regime": fp["regime"],
+    })
+    return winner
+
+
+def validate_engine() -> str:
+    """'xla' or 'event' for the dispatched validate_utf8 surface on big
+    buffers; measured once per process on TPU (env pin:
+    SIMDUTF_TPU_VALIDATE_ENGINE)."""
+    global _VE_CHOICE
+    if _VE_CHOICE is not None:
+        return _VE_CHOICE
+    env = os.environ.get("SIMDUTF_TPU_VALIDATE_ENGINE")
+    if env in ("xla", "event"):
+        _VE_CHOICE = env
+        return _VE_CHOICE
+    try:
+        import jax
+
+        if jax.default_backend() != "tpu":
+            _VE_CHOICE = "xla"
+            return _VE_CHOICE
+        cached = _cached_validate_engine()
+        if cached is not None:
+            _VE_CHOICE = cached
+            return _VE_CHOICE
+        _VE_CHOICE = _probe_validate_engine()
+    except Exception as e:
+        _record({"ts": time.time(),
+                 "validate_engine_probe_error": str(e)[:300]})
+        _VE_CHOICE = "xla"
+    return _VE_CHOICE
