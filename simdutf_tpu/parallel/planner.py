@@ -181,3 +181,33 @@ def _cut_utf16(data: np.ndarray, tgt: int, big_endian: bool = False) -> int:
     if (last & 0xFC00) == 0xD800:
         return tgt - 2
     return tgt
+
+
+def plan_shards_binary3(data, n_shards: int, align: int = 1536) -> ShardPlan:
+    """Shard a BINARY payload for base64 ENCODING: every non-final shard
+    holds a multiple of 3 bytes, so each shard's 3->4 encoding is a
+    self-contained run of whole quads and the outputs concatenate into
+    exactly the single-buffer encoding (benchmarks/threaded.cpp's
+    embarrassingly-parallel split applied to the encode direction —
+    encode needs no content scan, only the 3-alignment). ``align`` 1536
+    keeps every shard on the word-plane encode path
+    (ops/base64_ops.encode_bulk)."""
+    if not isinstance(data, np.ndarray):
+        data = np.frombuffer(bytes(data), dtype=np.uint8)
+    n = int(data.shape[0])
+    base = n // max(n_shards, 1)
+    cuts = [0]
+    for s in range(1, n_shards):
+        tgt = s * base
+        tgt -= tgt % 3
+        cuts.append(max(tgt, cuts[-1]))
+    cuts.append(n)
+    lengths = np.array(
+        [cuts[i + 1] - cuts[i] for i in range(n_shards)], np.int64)
+    offsets = np.array(cuts[:-1], dtype=np.int64)
+    cap = int(lengths.max(initial=1))
+    cap = (cap + align - 1) // align * align
+    shards = np.zeros((n_shards, cap), dtype=np.uint8)
+    for i in range(n_shards):
+        shards[i, : lengths[i]] = data[cuts[i] : cuts[i + 1]]
+    return ShardPlan(shards, lengths.astype(np.int32), offsets, n)

@@ -541,3 +541,24 @@ def test_sharded_base64_engine_parity(engine, monkeypatch):
         for i in range(len(jax.devices()))
     ) + extra.tobytes()
     assert got == payload, engine
+
+
+@pytest.mark.parametrize("rem", [0, 1, 2])
+@pytest.mark.parametrize("url", [False, True])
+def test_sharded_base64_encode(rem, url):
+    """binary_to_base64_sharded + gather == the single-buffer encoding
+    byte-for-byte, for every tail remainder and both alphabets."""
+    import simdutf_tpu as su
+    from simdutf_tpu.golden import base64_impl as gb64
+    from simdutf_tpu.parallel.distributed import (
+        binary_to_base64_sharded, gather_base64)
+    from simdutf_tpu.parallel.planner import plan_shards_binary3
+
+    rng = np.random.default_rng(rem * 2 + url)
+    payload = rng.integers(0, 256, 30011 * 3 + rem, dtype=np.uint8)
+    options = gb64.BASE64_URL if url else 0
+    want = su.binary_to_base64(payload, options)
+    plan = plan_shards_binary3(payload, len(jax.devices()))
+    chars, out_lens, tail = binary_to_base64_sharded(
+        payload, plan, _mesh(), options)
+    assert gather_base64(chars, out_lens, tail) == want
