@@ -607,6 +607,14 @@ def _phase_c_kernel(t0_ref, thi_ref, off_ref, elen_ref, s_ref, out_ref):
     nt = off_ref.shape[0] - 1
     t = jnp.minimum(jnp.minimum(t0_ref[j] + m, thi_ref[j]), nt - 1)
     live = (m == 0) | (t0_ref[j] + m <= thi_ref[j])
+    # DEAD output tiles (entirely at/past the valid output end — 37% of
+    # the capacity grid on the mixed flagship, 65% on CJK corpora, since
+    # actual units/byte < 1): store zeros at m=0 and skip every merge;
+    # the in_spec clamps their scratch index to block 0 so consecutive
+    # dead steps skip the HBM fetch under Mosaic's pipelining (the same
+    # idiom as the candidate clamp). Bit-exact: the masks produced all
+    # zeros for these tiles anyway.
+    alive = base_u < elen_ref[0]
 
     def _merge(init: bool):
         # the whole merge — roll, mask AND store — lives inside the
@@ -636,11 +644,15 @@ def _phase_c_kernel(t0_ref, thi_ref, off_ref, elen_ref, s_ref, out_ref):
         else:
             out_ref[...] = (out_ref[...] & ~mask) | (rolled & mask)
 
-    @pl.when(m == 0)
+    @pl.when((m == 0) & alive)
     def _init():
         _merge(True)
 
-    @pl.when((m > 0) & live)
+    @pl.when((m == 0) & ~alive)
+    def _zero():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when((m > 0) & live & alive)
     def _acc():
         _merge(False)
 
@@ -665,8 +677,12 @@ def _phase_c(scratch, t0, thi, off, nt: int, elen):
             pl.BlockSpec(
                 (PR, 2 * PW),
                 lambda j, m, t0r, thir, offr, elr: (
-                    jnp.minimum(jnp.minimum(t0r[j] + m, thir[j]),
-                                nt - 1), 0),
+                    jnp.where(
+                        j * UNITS < elr[0],
+                        jnp.minimum(jnp.minimum(t0r[j] + m, thir[j]),
+                                    nt - 1),
+                        0),
+                    0),
             ),
         ],
         out_specs=pl.BlockSpec(

@@ -209,6 +209,31 @@ def utf16_length(b: jnp.ndarray, length):
 
 
 
+def _census_kernel_facts(b: jnp.ndarray, length):
+    """(ascii, u2, u3, u4, has2, has4) via the pallas census kernel
+    (kernels/census.py): one read at stream rate vs the jnp form's
+    multiple u8-lane passes (3.2 ms vs ~one-pass at 64 MiB, measured
+    2026-08-20). census() and presence() both derive from the same
+    ``census_bits`` call, so jit CSE shares the single device pass."""
+    from ..kernels import census as kcen
+
+    bits = kcen.census_bits(b, length)
+    pos = length > 0
+    ascii_ = (bits & kcen.BIT_NONASCII) == 0
+    u2 = ((bits & kcen.BIT_V2) == 0) & (length % 2 == 0) & pos
+    u3 = ((bits & kcen.BIT_V3) == 0) & (length % 3 == 0) & pos
+    u4 = ((bits & kcen.BIT_V4) == 0) & (length % 4 == 0) & pos
+    has2 = (bits & kcen.BIT_HAS2) != 0
+    has4 = (bits & kcen.BIT_HAS4) != 0
+    return ascii_, u2, u3, u4, has2, has4
+
+
+def _census_kernel_ok(n: int) -> bool:
+    from ..kernels import census as kcen
+
+    return kcen.census_supported(n)
+
+
 def census(b: jnp.ndarray, length):
     """One-pass structural census for device-tier routing (the reference's
     per-block is_ascii short-circuit, utf8_to_utf16.h:237-240, lifted to
@@ -216,6 +241,10 @@ def census(b: jnp.ndarray, length):
     EXACT validity proof for its class — a True means the whole in-range
     buffer is valid UTF-8 consisting solely of that sequence width — so a
     fast branch taken on it may skip the error lattice entirely.
+
+    On TPU with tile-aligned buffers the facts come from the pallas
+    census kernel (kernels/census.py, one read at stream rate); the jnp
+    form below is the portable fallback. Both are exact.
 
     All predicates are elementwise masks + reductions over one read of the
     buffer, in uint8 arithmetic throughout — no widened (4N-byte)
@@ -225,6 +254,8 @@ def census(b: jnp.ndarray, length):
     everything into a single pass.
     """
     n = b.shape[0]
+    if _census_kernel_ok(n):
+        return _census_kernel_facts(b, length)[:4]
     b = b.astype(jnp.uint8)
     idx = positions(n)
     in_r = idx < length
@@ -272,11 +303,23 @@ def presence(b: jnp.ndarray, length):
     of the lattice exactly. Fused into the same single read as census()
     under jit (both are reductions over the same elementwise masks)."""
     n = b.shape[0]
+    if _census_kernel_ok(n):
+        return _census_kernel_facts(b, length)[4:]
     b = b.astype(jnp.uint8)
     in_r = positions(n) < length
     has2 = jnp.any(((b & 0xE0) == 0xC0) & in_r)
     has4 = jnp.any((b >= 0xF0) & in_r)
     return has2, has4
+
+
+def census_full(b: jnp.ndarray, length):
+    """census() + presence() from ONE device pass: the kernel facts are a
+    single pallas call (two separate census()/presence() calls do not CSE
+    across pallas_call boundaries — measured 4.4 ms vs 2.7 for one pass
+    at 64 MiB, 2026-08-20)."""
+    if _census_kernel_ok(b.shape[0]):
+        return _census_kernel_facts(b, length)
+    return (*census(b, length), *presence(b, length))
 
 
 def _mask_units(units, count):
@@ -499,7 +542,7 @@ def to_utf16(b: jnp.ndarray, length, big_endian: bool):
     n = b.shape[0]
     if not DEVICE_ROUTING:
         return _general_utf16(b, length, big_endian)
-    ascii_, u2, u3, u4 = census(b, length)
+    ascii_, u2, u3, u4, has2, has4 = census_full(b, length)
     br_ascii, br_u2, br_u3, br_u4 = _u16_fast_branches(b, length, n, big_endian)
 
     def wrap(br):
@@ -520,7 +563,6 @@ def to_utf16(b: jnp.ndarray, length, big_endian: bool):
         # width classes (zh-class corpora: ASCII + 3-byte only). Ordered
         # most- to least-pruned; route() takes the first true predicate,
         # and the structured classes above win over these.
-        has2, has4 = presence(b, length)
         branches += [
             (~has2 & ~has4,
              lambda: _general_utf16(b, length, big_endian, True, True)),
