@@ -259,6 +259,10 @@ def _phase_c16_kernel(t0_ref, thi_ref, off_ref, elen_ref, s_ref, out_ref):
     nt = off_ref.shape[0] - 1
     t = jnp.minimum(jnp.minimum(t0_ref[j] + m, thi_ref[j]), nt - 1)
     live = (m == 0) | (t0_ref[j] + m <= thi_ref[j])
+    # dead out tiles (entirely past the valid output end — the capacity
+    # is 4 B/unit vs 1-3 actual, so 25-75% of the grid): zero-store at
+    # m=0, merges skipped, scratch index pinned (butterfly._phase_c_kernel)
+    alive = base_b < elen_ref[0]
 
     def _merge(init: bool):
         # roll + mask + store all live inside the pl.when bodies so
@@ -293,11 +297,15 @@ def _phase_c16_kernel(t0_ref, thi_ref, off_ref, elen_ref, s_ref, out_ref):
         else:
             out_ref[...] = (out_ref[...] & ~mask) | (rolled & mask)
 
-    @pl.when(m == 0)
+    @pl.when((m == 0) & alive)
     def _init():
         _merge(True)
 
-    @pl.when((m > 0) & live)
+    @pl.when((m == 0) & ~alive)
+    def _zero():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when((m > 0) & live & alive)
     def _acc():
         _merge(False)
 
@@ -313,8 +321,12 @@ def _phase_c16(scratch, t0, off, nt: int, elen):
             pl.BlockSpec(
                 (PR, PW),
                 lambda j, m, t0r, thir, offr, elr: (
-                    jnp.minimum(jnp.minimum(t0r[j] + m, thir[j]),
-                                nt - 1), 0),
+                    jnp.where(
+                        j * CAPB < elr[0],
+                        jnp.minimum(jnp.minimum(t0r[j] + m, thir[j]),
+                                    nt - 1),
+                        0),
+                    0),
             ),
         ],
         out_specs=pl.BlockSpec(

@@ -211,6 +211,10 @@ def _phase_c32_kernel(t0_ref, thi_ref, off_ref, s_ref, out_ref):
     nt = off_ref.shape[0] - 1
     t = jnp.minimum(jnp.minimum(t0_ref[j] + m, thi_ref[j]), nt - 1)
     live = (m == 0) | (t0_ref[j] + m <= thi_ref[j])
+    # dead out tiles (entirely past the total output) zero-store and
+    # skip merges; index map pins their scratch fetch (butterfly.
+    # _phase_c_kernel's dead-tile clamp, keyed on off[nt] = total)
+    alive = base_w < off_ref[nt]
 
     def _merge(init: bool):
         # roll + mask + store inside the pl.when bodies so clamped
@@ -225,11 +229,15 @@ def _phase_c32_kernel(t0_ref, thi_ref, off_ref, s_ref, out_ref):
         else:
             out_ref[...] = jnp.where(in_w, rolled, out_ref[...])
 
-    @pl.when(m == 0)
+    @pl.when((m == 0) & alive)
     def _init():
         _merge(True)
 
-    @pl.when((m > 0) & live)
+    @pl.when((m == 0) & ~alive)
+    def _zero():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when((m > 0) & live & alive)
     def _acc():
         _merge(False)
 
@@ -245,8 +253,12 @@ def _phase_c32(scratch, t0, off, nt: int):
             pl.BlockSpec(
                 (PR, PW),
                 lambda j, m, t0r, thir, offr: (
-                    jnp.minimum(jnp.minimum(t0r[j] + m, thir[j]),
-                                nt - 1), 0),
+                    jnp.where(
+                        j * CAPW < offr[offr.shape[0] - 1],
+                        jnp.minimum(jnp.minimum(t0r[j] + m, thir[j]),
+                                    nt - 1),
+                        0),
+                    0),
             ),
         ],
         out_specs=pl.BlockSpec(

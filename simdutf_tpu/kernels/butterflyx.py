@@ -261,6 +261,9 @@ def _phase_c_u16(scratch, t0, off, nt: int):
         ntt = off_ref.shape[0] - 1
         t = jnp.minimum(jnp.minimum(t0_ref[j] + m, thi_ref[j]), ntt - 1)
         live = (m == 0) | (t0_ref[j] + m <= thi_ref[j])
+        # dead out tiles zero-store and skip merges (butterfly.
+        # _phase_c_kernel's dead-tile clamp, keyed on off[nt] = total)
+        alive = base_u < off_ref[ntt]
 
         def _merge(init: bool):
             # roll + mask + store inside the pl.when bodies so clamped
@@ -282,11 +285,15 @@ def _phase_c_u16(scratch, t0, off, nt: int):
             else:
                 out_ref[...] = (out_ref[...] & ~mask) | (rolled & mask)
 
-        @pl.when(m == 0)
+        @pl.when((m == 0) & alive)
         def _init():
             _merge(True)
 
-        @pl.when((m > 0) & live)
+        @pl.when((m == 0) & ~alive)
+        def _zero():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        @pl.when((m > 0) & live & alive)
         def _acc():
             _merge(False)
 
@@ -297,8 +304,12 @@ def _phase_c_u16(scratch, t0, off, nt: int):
             pl.BlockSpec(
                 (PR, PW),
                 lambda j, m, t0r, thir, offr: (
-                    jnp.minimum(jnp.minimum(t0r[j] + m, thir[j]),
-                                nt - 1), 0),
+                    jnp.where(
+                        j * CAPU < offr[offr.shape[0] - 1],
+                        jnp.minimum(jnp.minimum(t0r[j] + m, thir[j]),
+                                    nt - 1),
+                        0),
+                    0),
             ),
         ],
         out_specs=pl.BlockSpec(

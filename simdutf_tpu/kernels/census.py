@@ -40,7 +40,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .validate import _interpret, _iotas, vany
 
-KW = 64  # int32 word rows per block (block = 4*KW u8 rows = one 32 KiB tile)
+KW = 64  # minimum int32 word rows per block (4*KW u8 rows = one 32 KiB
+# tile, the shape gate); _census_call picks the largest divisible block
+# up to KW_MAX — small blocks cost ~0.3-0.4 us/grid-step of per-step
+# overhead, ~1.5 ms at 64 MiB with 32 KiB blocks (measured 2026-08-20)
+KW_MAX = 512
 LW = 128  # lanes
 
 _ONES = 0x01010101
@@ -71,7 +75,7 @@ BIT_HAS2 = 16
 BIT_HAS4 = 32
 
 
-def _census_kernel(len_ref, x_ref, nxtcol_ref, out_ref):
+def _census_kernel(len_ref, x_ref, nxtcol_ref, out_ref, *, kw: int):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -79,12 +83,12 @@ def _census_kernel(len_ref, x_ref, nxtcol_ref, out_ref):
         out_ref[0, 0] = 0
         out_ref[0, 1] = 0  # unused: deterministic output
 
-    x = x_ref[...]  # (4*KW, LW) u8
-    w = pltpu.bitcast(x, jnp.int32)  # (KW, LW)
+    x = x_ref[...]  # (4*kw, LW) u8
+    w = pltpu.bitcast(x, jnp.int32)  # (kw, LW)
     length = len_ref[0]
 
-    row, lane = _iotas((KW, LW))
-    r = i * KW + row  # global word row
+    row, lane = _iotas((kw, LW))
+    r = i * kw + row  # global word row
 
     # per-byte in-range mask (0x80 bit of slot m iff (4r+m)*128+lane < length)
     base = (4 * r) * LW + lane
@@ -166,17 +170,29 @@ def _census_kernel(len_ref, x_ref, nxtcol_ref, out_ref):
     out_ref[0, 0] = out_ref[0, 0] | bits
 
 
+def _pick_kw(nw: int, kw_min: int, kw_max: int) -> int:
+    kw = kw_max
+    while kw > kw_min and nw % kw:
+        kw //= 2
+    return kw
+
+
 def _census_call(b2: jnp.ndarray, length, nb: int, tot8: int):
+    import functools as _ft
+
+    nw = b2.shape[0] // 4  # total word rows
+    kw = _pick_kw(nw, KW, KW_MAX)
+    nb = nw // kw
     grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((4 * KW, LW), lambda i, L: (i, 0)),
+            pl.BlockSpec((4 * kw, LW), lambda i, L: (i, 0)),
             # next block's first 8 u8 rows (two word rows; the first is
             # consumed), clamped at the buffer end
             pl.BlockSpec(
                 (8, LW),
-                lambda i, L: (jnp.minimum((i + 1) * KW // 2, tot8 - 1), 0),
+                lambda i, L: (jnp.minimum((i + 1) * kw // 2, tot8 - 1), 0),
             ),
         ],
         out_specs=pl.BlockSpec(
@@ -184,7 +200,7 @@ def _census_call(b2: jnp.ndarray, length, nb: int, tot8: int):
         ),
     )
     out = pl.pallas_call(
-        _census_kernel,
+        _ft.partial(_census_kernel, kw=kw),
         grid_spec=grid,
         out_shape=jax.ShapeDtypeStruct((1, 2), jnp.int32),
         interpret=_interpret(),
@@ -236,3 +252,136 @@ def census_bits(b_u8: jnp.ndarray, length):
     b2 = b_u8.reshape(-1, LW)
     nb = n // BLOCK_B
     return _census_call(b2, length, nb, b2.shape[0] // 8)
+
+
+# ---------------------------------------------------------------------------
+# UTF-16 census kernel: the routing facts for ops/utf16 (ascii / uniform
+# 2-UTF-8-byte / uniform 3-byte / astral-pairs) in one read. Same
+# motivation and bitcast geometry as the UTF-8 kernel above, at 16-bit
+# granularity: a (2K, 128) u16 block bitcasts to (K, 128) int32 with
+# unit slot h of word (r, lane) at flat unit position p = (2r+h)*128 +
+# lane — so unit parity (the astral pair pattern) is lane parity, a
+# whole-word per-lane constant, and no neighbor reads are needed at all.
+
+_HONES = 0x00010001
+_HHIGH = _i32(0x80008000)
+
+
+def _hz16(v):
+    return (v - _HONES) & ~v & _HHIGH
+
+
+def _eq16(w, mask, val):
+    return _hz16((w & _i32(mask * _HONES)) ^ _i32(val * _HONES))
+
+
+BIT16_NONASCII = 1
+BIT16_V2 = 2
+BIT16_V3 = 4
+BIT16_VASTRAL = 8
+
+KW16 = 32  # minimum word rows per block (2*KW16 u16 rows = TILE_U, the
+# shape gate); _census16_call picks the largest divisible block up to
+KW16_MAX = 512
+BLOCK_U16 = 2 * KW16 * LW  # units per minimum grid block
+
+
+def _census16_kernel(len_ref, x_ref, out_ref, *, be: bool, kw: int):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        out_ref[0, 0] = 0
+        out_ref[0, 1] = 0  # unused: deterministic output
+
+    x = x_ref[...]  # (2*kw, LW) u16
+    w = pltpu.bitcast(x, jnp.int32)  # (kw, LW)
+    if be:
+        # BE units byteswapped in-register (both slots at once)
+        w = ((w << 8) & _i32(0xFF00FF00)) | (
+            (w.astype(jnp.uint32) >> 8).astype(jnp.int32) & 0x00FF00FF
+        )
+    length = len_ref[0]
+
+    row, lane = _iotas((kw, LW))
+    r = i * kw + row
+
+    # per-unit in-range mask (0x8000 bit of slot h iff (2r+h)*128+lane
+    # < length)
+    base = (2 * r) * LW + lane
+    inr = jnp.where(base < length, 0x8000, 0)
+    inr |= jnp.where(base + LW < length, jnp.int32(_i32(0x8000 << 16)), 0)
+
+    # ascii: unit < 0x80
+    ok_ascii = _eq16(w, 0xFF80, 0)
+    viol_ascii = ~ok_ascii & _HHIGH
+    # u2r: 0x80 <= unit <= 0x7FF  (top 5 bits zero, bits 7..10 not all 0)
+    top0 = _eq16(w, 0xF800, 0)
+    low0 = _eq16(w, 0x0780, 0)
+    viol_u2 = ~(top0 & ~low0) & _HHIGH
+    # u3r: unit >= 0x800 and not a surrogate
+    sur = _eq16(w, 0xF800, 0xD800)
+    viol_u3 = ~(~top0 & ~sur) & _HHIGH
+    # astral: even units high surrogates, odd units low surrogates
+    hi = _eq16(w, 0xFC00, 0xD800)
+    lo = _eq16(w, 0xFC00, 0xDC00)
+    meven = jnp.where((lane & 1) == 0, _HHIGH, 0)
+    viol_astral = (meven & ~hi) | (~meven & _HHIGH & ~lo)
+
+    bits = jnp.where(vany((viol_ascii & inr) != 0), BIT16_NONASCII, 0)
+    bits |= jnp.where(vany((viol_u2 & inr) != 0), BIT16_V2, 0)
+    bits |= jnp.where(vany((viol_u3 & inr) != 0), BIT16_V3, 0)
+    bits |= jnp.where(vany((viol_astral & inr) != 0), BIT16_VASTRAL, 0)
+    out_ref[0, 0] = out_ref[0, 0] | bits
+
+
+def _census16_call(w2: jnp.ndarray, length, nb: int, be: bool):
+    import functools as _ft
+
+    nw = w2.shape[0] // 2
+    kw = _pick_kw(nw, KW16, KW16_MAX)
+    nb = nw // kw
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec((2 * kw, LW), lambda i, L: (i, 0))],
+        out_specs=pl.BlockSpec(
+            (1, 2), lambda i, L: (0, 0), memory_space=pltpu.SMEM
+        ),
+    )
+    out = pl.pallas_call(
+        _ft.partial(_census16_kernel, be=be, kw=kw),
+        grid_spec=grid,
+        out_shape=jax.ShapeDtypeStruct((1, 2), jnp.int32),
+        interpret=_interpret(),
+    )(jnp.asarray(length, jnp.int32).reshape(1), w2)
+    return out[0, 0]
+
+
+_KERNEL16_OK: list = []
+
+
+def census16_supported(n_units: int) -> bool:
+    """Shape gate + one-block compile probe (see census_supported)."""
+    if n_units % BLOCK_U16:
+        return False
+    if _interpret():
+        return False
+    if not _KERNEL16_OK:
+        try:
+            w2 = jnp.zeros((2 * KW16, LW), jnp.uint16)
+            jax.block_until_ready(
+                jax.jit(lambda w: _census16_call(w, 128, 1, False))(w2))
+            _KERNEL16_OK.append(True)
+        except Exception:
+            _KERNEL16_OK.append(False)
+    return _KERNEL16_OK[0]
+
+
+def census16_bits(w_u16: jnp.ndarray, length, be: bool = False):
+    """OR-reduced violation bits for a uint16 buffer (length in units).
+    ``be=True`` byteswaps units in-register (the BE census needs no
+    separate byteswapped copy of the buffer)."""
+    n = w_u16.shape[0]
+    w2 = w_u16.reshape(-1, LW)
+    return _census16_call(w2, length, n // BLOCK_U16, be)

@@ -117,6 +117,19 @@ def census(w: jnp.ndarray, length):
     Bytes at/after ``length`` are excluded by masks (no tail-zero pass).
     """
     n = w.shape[0]
+    from ..kernels import census as kcen
+
+    if kcen.census16_supported(n):
+        # one read at stream rate; the jnp form below is 4 unfused
+        # u16-per-lane reduction passes (see kernels/census.py)
+        bits = kcen.census16_bits(w, length)
+        pos = length > 0
+        ascii_ = (bits & kcen.BIT16_NONASCII) == 0
+        u2r = ((bits & kcen.BIT16_V2) == 0) & pos
+        u3r = ((bits & kcen.BIT16_V3) == 0) & pos
+        astral = ((bits & kcen.BIT16_VASTRAL) == 0) & (
+            length % 2 == 0) & pos
+        return ascii_, u2r, u3r, astral
     idx = positions(n)
     out_r = idx >= length
     ascii_ = jnp.all((w < 0x80) | out_r)
