@@ -130,6 +130,46 @@ def main() -> int:
     check("repertoire:u16len", su.utf16_length_from_utf8(r8),
           len(r16) // 2)
 
+    # census kernels (kernels/census.py) vs the jnp census formulas on
+    # real Mosaic: facts must agree bit-for-bit across structured and
+    # adversarial corpora (incl. garbage beyond the valid length)
+    import jax.numpy as jnp
+    import simdutf_tpu.ops.utf8 as o8
+    import simdutf_tpu.ops.utf16 as o16
+    import simdutf_tpu.kernels.census as kcen
+
+    cen_cases = [
+        ("ascii", ascii_s.encode()), ("u2", cyr.encode()),
+        ("u3", cjk.encode()), ("u4", emoji.encode()),
+        ("mixed", mixed.encode()), ("bad", b"\xed\xa0\x80ab" * 4000),
+    ]
+    for tag, data in cen_cases:
+        n = (len(data) // kcen.BLOCK_B + 2) * kcen.BLOCK_B
+        buf = np.zeros(n, np.uint8)
+        buf[: len(data)] = np.frombuffer(data, np.uint8)
+        buf[len(data):] = 0xE5  # garbage past length must not leak in
+        bj, L = jnp.asarray(buf), jnp.int32(len(data))
+        got = tuple(bool(v) for v in o8._census_kernel_facts(bj, L))
+        # jnp reference computed with the kernel path disabled
+        saved8 = list(kcen._KERNEL_OK)
+        kcen._KERNEL_OK[:] = [False]
+        want = tuple(bool(v)
+                     for v in (*o8.census(bj, L), *o8.presence(bj, L)))
+        kcen._KERNEL_OK[:] = saved8
+        check(f"census8:{tag}", got, want)
+        u16b = np.zeros(((len(data) // 2) // kcen.BLOCK_U16 + 2)
+                        * kcen.BLOCK_U16, np.uint16)
+        src = np.frombuffer(data[: len(data) // 2 * 2], np.uint16)
+        u16b[: src.size] = src
+        u16b[src.size:] = 0xD800
+        wj, Lu = jnp.asarray(u16b), jnp.int32(src.size)
+        gotu = tuple(bool(v) for v in o16.census(wj, Lu))
+        saved16 = list(kcen._KERNEL16_OK)
+        kcen._KERNEL16_OK[:] = [False]
+        wantu = tuple(bool(v) for v in o16.census(wj, Lu))
+        kcen._KERNEL16_OK[:] = saved16
+        check(f"census16:{tag}", gotu, wantu)
+
     ok = all(checks.values())
     print(json.dumps({
         "hw_smoke": "pass" if ok else "FAIL",
