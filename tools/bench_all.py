@@ -180,7 +180,12 @@ def _chain_out(body):
     def f(x, n0):
         def it(i, acc):
             out, out_len = body(x, n0 - (i & 7))
-            probe = out[(acc % 1000).astype(jnp.int32)].astype(jnp.int32)
+            # STATIC content probe: a dynamic single-element index into
+            # the composed output forces an unfused ~30 ms gather no real
+            # consumer pays (the round-4 bench.py finding, PERF.md
+            # "dynamic-probe artifact"); out_len already depends on every
+            # input byte, and caching is defeated by the rotating n0
+            probe = out[0].astype(jnp.int32)
             return acc + out_len + probe
         return lax.fori_loop(0, ITERS, it, jnp.int32(0))
 
@@ -520,6 +525,83 @@ def build_procedures():
             jnp.asarray(c).astype(jnp.int32)
             for c in kdet.detect_fused(x, n))),
         lambda nb: nb)
+
+    # --- _with_errors rows (reference benchmark.cpp registers one per
+    # direction; here the *_with_errors surface IS the default device
+    # path — exact (code, pos) are computed in-engine for free — so
+    # these rows time the same kernels while consuming the error scalars
+    # too, documenting that the error contract costs nothing extra)
+    def _chain_out_err(body):
+        import jax
+        from jax import lax
+
+        @jax.jit
+        def f(x, n0):
+            def it(i, acc):
+                code, pos, out, out_len = body(x, n0 - (i & 7))
+                return (acc + out_len + code + pos
+                        + out[0].astype(jnp.int32))
+            return lax.fori_loop(0, ITERS, it, jnp.int32(0))
+
+        return f
+
+    add("utf8_to_utf16le_with_errors", "mixed", pad8,
+        _chain_out_err(lambda x, n: o8.to_utf16(x, n, False)),
+        lambda nb: nb + int(nb * 1.4))
+    add("utf8_to_utf32_with_errors", "mixed", pad8,
+        _chain_out_err(lambda x, n: o8.to_utf32(x, n)),
+        lambda nb: nb + int(nb * 2.8))
+    add("utf8_to_latin1_with_errors", "latin1_utf8", pad8,
+        _chain_out_err(lambda x, n: o8.to_latin1(x, n)),
+        lambda nb: nb + nb // 2)
+    add("utf16_to_utf8_with_errors", "utf16", pad16,
+        _chain_out_err(lambda x, n: o16.to_utf8(x, n, False)),
+        lambda nb: nb + int(nb * 0.8))
+    add("utf16_to_utf32_with_errors", "utf16", pad16,
+        _chain_out_err(lambda x, n: o16.to_utf32(x, n, False)),
+        lambda nb: 3 * nb)
+    add("utf16_to_latin1_with_errors", "latin1_utf16", pad16,
+        _chain_out_err(lambda x, n: o16.to_latin1(x, n, False)),
+        lambda nb: nb + nb // 2)
+    add("utf32_to_utf8_with_errors", "utf32", pad32,
+        _chain_out_err(lambda x, n: o32.to_utf8(x, n)),
+        lambda nb: nb + nb // 2)
+    add("utf32_to_utf16le_with_errors", "utf32", pad32,
+        _chain_out_err(lambda x, n: o32.to_utf16(x, n, False)),
+        lambda nb: nb + nb // 2)
+    add("utf32_to_latin1_with_errors", "latin1_utf32", pad32,
+        _chain_out_err(lambda x, n: o32.to_latin1(x, n)),
+        lambda nb: nb + nb // 4)
+    add("validate_utf8_with_errors", "mixed", pad8,
+        _chain_scalarish(lambda x, n: o8.validate_with_errors(x, n)[0] +
+                         o8.validate_with_errors(x, n)[1]),
+        lambda nb: nb)
+    add("validate_utf16_with_errors", "utf16", pad16,
+        _chain_scalarish(
+            lambda x, n: sum(o16.validate_with_errors(x, n, False))),
+        lambda nb: nb)
+    add("validate_utf32_with_errors", "utf32", pad32,
+        _chain_scalarish(
+            lambda x, n: sum(o32.validate_with_errors(x, n))),
+        lambda nb: nb)
+
+    # --- BE-side rows (reference expands per byte order)
+    add("utf16be_validate", "utf16be", pad16,
+        _chain_scalarish(
+            lambda x, n: sum(o16.validate_with_errors(x, n, True))),
+        lambda nb: nb)
+    add("utf8_length_from_utf16be", "utf16be", pad16,
+        _chain_scalarish(lambda x, n: o16.utf8_length(x, n, True)),
+        lambda nb: nb)
+    add("utf16be_to_utf32", "utf16be", pad16,
+        _chain_out(lambda x, n: o16.to_utf32(x, n, True)[2:]),
+        lambda nb: 3 * nb)
+    add("utf32_to_utf16be_valid", "utf32", pad32,
+        _chain_out(lambda x, n: o32.to_utf16_valid(x, n, True)),
+        lambda nb: nb + nb // 2)
+    add("latin1_to_utf16be", "latin1", pad8,
+        _chain_out(lambda x, n: (ol1.to_utf16(x, n, True), n)),
+        lambda nb: 3 * nb)
 
     return P
 
