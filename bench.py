@@ -421,42 +421,54 @@ def main():
     # undercounting only makes the bound more conservative, never lets a
     # measurement exceed it.
     def _phase_floor_ms(n_bytes, traffic_bytes, rolls, alus, elems,
-                        tile_bytes):
+                        tile_bytes, frac=1.0):
+        """``frac`` scales the compute term for phases whose grid skips
+        dead tiles (the round-5 phase C dead-tile clamp): only the alive
+        fraction of tiles runs the merge ops. Traffic is passed already
+        scaled by the caller."""
         bw = probe_gbps
         if bw is None or vpu_geops is None:
             return None
-        nt = n_bytes / tile_bytes
+        nt = n_bytes / tile_bytes * frac
         t_traffic = traffic_bytes / (bw * 1e9) * 1e3
         t_comp = alus * elems * nt / (vpu_geops * 1e9) * 1e3
         if rolls and roll_geops:
             t_comp += rolls * elems * nt / (roll_geops * 1e9) * 1e3
         return max(t_traffic, t_comp)
 
-    def in_state_ceiling_ms(path: str, n_bytes: int) -> float | None:
+    def in_state_ceiling_ms(path: str, n_bytes: int,
+                            out_frac: float = 1.0) -> float | None:
         """Analytic in-state lower bound (ms) for one flagship iteration:
         sum over pipeline phases of max(traffic floor, compute floor),
         with measured stream-bw / ALU / lane-roll / scatter anchors.
-        Returns None when an anchor needed by the path is missing."""
+        ``out_frac`` = actual output units / worst-case capacity for the
+        composition phase (the round-5 dead-tile clamp makes phase C
+        cost scale with it: alive tiles read >= 1 scratch block and run
+        the merges; dead tiles only zero-store). Returns None when an
+        anchor needed by the path is missing."""
         N = n_bytes
+        f = min(max(out_frac, 0.0), 1.0)
         if path == "utf8_to_utf16_butterfly":
             phases = [
                 (2 * N, 0, 4, 8192, 32768),        # prep u8->words
                 (3 * N, 68, 530, 9216, 32768),     # phase B
-                (6 * N, 18, 90, 16384, 32768),     # phase C (span ~2)
+                # phase C: write full 2N capacity, read >= f*2N scratch
+                ((2 + 2 * f) * N, 18, 90, 16384, 32768, f),
                 (4 * N, 0, 2, 16384, 32768),       # out bitcast
             ]
         elif path == "utf16_to_utf8_butterfly":
             phases = [
                 (2 * N, 0, 4, 8192, 16384),        # prep u16->lanes
                 (3 * N, 60, 450, 8192, 16384),     # phase B16
-                (4.5 * N, 18, 90, 8192, 16384),    # phase C16
+                # phase C16: write 2N capacity, read >= f*2N scratch
+                ((2 + 2 * f) * N, 18, 90, 8192, 16384, f),
                 (3 * N, 0, 2, 8192, 16384),        # out bitcast
             ]
         elif path == "base64_butterfly":
             phases = [
                 (2 * N, 0, 4, 8192, 32768),        # prep u8->words
                 (3 * N, 48, 330, 8192, 32768),     # phase B64
-                (4.5 * N, 18, 90, 8192, 32768),    # phase C16 compose
+                ((1 + 2 * f) * N, 18, 90, 8192, 32768, f),  # compose
                 (1.75 * N, 10, 100, 8192, 32768),  # pack_words 4->3
             ]
         elif path in ("utf8_to_utf16_scatter", "utf16_to_utf8_scatter",
@@ -488,14 +500,15 @@ def main():
             total += f
         return total
 
-    def log_ceiling(row: str, path: str, n_bytes: int, dt_s: float):
-        c = in_state_ceiling_ms(path, n_bytes)
+    def log_ceiling(row: str, path: str, n_bytes: int, dt_s: float,
+                    out_frac: float = 1.0):
+        c = in_state_ceiling_ms(path, n_bytes, out_frac)
         if c is None:
             return
         pct = 100.0 * (c / 1e3) / dt_s
         ceiling_pct[row] = round(pct, 1)
-        log(f"    in-state ceiling [{path}]: {c:.2f} ms -> "
-            f"{pct:.0f}% of in-state ceiling")
+        log(f"    in-state ceiling [{path}, out_frac={out_frac:.2f}]: "
+            f"{c:.2f} ms -> {pct:.0f}% of in-state ceiling")
 
     p, n = oi._pad(arr)
     log(f"corpus {nbytes} bytes, padded shape {p.shape}")
@@ -589,7 +602,13 @@ def main():
                     "trials": len(spread)}
     log(f"  flagship spread over {len(spread)} trials: "
         f"{spread[0]:.2f} .. {spread[-1]:.2f} GB/s")
-    log_ceiling("utf8_to_utf16", f"utf8_to_utf16_{engine}", nbytes, dt)
+    # out_frac = u16 units / worst-case capacity (1 unit/byte): the
+    # dead-tile-clamped phase C cost scales with it
+    _cont = int(np.count_nonzero((arr & 0xC0) == 0x80))
+    _l4 = int(np.count_nonzero(arr >= 0xF0))
+    _frac8 = (len(arr) - _cont + _l4) / max(len(arr), 1)
+    log_ceiling("utf8_to_utf16", f"utf8_to_utf16_{engine}", nbytes, dt,
+                _frac8)
     profile_dir = _os.environ.get("BENCH_PROFILE_DIR")
     if profile_dir:
         # one separately-profiled iteration AFTER the timed runs (the
@@ -705,8 +724,11 @@ def main():
             log(f"utf16->utf8 validating transcode: "
                 f"{fmt_gbps(u16_gbps)} GB/s in "
                 f"(engine {eng16})")
+            # out_frac = utf8 bytes / (4 B/unit capacity)
+            _frac16 = (len(data[: _su.trim_partial_utf8(data)])
+                       / max(2 * 2 * len(u16buf), 1))
             log_ceiling("utf16_to_utf8", f"utf16_to_utf8_{eng16}",
-                        nbytes16, dt16s[eng16])
+                        nbytes16, dt16s[eng16], _frac16)
         else:
             log("utf16->utf8 validating transcode: skipped "
                 "(both engines failed; causes above)")
@@ -763,8 +785,11 @@ def main():
             log(f"base64 forgiving decode (MIME \\r\\n/76): "
                 f"{fmt_gbps(b64_gbps)} GB/s in "
                 f"(engine {eng64})")
+            # out_frac = dense (non-whitespace) chars / chars
+            _frac64 = float(np.count_nonzero(
+                (a64 != 13) & (a64 != 10))) / max(len(a64), 1)
             log_ceiling("base64_decode", f"base64_{eng64}",
-                        len(a64), dt64s[eng64])
+                        len(a64), dt64s[eng64], _frac64)
         else:
             log("base64 forgiving decode: skipped "
                 "(both engines failed; causes above)")
