@@ -129,15 +129,31 @@ def census(w64, length):
     ops/utf8.census): exact in-class validity proofs for the uniform
     UTF-8-width classes (ascii/2/3-byte BMP bands, astral) plus the
     non-surrogate BMP band (uniform for UTF-16)."""
+    from jax import lax
+
     idx = positions(w64.shape[0])
     out_r = idx >= length
     nz = length > 0
     sur = (w64 >= 0xD800) & (w64 <= 0xDFFF)
-    ascii_ = jnp.all((w64 < 0x80) | out_r)
-    u2 = jnp.all(((w64 >= 0x80) & (w64 <= 0x7FF)) | out_r) & nz
-    u3 = jnp.all(((w64 >= 0x800) & (w64 <= 0xFFFF) & ~sur) | out_r) & nz
-    astral = jnp.all(((w64 >= 0x10000) & (w64 <= 0x10FFFF)) | out_r) & nz
-    bmp = jnp.all(((w64 <= 0xFFFF) & ~sur) | out_r)
+    # separate jnp.all reductions do NOT fuse into one pass (the
+    # 2026-08-20 census finding); pack the five facts as bits of one
+    # int32 and AND-reduce once — a single read of the buffer
+    word = (
+        ((w64 < 0x80) | out_r).astype(jnp.int32)
+        | ((((w64 >= 0x80) & (w64 <= 0x7FF)) | out_r).astype(jnp.int32)
+           << 1)
+        | ((((w64 >= 0x800) & (w64 <= 0xFFFF) & ~sur) | out_r)
+           .astype(jnp.int32) << 2)
+        | ((((w64 >= 0x10000) & (w64 <= 0x10FFFF)) | out_r)
+           .astype(jnp.int32) << 3)
+        | ((((w64 <= 0xFFFF) & ~sur) | out_r).astype(jnp.int32) << 4)
+    )
+    red = lax.reduce(word, jnp.int32(0x1F), lax.bitwise_and, (0,))
+    ascii_ = (red & 1) != 0
+    u2 = ((red & 2) != 0) & nz
+    u3 = ((red & 4) != 0) & nz
+    astral = ((red & 8) != 0) & nz
+    bmp = (red & 16) != 0
     return ascii_, u2, u3, astral, bmp
 
 
