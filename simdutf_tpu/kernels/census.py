@@ -73,6 +73,7 @@ BIT_V3 = 4
 BIT_V4 = 8
 BIT_HAS2 = 16
 BIT_HAS4 = 32
+BIT_HASLO = 64  # some in-range byte < 0x80 (the latin1 allhi census)
 
 
 def _census_kernel(len_ref, x_ref, nxtcol_ref, out_ref, *, kw: int):
@@ -167,6 +168,7 @@ def _census_kernel(len_ref, x_ref, nxtcol_ref, out_ref, *, kw: int):
     bits |= jnp.where(vany((viol_u4 & inr) != 0), BIT_V4, 0)
     bits |= jnp.where(vany((has2m & inr) != 0), BIT_HAS2, 0)
     bits |= jnp.where(vany((has4m & inr) != 0), BIT_HAS4, 0)
+    bits |= jnp.where(vany((~w & _HIGH & inr) != 0), BIT_HASLO, 0)
     out_ref[0, 0] = out_ref[0, 0] | bits
 
 

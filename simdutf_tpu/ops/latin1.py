@@ -57,8 +57,17 @@ def to_utf8(b: jnp.ndarray, length):
 
     if not DEVICE_ROUTING:
         return general()
-    ascii_ = jnp.all((w < 0x80) | ~in_r)
-    allhi = jnp.all((w >= 0x80) | ~in_r) & (length > 0)
+    from ..kernels import census as kcen
+
+    if kcen.census_supported(n):
+        # both facts from the one-pass census kernel over the raw u8
+        # buffer (the jnp reduces below are 2 unfused u8-per-lane passes)
+        bits = kcen.census_bits(b.astype(jnp.uint8), length)
+        ascii_ = (bits & kcen.BIT_NONASCII) == 0
+        allhi = ((bits & kcen.BIT_HASLO) == 0) & (length > 0)
+    else:
+        ascii_ = jnp.all((w < 0x80) | ~in_r)
+        allhi = jnp.all((w >= 0x80) | ~in_r) & (length > 0)
 
     def br_ascii():
         return jnp.pad(w, (0, n)).astype(jnp.uint8), jnp.int32(length)
