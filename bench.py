@@ -494,10 +494,10 @@ def main():
             return None
         total = 0.0
         for ph in phases:
-            f = _phase_floor_ms(N, *ph)
-            if f is None:
+            fl = _phase_floor_ms(N, *ph)
+            if fl is None:
                 return None
-            total += f
+            total += fl
         return total
 
     def log_ceiling(row: str, path: str, n_bytes: int, dt_s: float,
@@ -507,7 +507,12 @@ def main():
             return
         pct = 100.0 * (c / 1e3) / dt_s
         ceiling_pct[row] = round(pct, 1)
-        log(f"    in-state ceiling [{path}, out_frac={out_frac:.2f}]: "
+        # out_frac only parameterizes the butterfly composition phases;
+        # printing it for scatter/validate/encode paths would claim a
+        # density adjustment their models do not make
+        tag = (f"{path}, out_frac={out_frac:.2f}"
+               if "butterfly" in path else path)
+        log(f"    in-state ceiling [{tag}]: "
             f"{c:.2f} ms -> {pct:.0f}% of in-state ceiling")
 
     p, n = oi._pad(arr)
@@ -553,7 +558,11 @@ def main():
                 # consumer pays (the library ships the whole array; the
                 # result scalars consumed below already depend on every
                 # input byte). Caching is defeated by the rotating length
-                # vector (fresh args per trial).
+                # vector (fresh args per trial). The barrier pins the
+                # whole output as produced so the slice cannot fold into
+                # a pure-elementwise fast branch (free when the engine
+                # materializes anyway).
+                out = lax.optimization_barrier(out)
                 probe = out[0].astype(jnp.int32)
                 return acc + out_len + code + pos + probe
             return lax.fori_loop(0, ITERS, body, jnp.int32(0))
@@ -694,6 +703,7 @@ def main():
                     code, pos, out, out_len = o16.to_utf8(
                         x, lens[i & 7], False)
                     # static out[0] content probe (see flagship note)
+                    out = lax.optimization_barrier(out)
                     probe = out[0].astype(jnp.int32)
                     return acc + out_len + code + pos + probe
                 return lax.fori_loop(0, ITERS, body, jnp.int32(0))
@@ -754,6 +764,7 @@ def main():
                     fb, nv, nvb, packed, tv, ts = ob.decode_bulk_routed(
                         x, lens[i & 7], False, False)
                     # static packed[0] content probe (see flagship note)
+                    packed = lax.optimization_barrier(packed)
                     probe = packed[0].astype(jnp.int32)
                     return acc + nv + fb % 7 + probe
                 return lax.fori_loop(0, ITERS, body, jnp.int32(0))
@@ -817,6 +828,10 @@ def main():
             def body(i, acc):
                 salted = x + (lens[i & 7] & 1).astype(jnp.uint8)
                 chars = ob.encode_bulk(salted, False)
+                # barrier: encode is fixed-rate, so a bare chars[0] would
+                # let XLA fold the slice into the 3->4 repack and emit
+                # one element (see the _chain_out barrier note)
+                chars = lax.optimization_barrier(chars)
                 return acc + chars[0].astype(jnp.int32) + chars.shape[0]
             return lax.fori_loop(0, ITERS, body, jnp.int32(0))
 

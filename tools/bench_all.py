@@ -180,11 +180,15 @@ def _chain_out(body):
     def f(x, n0):
         def it(i, acc):
             out, out_len = body(x, n0 - (i & 7))
-            # STATIC content probe: a dynamic single-element index into
-            # the composed output forces an unfused ~30 ms gather no real
-            # consumer pays (the round-4 bench.py finding, PERF.md
-            # "dynamic-probe artifact"); out_len already depends on every
-            # input byte, and caching is defeated by the rotating n0
+            # STATIC content probe behind an optimization barrier: a
+            # dynamic single-element index forces an unfused ~30 ms
+            # gather no real consumer pays (the round-4 bench.py
+            # finding, PERF.md "dynamic-probe artifact"), while a bare
+            # out[0] lets XLA push the slice through pure-elementwise
+            # producers (latin1 widens, endianness swap) and compute ONE
+            # element — the barrier pins the whole output as produced,
+            # at zero cost for rows that materialize anyway
+            out = lax.optimization_barrier(out)
             probe = out[0].astype(jnp.int32)
             return acc + out_len + probe
         return lax.fori_loop(0, ITERS, it, jnp.int32(0))
@@ -539,6 +543,7 @@ def build_procedures():
         def f(x, n0):
             def it(i, acc):
                 code, pos, out, out_len = body(x, n0 - (i & 7))
+                out = lax.optimization_barrier(out)  # see _chain_out
                 return (acc + out_len + code + pos
                         + out[0].astype(jnp.int32))
             return lax.fori_loop(0, ITERS, it, jnp.int32(0))
@@ -553,7 +558,7 @@ def build_procedures():
         lambda nb: nb + int(nb * 2.8))
     add("utf8_to_latin1_with_errors", "latin1_utf8", pad8,
         _chain_out_err(lambda x, n: o8.to_latin1(x, n)),
-        lambda nb: nb + nb // 2)
+        lambda nb: nb + int(nb * 0.9))
     add("utf16_to_utf8_with_errors", "utf16", pad16,
         _chain_out_err(lambda x, n: o16.to_utf8(x, n, False)),
         lambda nb: nb + int(nb * 0.8))
@@ -572,10 +577,6 @@ def build_procedures():
     add("utf32_to_latin1_with_errors", "latin1_utf32", pad32,
         _chain_out_err(lambda x, n: o32.to_latin1(x, n)),
         lambda nb: nb + nb // 4)
-    add("validate_utf8_with_errors", "mixed", pad8,
-        _chain_scalarish(lambda x, n: o8.validate_with_errors(x, n)[0] +
-                         o8.validate_with_errors(x, n)[1]),
-        lambda nb: nb)
     add("validate_utf16_with_errors", "utf16", pad16,
         _chain_scalarish(
             lambda x, n: sum(o16.validate_with_errors(x, n, False))),

@@ -143,6 +143,13 @@ def main() -> int:
         ("u3", cjk.encode()), ("u4", emoji.encode()),
         ("mixed", mixed.encode()), ("bad", b"\xed\xa0\x80ab" * 4000),
     ]
+    # non-vacuous: on this backend the kernels must actually compile —
+    # a failed probe would make every parity check below compare the
+    # jnp path against itself
+    check("census8:kernel_active", kcen.census_supported(kcen.BLOCK_B),
+          True)
+    check("census16:kernel_active",
+          kcen.census16_supported(kcen.BLOCK_U16), True)
     for tag, data in cen_cases:
         n = (len(data) // kcen.BLOCK_B + 2) * kcen.BLOCK_B
         buf = np.zeros(n, np.uint8)
@@ -150,12 +157,18 @@ def main() -> int:
         buf[len(data):] = 0xE5  # garbage past length must not leak in
         bj, L = jnp.asarray(buf), jnp.int32(len(data))
         got = tuple(bool(v) for v in o8._census_kernel_facts(bj, L))
+        bits = int(kcen.census_bits(bj, L))
+        got += ((bits & kcen.BIT_HASLO) != 0,)
         # jnp reference computed with the kernel path disabled
         saved8 = list(kcen._KERNEL_OK)
         kcen._KERNEL_OK[:] = [False]
-        want = tuple(bool(v)
-                     for v in (*o8.census(bj, L), *o8.presence(bj, L)))
-        kcen._KERNEL_OK[:] = saved8
+        try:
+            want = tuple(bool(v)
+                         for v in (*o8.census(bj, L), *o8.presence(bj, L)))
+            idx = jnp.arange(n) < L
+            want += (bool(jnp.any((bj < 0x80) & idx)),)  # BIT_HASLO ref
+        finally:
+            kcen._KERNEL_OK[:] = saved8
         check(f"census8:{tag}", got, want)
         u16b = np.zeros(((len(data) // 2) // kcen.BLOCK_U16 + 2)
                         * kcen.BLOCK_U16, np.uint16)
@@ -166,8 +179,10 @@ def main() -> int:
         gotu = tuple(bool(v) for v in o16.census(wj, Lu))
         saved16 = list(kcen._KERNEL16_OK)
         kcen._KERNEL16_OK[:] = [False]
-        wantu = tuple(bool(v) for v in o16.census(wj, Lu))
-        kcen._KERNEL16_OK[:] = saved16
+        try:
+            wantu = tuple(bool(v) for v in o16.census(wj, Lu))
+        finally:
+            kcen._KERNEL16_OK[:] = saved16
         check(f"census16:{tag}", gotu, wantu)
 
     ok = all(checks.values())
