@@ -366,7 +366,7 @@ def main():
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
-        RR, RL, R_ITERS = 2048, 128, 8
+        RR, RL, R_ITERS = 2048, 128, 32
         xroll = jax.device_put(
             np.arange(RR * RL, dtype=np.int32).reshape(RR, RL))
 
@@ -402,11 +402,14 @@ def main():
         t0 = time.perf_counter()
         jax.device_get(pr2(xroll, jnp.int32(2)))
         tr2 = time.perf_counter() - t0
-        if tr2 - tr1 > 2e-3:
+        if tr2 - tr1 > 5e-4:
             roll_geops = ((36 - 4) * 4 * RR * RL * R_ITERS
                           / (tr2 - tr1) / 1e9)
             log(f"roll anchor: {roll_geops:.0f} Gelem-rolls/s "
                 f"(in-kernel pltpu.roll, lane axis)")
+        else:
+            log(f"roll anchor unresolved: differential "
+                f"{(tr2 - tr1) * 1e3:.2f} ms below noise floor")
     except Exception as e:  # pragma: no cover
         log(f"roll anchor skipped: {e}")
 
